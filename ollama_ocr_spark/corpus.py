@@ -1,0 +1,185 @@
+"""Deterministic Common-Crawl-style pages corpus, derived from the driver's
+``documents.parquet`` table.
+
+Every page row is a **pure function** of a ``documents`` row
+``(doc_id, text, lang, source)`` — no RNG, no wall clock — so that:
+
+- the extraction pipeline's output can be compared *byte-identically* against
+  ``documents.text`` (the golden), and
+- the DuckDB oracle for the driver's correctness gate is expressible in plain
+  SQL over the ``documents`` view (the archetype/host/url mapping below is
+  mirrored in `__spark_entry__.oracle_sql`).
+
+Archetype table (k = doc_id % 10), mirroring the 5 reference fixtures in
+`/root/reference/images/` (see FIXTURES.md §3):
+
+| k       | stem       | payload                           | route (expected)      |
+|---------|------------|-----------------------------------|-----------------------|
+| 0..3    | article    | HTML, <article> main + boilerplate| printed (structure)   |
+| 4       | memo       | HTML, plain <div> main, no markers| handwriting (fallback)|
+| 5       | receipt    | HTML like 0..3, url keyword       | printed (keyword)     |
+| 6       | draft      | HTML like 0..3, url keyword       | handwriting (keyword) |
+| 7       | playbook   | PDF, 1 + doc_id%3 pages (.pdf)    | printed (keyword 'pdf')|
+| 8       | scan       | JPEG magic blob (.jpg)            | handwriting, text=''  |
+| 9       | page       | doc_id%20==9 → NULL payload;      | error row             |
+|         |            | doc_id%20==19 → junk bytes        |                       |
+
+Duplicate captures: every doc_id % 5 == 0 gets a second, *older* capture with
+stale content — exercising latest-capture dedup (SURVEY.md §2.6 N3).
+
+Host skew (zipf-ish, SQL-expressible): m = doc_id % 100 →
+m<50: h0 · m<70: h1 · m<85: h2 · else h{3+doc_id%13} — so salting (N6) is
+actually exercised.
+"""
+
+from __future__ import annotations
+
+import html as _html
+from datetime import datetime, timedelta, timezone
+
+from .functions.pdfmini import write_pdf
+from .functions.router import fold_pages
+
+BASE_TS = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+STEMS = {
+    0: "article", 1: "article", 2: "article", 3: "article",
+    4: "memo", 5: "receipt", 6: "draft", 7: "playbook",
+    8: "scan", 9: "page",
+}
+EXTS = {7: ".pdf", 8: ".jpg"}
+
+_JUNK = b"\x00\x01\x02corrupted-capture\x03\x04" * 4
+_JPEG_BLOB = b"\xff\xd8\xff\xe0" + b"\x00" * 64 + b"synthetic-scan" + b"\xff\xd9"
+
+
+def host_for(doc_id: int) -> str:
+    m = doc_id % 100
+    if m < 50:
+        return "h0.example.com"
+    if m < 70:
+        return "h1.example.com"
+    if m < 85:
+        return "h2.example.com"
+    return f"h{3 + doc_id % 13}.example.com"
+
+
+def url_for(doc_id: int, source: str) -> str:
+    k = doc_id % 10
+    return (
+        f"https://{host_for(doc_id)}/{source}/{STEMS[k]}-{doc_id}"
+        f"{EXTS.get(k, '.html')}"
+    )
+
+
+def n_pdf_pages(doc_id: int) -> int:
+    return 1 + doc_id % 3
+
+
+def pdf_page_texts(text: str, n_pages: int) -> list[str]:
+    """Word-balanced page split; slice bounds mirrored in the DuckDB oracle."""
+    words = text.split(" ")
+    w = len(words)
+    return [
+        " ".join(words[(w * (i - 1)) // n_pages : (w * i) // n_pages])
+        for i in range(1, n_pages + 1)
+    ]
+
+
+def build_html(doc_id: int, text: str, lang: str) -> bytes:
+    """HTML page with boilerplate chrome around the exact document text."""
+    k = doc_id % 10
+    esc = _html.escape(text)
+    nav = (
+        "<nav><ul>"
+        + "".join(f'<li><a href="/s{i}">Section {i}</a></li>' for i in range(6))
+        + "</ul></nav>"
+    )
+    header = f"<header><h1>Example Site {doc_id % 7}</h1>{nav}</header>"
+    aside = (
+        '<aside><p><a href="/sponsored">Sponsored: one weird trick</a> '
+        '<a href="/deal">limited offer</a></p></aside>'
+    )
+    footer = (
+        '<footer><p><a href="/terms">Terms</a> <a href="/privacy">Privacy</a> '
+        "&copy; 2024 Example Corp</p></footer>"
+    )
+    # Link-farm div OUTSIDE the drop-tags — exercises the link-density rule,
+    # not just the tag rule.
+    linkfarm = (
+        '<div class="related"><a href="/r1">related story one</a> '
+        '<a href="/r2">related story two</a> <a href="/r3">more</a></div>'
+    )
+    if k == 4:
+        # memo: no structure markers, few blocks → heuristic → handwriting
+        body = f'<div id="content"><p>{esc}</p></div>'
+        page = (
+            f'<!DOCTYPE html><html lang="{lang}"><head><meta charset="utf-8">'
+            f"<title>memo {doc_id}</title></head>"
+            f"<body>{header}{body}{footer}</body></html>"
+        )
+    else:
+        body = f"<article><p>{esc}</p></article>"
+        page = (
+            f'<!DOCTYPE html><html lang="{lang}"><head><meta charset="utf-8">'
+            f"<title>{STEMS[k]} {doc_id}</title></head>"
+            f"<body>{header}{aside}{body}{linkfarm}{footer}</body></html>"
+        )
+    return page.encode("utf-8")
+
+
+def build_payload(doc_id: int, text: str, lang: str) -> bytes | None:
+    k = doc_id % 10
+    if k == 7:
+        return write_pdf(pdf_page_texts(text, n_pdf_pages(doc_id)),
+                         compress=doc_id % 2 == 0)
+    if k == 8:
+        return _JPEG_BLOB
+    if k == 9:
+        return None if doc_id % 20 == 9 else _JUNK
+    return build_html(doc_id, text, lang)
+
+
+def golden_text(doc_id: int, text: str) -> str:
+    """Expected extracted text — computed from generation parameters only,
+    never by running the extractor (independent golden, FIXTURES.md §2)."""
+    k = doc_id % 10
+    if k in (8, 9):
+        return ""
+    if k == 7:
+        return fold_pages(pdf_page_texts(text, n_pdf_pages(doc_id)))
+    return text.strip()
+
+
+def capture_rows(doc_id: int, text: str, lang: str, source: str):
+    """Yield (url, warc_ts, html, text, lang) capture rows for one document.
+
+    ``text`` in the *input* split is NULL (populated only in goldens,
+    FIXTURES.md §1); duplicate older captures carry stale content.
+    """
+    url = url_for(doc_id, source)
+    ts = BASE_TS + timedelta(seconds=doc_id)
+    yield (url, ts, build_payload(doc_id, text, lang), None, lang)
+    if doc_id % 5 == 0:
+        stale_text = text + " stale capture"
+        yield (
+            url,
+            ts - timedelta(hours=1),
+            build_payload(doc_id, stale_text, lang),
+            None,
+            lang,
+        )
+
+
+def synthesize_pages_pandas(docs_df):
+    """documents pandas.DataFrame → pages pandas.DataFrame (pure, seedless)."""
+    import pandas as pd
+
+    rows = []
+    for doc_id, text, lang, source in zip(
+        docs_df["doc_id"], docs_df["text"], docs_df["lang"], docs_df["source"]
+    ):
+        rows.extend(capture_rows(int(doc_id), text, lang, source))
+    return pd.DataFrame(
+        rows, columns=["url", "warc_ts", "html", "text", "lang"]
+    )

@@ -1,0 +1,188 @@
+"""HTML main-content extraction: block tree + text/link-density scoring.
+
+This is the Spark-native analog of the reference's "printed OCR" path
+(`/root/reference/ocr_router.py:76-86`): instead of Tesseract over a
+binarized image, we strip boilerplate from raw HTML bytes with a
+Boilerpipe/trafilatura-style block classifier built on stdlib
+``html.parser`` (the sandbox has no lxml/selectolax; the algorithm is the
+published text-density + link-density heuristic, not a port of any library).
+
+Semantics (deterministic, pure):
+
+1. decode bytes as UTF-8 (``errors='replace'`` — never raises),
+2. build a flat list of text *blocks*: every block-level element opens a new
+   block; inline elements accumulate text into the current block,
+3. drop entire subtrees of known-boilerplate containers
+   (nav/header/footer/aside/form/script/style/head/title/...),
+4. for each surviving block, collapse whitespace runs to single spaces
+   (standard HTML whitespace semantics) and compute link density
+   (chars inside <a> / total chars),
+5. keep blocks with non-empty text and link density <= LINK_DENSITY_MAX,
+6. join kept blocks with "\n\n" and apply Python ``str.strip()`` —
+   mirroring the reference's final ``.strip()`` (`ocr_router.py:301`).
+
+The parser also reports *structure markers* (presence of article/main/table,
+block-element count) used by the router's printed-vs-fallback heuristic —
+the analog of the reference's HoughLinesP straight-line count
+(`ocr_router.py:160-170`: >15 lines → printed).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from html.parser import HTMLParser
+
+# Elements that start a new text block.
+BLOCK_TAGS = frozenset(
+    {
+        "p", "div", "article", "section", "main", "li", "ul", "ol",
+        "h1", "h2", "h3", "h4", "h5", "h6", "td", "th", "tr", "table",
+        "pre", "blockquote", "figcaption", "dd", "dt", "br", "hr",
+    }
+)
+
+# Entire subtree is boilerplate / non-content.
+DROP_TAGS = frozenset(
+    {
+        "script", "style", "noscript", "template", "nav", "header",
+        "footer", "aside", "form", "head", "title", "svg", "iframe",
+        "button", "select", "option",
+    }
+)
+
+# Presence of any of these marks "structured" layout → printed class
+# (analog of the reference's many-straight-lines heuristic).
+STRUCTURE_TAGS = frozenset({"article", "main", "table"})
+
+# Block-count threshold for the structure heuristic, mirroring the
+# reference's `len(lines) > 15 → printed` (`ocr_router.py:166`).
+STRUCTURE_BLOCK_THRESHOLD = 15
+
+LINK_DENSITY_MAX = 0.33
+
+
+@dataclass
+class HtmlExtraction:
+    text: str
+    has_structure: bool
+    n_blocks: int
+
+
+class _BlockParser(HTMLParser):
+    """Single-pass block builder. Not thread-safe; one instance per document."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[tuple[str, int, int]] = []  # (raw_text, chars, link_chars)
+        self._parts: list[str] = []
+        self._chars = 0
+        self._link_chars = 0
+        self._drop_depth = 0
+        self._link_depth = 0
+        self.structure_hits = 0
+        self.block_count = 0
+
+    # -- block lifecycle -------------------------------------------------
+    def _flush(self) -> None:
+        if self._parts:
+            raw = "".join(self._parts)
+            self.blocks.append((raw, self._chars, self._link_chars))
+        self._parts = []
+        self._chars = 0
+        self._link_chars = 0
+
+    # -- HTMLParser hooks -------------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:  # noqa: ANN001
+        if tag in DROP_TAGS:
+            self._drop_depth += 1
+            return
+        if self._drop_depth:
+            return
+        if tag in STRUCTURE_TAGS:
+            self.structure_hits += 1
+        if tag == "a":
+            self._link_depth += 1
+        if tag in BLOCK_TAGS:
+            self.block_count += 1
+            self._flush()
+
+    def handle_startendtag(self, tag: str, attrs) -> None:  # noqa: ANN001
+        # <br/>, <hr/> etc. — block boundary, no subtree.
+        if self._drop_depth:
+            return
+        if tag in BLOCK_TAGS:
+            self.block_count += 1
+            self._flush()
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in DROP_TAGS:
+            if self._drop_depth:
+                self._drop_depth -= 1
+            return
+        if self._drop_depth:
+            return
+        if tag == "a" and self._link_depth:
+            self._link_depth -= 1
+        if tag in BLOCK_TAGS:
+            self._flush()
+
+    def handle_data(self, data: str) -> None:
+        if self._drop_depth or not data:
+            return
+        self._parts.append(data)
+        n = len(data)
+        self._chars += n
+        if self._link_depth:
+            self._link_chars += n
+
+    def close(self) -> None:  # noqa: D102
+        super().close()
+        self._flush()
+
+
+def _collapse_ws(raw: str) -> str:
+    """Collapse whitespace runs to single spaces (HTML rendering semantics).
+
+    Uses ``str.split()`` so *all* Unicode whitespace collapses, matching
+    Python ``str.strip()`` semantics used by the reference for its final
+    strip (`ocr_router.py:301`).
+    """
+    return " ".join(raw.split())
+
+
+def decode_payload(data: bytes) -> str:
+    """Deterministic byte→str decode; never raises."""
+    return data.decode("utf-8", errors="replace")
+
+
+def parse_html_blocks(data: bytes) -> HtmlExtraction:
+    """Full extraction pass: returns main text + structure flags."""
+    parser = _BlockParser()
+    try:
+        parser.feed(decode_payload(data))
+        parser.close()
+    except Exception:
+        # html.parser is extremely tolerant; anything that still escapes is
+        # treated as "no further content" (error isolation per
+        # `ocr_router.py:296-298` — never abort the document batch).
+        parser._flush()
+    kept: list[str] = []
+    for raw, chars, link_chars in parser.blocks:
+        text = _collapse_ws(raw)
+        if not text:
+            continue
+        density = (link_chars / chars) if chars else 0.0
+        if density <= LINK_DENSITY_MAX:
+            kept.append(text)
+    joined = "\n\n".join(kept).strip()
+    has_structure = (
+        parser.structure_hits > 0
+        or parser.block_count > STRUCTURE_BLOCK_THRESHOLD
+    )
+    return HtmlExtraction(text=joined, has_structure=has_structure,
+                          n_blocks=parser.block_count)
+
+
+def extract_html_main_text(data: bytes) -> str:
+    """Convenience wrapper returning only the extracted main text."""
+    return parse_html_blocks(data).text

@@ -1,0 +1,142 @@
+"""Routing + per-document extraction core (the engine's "query optimizer").
+
+Re-expresses the reference's routing decision table as pure functions:
+
+- payload sniff (magic bytes) ↔ extension filter + is-PDF predicate
+  (`/root/reference/ocr_router.py:97,100-102`),
+- URL-keyword fast path ↔ filename-keyword heuristic
+  (`ocr_router.py:140-144`: receipt/invoice/form/document/pdf → printed;
+  handwriting/handwritten/note/notes/draft → handwriting),
+- HTML structure heuristic ↔ HoughLinesP straight-line count
+  (`ocr_router.py:160-170`: many lines → printed, default → handwriting),
+- PDF page fold with byte-exact separators `"\\n\\n--- Page {n} ---\\n\\n"`
+  and error strings `"[Error processing page: {e}]"`
+  (`ocr_router.py:294,298,301`),
+- error rows `(engine='error', chars=0, pages=0, type='error')`
+  (`ocr_router.py:414-415`).
+
+Everything here is deterministic and exception-free by construction: errors
+become data (an ``error`` column), never task failures — the per-doc
+try/except error-isolation model of `ocr_router.py:412-415`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from .htmltext import parse_html_blocks
+from .pdfmini import PdfError, extract_pdf_pages
+
+# Keyword fast paths, value sets from `ocr_router.py:140-144`.
+PRINTED_KEYWORDS = ("receipt", "invoice", "form", "document", "pdf")
+HANDWRITING_KEYWORDS = ("handwriting", "handwritten", "note", "notes", "draft")
+
+ENGINE_PRINTED = "printed"
+ENGINE_HANDWRITING = "handwriting"
+ENGINE_ERROR = "error"
+
+TYPE_HTML = "HTML"
+TYPE_PDF = "PDF"
+TYPE_IMAGE = "Image"
+TYPE_ERROR = "error"
+
+PAGE_SEP_FMT = "\n\n--- Page {n} ---\n\n"          # ocr_router.py:294
+PAGE_ERR_FMT = "[Error processing page: {e}]"       # ocr_router.py:298
+
+
+@dataclass
+class ExtractResult:
+    engine: str
+    text: str
+    chars: int
+    pages: int
+    doc_type: str
+    error: str | None
+
+
+def sniff_payload(data: bytes | None) -> tuple[str | None, str | None]:
+    """(kind, error): kind ∈ {'pdf','image','html'} or None with a reason.
+
+    The distributed analog of the extension filter — content-type from magic
+    bytes instead of file suffix, evaluated before any expensive parse.
+    """
+    if data is None or len(data) == 0:
+        return None, "empty payload"
+    if data.startswith(b"%PDF"):
+        return "pdf", None
+    if data.startswith(b"\xff\xd8\xff") or data.startswith(b"\x89PNG\r\n\x1a\n"):
+        return "image", None
+    head = data[:256].lstrip().lower()
+    if head.startswith(b"<!doctype") or head.startswith(b"<html") or head.startswith(b"<"):
+        return "html", None
+    return None, "unrecognized payload"
+
+
+def keyword_route(url: str) -> str | None:
+    """URL-keyword fast path; printed keywords win (checked first, as in
+    `ocr_router.py:140-144`). Returns None when no keyword matches."""
+    name = url.rsplit("/", 1)[-1].lower()
+    if any(k in name for k in PRINTED_KEYWORDS):
+        return ENGINE_PRINTED
+    if any(k in name for k in HANDWRITING_KEYWORDS):
+        return ENGINE_HANDWRITING
+    return None
+
+
+def fold_pages(page_texts: list[str]) -> str:
+    """Byte-exact page fold: decorate + join + strip (`ocr_router.py:294-301`)."""
+    return "".join(
+        PAGE_SEP_FMT.format(n=n) + t for n, t in enumerate(page_texts, 1)
+    ).strip()
+
+
+def _error(msg: str) -> ExtractResult:
+    # Error-row contract: `['file','error',0,0,'error']` (ocr_router.py:415).
+    return ExtractResult(
+        engine=ENGINE_ERROR, text="", chars=0, pages=0,
+        doc_type=TYPE_ERROR, error=msg,
+    )
+
+
+def extract_document(url: str, payload: bytes | None) -> ExtractResult:
+    """Route + extract one document. Pure, deterministic, never raises."""
+    kind, err = sniff_payload(payload)
+    if kind is None:
+        return _error(err or "unrecognized payload")
+
+    kw_engine = keyword_route(url)
+
+    if kind == "pdf":
+        try:
+            pages = extract_pdf_pages(payload)  # type: ignore[arg-type]
+        except PdfError as exc:
+            return _error(str(exc))
+        if not pages:
+            # mirrors `ValueError("No pages found in PDF")` → doc error row
+            # (ocr_router.py:270-271 via 412-415)
+            return _error("no pages found in pdf")
+        text = fold_pages(pages)
+        return ExtractResult(
+            engine=kw_engine or ENGINE_PRINTED, text=text, chars=len(text),
+            pages=len(pages), doc_type=TYPE_PDF, error=None,
+        )
+
+    if kind == "image":
+        # No image decoder in-sandbox (reference used Tesseract/TrOCR).
+        # The routing/plumbing is real; the OCR kernel is a deterministic
+        # stub returning empty text — matching the fallback class default
+        # (`ocr_router.py:132-174`: unreadable → handwriting).
+        return ExtractResult(
+            engine=kw_engine or ENGINE_HANDWRITING, text="", chars=0,
+            pages=1, doc_type=TYPE_IMAGE, error=None,
+        )
+
+    # HTML main-content extraction (the "printed OCR" analog).
+    extraction = parse_html_blocks(payload)  # type: ignore[arg-type]
+    engine = kw_engine or (
+        ENGINE_PRINTED if extraction.has_structure else ENGINE_HANDWRITING
+    )
+    return ExtractResult(
+        engine=engine, text=extraction.text, chars=len(extraction.text),
+        pages=1, doc_type=TYPE_HTML, error=None,
+    )

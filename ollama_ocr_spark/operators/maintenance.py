@@ -1,0 +1,98 @@
+"""Scale-hygiene operators: latest-capture dedup, resume anti-join,
+host-salted repartitioning, URL parsing expressions.
+
+These are the NEW operators of SURVEY.md §2.6 (N2, N3, N6, N7) — the ones a
+100 TB run needs even though the single-node reference never did: each is a
+plain declarative DataFrame op so Catalyst/AQE keep full visibility
+(pushdown, join-strategy choice, skew mitigation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def host_expr(url_col: str = "url"):
+    """Extract the host from an https?:// URL as a native column expression."""
+    return F.regexp_extract(F.col(url_col), r"^https?://([^/]+)/", 1)
+
+
+def doc_id_expr(url_col: str = "url"):
+    """Recover the numeric document id embedded in corpus URLs
+    (``.../{stem}-{doc_id}.{ext}``)."""
+    return F.regexp_extract(F.col(url_col), r"-(\d+)\.[a-z]+$", 1).cast("bigint")
+
+
+def latest_capture(pages: DataFrame, key: str = "url",
+                   ts: str = "warc_ts") -> DataFrame:
+    """Keep the newest capture per url (N3).
+
+    ``row_number`` over (url → warc_ts desc, shuffle on url) — at scale the
+    shuffle is unavoidable (global per-key ordering), but it replaces a full
+    self-join and AQE coalesces the post-shuffle partitions.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts).desc())
+    return (
+        pages.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def resume_anti_join(pages: DataFrame, done: DataFrame,
+                     key: str = "url") -> DataFrame:
+    """Drop documents already present in the committed results snapshot (N2).
+
+    ``left_anti`` lets Catalyst pick broadcast-anti when the done-set is
+    small (early resumes) and shuffle-anti when it is not (late resumes) —
+    exactly the plan flexibility a hand-rolled filter would lose.
+    """
+    return pages.join(done.select(key).distinct(), key, "left_anti")
+
+
+def salt_by_host(pages: DataFrame, num_partitions: int,
+                 salt_buckets: int = 8) -> DataFrame:
+    """Explicit skew handling before the (CPU-heavy) extraction stage (N6/N7).
+
+    Web corpora are zipf-distributed by host; partitioning by host alone
+    starves most tasks while one grinds through the mega-host. Salting by
+    ``pmod(hash(url), S)`` splits each host into S slices; repartitioning on
+    (host, salt) both balances bytes per task and keeps same-host documents
+    mostly co-located (useful for parser cache locality / politeness
+    semantics at crawl time).
+    """
+    salted = pages.withColumn(
+        "__salt", F.pmod(F.hash(F.col("url")), F.lit(salt_buckets))
+    ).withColumn("__host", host_expr())
+    return salted.repartition(num_partitions, "__host", "__salt").drop(
+        "__salt", "__host"
+    )
+
+
+def partition_lineage(results: DataFrame) -> DataFrame:
+    """Per-partition lineage rows (north_rule):
+    ``(partition_id, doc_count, bytes_in, checksum)``.
+
+    checksum = sha256 over the sorted per-partition ``url || sha256(text)``
+    list (FIXTURES.md §4) — order-insensitive within a partition, so a
+    resumed run that re-extracts the same documents into the same partition
+    produces the same checksum.
+    """
+    with_pid = results.withColumn("partition_id", F.spark_partition_id())
+    return with_pid.groupBy("partition_id").agg(
+        F.count("*").alias("doc_count"),
+        F.sum("bytes_in").alias("bytes_in"),
+        F.sha2(
+            F.concat_ws(
+                "",
+                F.sort_array(
+                    F.collect_list(
+                        F.concat_ws("|", F.col("url"),
+                                    F.sha2(F.coalesce(F.col("text"), F.lit("")), 256))
+                    )
+                ),
+            ),
+            256,
+        ).alias("checksum"),
+    )

@@ -1,0 +1,84 @@
+"""End-to-end extraction job: the Spark-native lifecycle of the reference's
+``python ocr_router.py`` batch run (SURVEY.md §3 EP1).
+
+    read pages → latest-capture dedup (N3) → resume anti-join vs committed
+    results (N2) → host-salt repartition (N6/N7) → mapInArrow extract
+    (R1-R3/T1-T5) → results append + lineage/metrics append (S9/S10),
+    both anchored to one snapshot id (resume correctness, SURVEY §7.3.4).
+
+Designed for a 1000-executor cluster; in-sandbox it runs on local[N].
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.extract import extract_stage
+from .operators.maintenance import (
+    latest_capture,
+    partition_lineage,
+    resume_anti_join,
+    salt_by_host,
+)
+from .sources.icetbl import IceTable
+
+
+@dataclass
+class RunStats:
+    docs_in: int
+    docs_extracted: int
+    snapshot_id: int
+    wall_secs: float
+
+
+def run_extract(
+    spark: SparkSession,
+    pages: DataFrame,
+    results_tbl: IceTable,
+    metrics_tbl: IceTable,
+    num_partitions: int | None = None,
+    salt_buckets: int = 8,
+) -> RunStats:
+    """Run (or resume) the extraction job over ``pages``.
+
+    Re-running after a crash is safe: documents whose urls are already in
+    the committed results snapshot are anti-joined away, and the
+    results/metrics appends are published atomically (icetbl snapshot),
+    so a half-written run is invisible to the next attempt.
+    """
+    t0 = time.monotonic()
+    num_partitions = num_partitions or spark.sparkContext.defaultParallelism
+
+    deduped = latest_capture(pages)
+
+    done = results_tbl.read(spark)
+    todo = resume_anti_join(deduped, done) if done is not None else deduped
+
+    balanced = salt_by_host(todo, num_partitions, salt_buckets)
+    results = extract_stage(balanced)
+
+    # One pass computes results + lineage: cache the (small, text-only)
+    # extraction output, not the raw html.
+    results = results.persist()
+    try:
+        docs_extracted = results.count()
+        snapshot_id = results_tbl.append(results)
+
+        lineage = partition_lineage(results).withColumn(
+            "snapshot_id", F.lit(snapshot_id)
+        )
+        metrics_tbl.append(lineage)
+    finally:
+        results.unpersist()
+
+    docs_in = deduped.count()
+    return RunStats(
+        docs_in=docs_in,
+        docs_extracted=docs_extracted,
+        snapshot_id=snapshot_id,
+        wall_secs=time.monotonic() - t0,
+    )

@@ -1,0 +1,54 @@
+"""SparkSession factory with the engine's tuned defaults."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to executors (the local-mode analog of
+    ``spark-submit --py-files engine.zip``) so Python workers can unpickle
+    the mapInArrow kernels regardless of the driver's cwd."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    zip_path = os.path.join(tempfile.gettempdir(),
+                            f"ollama_ocr_spark-{os.getpid()}.zip")
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for dirpath, _dirs, files in os.walk(pkg_dir):
+                for name in files:
+                    if name.endswith(".py"):
+                        full = os.path.join(dirpath, name)
+                        zf.write(full, os.path.relpath(full, root))
+    spark.sparkContext.addPyFile(zip_path)
+
+
+def get_spark(app: str = "ollama_ocr_spark", master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    shuffle = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app)
+        # match local cores, not the 200 default — at cluster scale this is
+        # sized to ~2-3x total cores / target ~128MB post-shuffle partitions
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # html payloads are ~1-50KB; 2048 rows/batch keeps Arrow batches in
+        # the tens-of-MB range so the Python worker never balloons
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+    )
+    spark = builder.getOrCreate()
+    _ship_package(spark)
+    return spark

@@ -1,0 +1,113 @@
+"""icetbl — a thin Iceberg-style snapshot table layer over Parquet.
+
+The sandbox has no Iceberg runtime jar (SURVEY.md §7.0), so this module
+provides the three semantics the pipeline relies on, with the same shape as
+Iceberg's so a production deployment swaps in ``df.writeTo(tbl).append()``:
+
+- **atomic append commits**: data files land under ``data/``, then a new
+  snapshot JSON is published with ``os.rename`` (atomic on POSIX) into
+  ``_log/v{N}.json`` listing *all* live files. Readers never see a
+  half-commit.
+- **snapshot reads**: ``read(spark)`` reads the latest committed snapshot;
+  ``read(spark, snapshot_id=k)`` time-travels.
+- **resume anchor**: ``current_snapshot_id`` is what a restarted job
+  anti-joins against (operators.maintenance.resume_anti_join).
+
+Layout::
+
+    <root>/
+      data/part-<snapshot>-<uuid>.parquet ...
+      _log/v1.json  v2.json ...   # {"snapshot_id": N, "parent": N-1,
+                                  #  "files": [...], "ts": iso}
+
+This is deliberately a *table format*, not a query engine feature — all
+reads go through ``spark.read.parquet(files...)`` so Catalyst still does
+pushdown/pruning on the data files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent: int | None
+    files: list[str]
+
+
+class IceTable:
+    def __init__(self, root: str) -> None:
+        self.root = root
+        self.data_dir = os.path.join(root, "data")
+        self.log_dir = os.path.join(root, "_log")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.log_dir, exist_ok=True)
+
+    # -- snapshot log ------------------------------------------------------
+    def _snapshot_path(self, sid: int) -> str:
+        return os.path.join(self.log_dir, f"v{sid}.json")
+
+    def current_snapshot_id(self) -> int | None:
+        sids = [
+            int(f[1:-5])
+            for f in os.listdir(self.log_dir)
+            if f.startswith("v") and f.endswith(".json")
+        ]
+        return max(sids) if sids else None
+
+    def snapshot(self, sid: int | None = None) -> Snapshot | None:
+        if sid is None:
+            sid = self.current_snapshot_id()
+        if sid is None:
+            return None
+        with open(self._snapshot_path(sid)) as fh:
+            payload = json.load(fh)
+        return Snapshot(payload["snapshot_id"], payload.get("parent"),
+                        payload["files"])
+
+    # -- write path ----------------------------------------------------------
+    def append(self, df: DataFrame) -> int:
+        """Append df as a new snapshot; returns the new snapshot id."""
+        parent = self.snapshot()
+        new_sid = (parent.snapshot_id + 1) if parent else 1
+        staging = os.path.join(self.data_dir, f"_stage-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(staging)
+        new_files = []
+        for name in sorted(os.listdir(staging)):
+            if not name.endswith(".parquet"):
+                continue
+            final = os.path.join(
+                self.data_dir, f"part-{new_sid}-{uuid.uuid4().hex}.parquet"
+            )
+            os.rename(os.path.join(staging, name), final)
+            new_files.append(final)
+        # best-effort cleanup of the staging dir's marker files
+        for leftover in os.listdir(staging):
+            os.remove(os.path.join(staging, leftover))
+        os.rmdir(staging)
+
+        files = (parent.files if parent else []) + new_files
+        tmp = self._snapshot_path(new_sid) + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {"snapshot_id": new_sid,
+                 "parent": parent.snapshot_id if parent else None,
+                 "files": files},
+                fh,
+            )
+        os.rename(tmp, self._snapshot_path(new_sid))  # atomic publish
+        return new_sid
+
+    # -- read path -----------------------------------------------------------
+    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame | None:
+        snap = self.snapshot(snapshot_id)
+        if snap is None or not snap.files:
+            return None
+        return spark.read.parquet(*snap.files)

@@ -1,0 +1,143 @@
+"""Unit tests for the pure per-document kernels (no Spark)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from ollama_ocr_spark.corpus import (
+    build_payload,
+    golden_text,
+    host_for,
+    n_pdf_pages,
+    pdf_page_texts,
+    url_for,
+)
+from ollama_ocr_spark.functions.htmltext import extract_html_main_text, parse_html_blocks
+from ollama_ocr_spark.functions.pdfmini import (
+    PdfError,
+    extract_pdf_pages,
+    pdf_page_count,
+    write_pdf,
+)
+from ollama_ocr_spark.functions.router import (
+    extract_document,
+    fold_pages,
+    keyword_route,
+    sniff_payload,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+# ---------------------------------------------------------------- html ----
+
+def test_html_boilerplate_stripped():
+    html = (
+        b"<html><head><title>t</title></head><body>"
+        b"<nav><a href='/a'>Home</a> <a href='/b'>About</a></nav>"
+        b"<article><p>real content here</p></article>"
+        b"<div><a href='/x'>link</a> <a href='/y'>farm</a></div>"
+        b"<footer>copyright</footer></body></html>"
+    )
+    assert extract_html_main_text(html) == "real content here"
+
+
+def test_html_whitespace_collapse_and_entities():
+    html = b"<p>a  \n  b &amp; c</p>"
+    assert extract_html_main_text(html) == "a b & c"
+
+
+def test_html_structure_flag():
+    assert parse_html_blocks(b"<article><p>x</p></article>").has_structure
+    assert not parse_html_blocks(b"<div><p>x</p></div>").has_structure
+    many = b"".join(b"<p>block %d</p>" % i for i in range(20))
+    assert parse_html_blocks(b"<div>" + many + b"</div>").has_structure
+
+
+def test_html_never_raises_on_garbage():
+    assert extract_html_main_text(b"<<<>>>\xff\xfe<p>ok</p>") is not None
+
+
+# ----------------------------------------------------------------- pdf ----
+
+@pytest.mark.parametrize("compress", [True, False])
+def test_pdf_roundtrip(compress):
+    pages = ["first page text", "second (with) parens \\ and backslash", ""]
+    data = write_pdf(pages, compress=compress)
+    assert extract_pdf_pages(data) == pages
+    assert pdf_page_count(data) == 3
+
+
+def test_pdf_errors_are_deterministic():
+    with pytest.raises(PdfError, match="not a pdf"):
+        extract_pdf_pages(b"nope")
+    with pytest.raises(PdfError, match="no objects"):
+        extract_pdf_pages(b"%PDF-1.4 garbage")
+
+
+# -------------------------------------------------------------- router ----
+
+def test_sniff():
+    assert sniff_payload(b"%PDF-1.4")[0] == "pdf"
+    assert sniff_payload(b"\xff\xd8\xffrest")[0] == "image"
+    assert sniff_payload(b"<!DOCTYPE html><html>")[0] == "html"
+    assert sniff_payload(None) == (None, "empty payload")
+    assert sniff_payload(b"")[1] == "empty payload"
+    assert sniff_payload(b"\x00junk")[1] == "unrecognized payload"
+
+
+def test_keyword_route_printed_wins():
+    # printed keywords are checked first (ocr_router.py:140-144)
+    assert keyword_route("https://h/receipt-notes-1.html") == "printed"
+    assert keyword_route("https://h/draft-2.html") == "handwriting"
+    assert keyword_route("https://h/article-3.html") is None
+
+
+def test_fold_pages_exact_bytes():
+    # Byte-exact separator contract (ocr_router.py:294,301)
+    assert fold_pages(["a", "b"]) == (
+        "--- Page 1 ---\n\na\n\n--- Page 2 ---\n\nb"
+    )
+    assert fold_pages(["only"]) == "--- Page 1 ---\n\nonly"
+
+
+def test_error_row_contract():
+    r = extract_document("https://h/x.html", None)
+    assert (r.engine, r.chars, r.pages, r.doc_type) == ("error", 0, 0, "error")
+    assert r.error == "empty payload"
+
+
+# ------------------------------------------------------- corpus golden ----
+
+def test_corpus_roundtrip_byte_identical_sf001():
+    """Every synthesized payload must extract back to the independent golden."""
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT doc_id, text, lang, source FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    assert len(docs) == 500
+    for doc_id, text, lang, source in docs:
+        payload = build_payload(doc_id, text, lang)
+        r = extract_document(url_for(doc_id, source), payload)
+        assert r.text == golden_text(doc_id, text), f"doc {doc_id}"
+
+
+def test_corpus_page_split_matches_sql_slices():
+    text = "w0 w1 w2 w3 w4 w5 w6"
+    assert pdf_page_texts(text, 3) == ["w0 w1", "w2 w3", "w4 w5 w6"]
+    assert pdf_page_texts(text, 1) == [text]
+
+
+def test_host_skew_shape():
+    hosts = [host_for(i) for i in range(1000)]
+    assert hosts.count("h0.example.com") == 500
+    assert hosts.count("h1.example.com") == 200
+    assert len(set(hosts)) > 10
+
+
+def test_archetype_urls():
+    assert url_for(7, "src0").endswith("playbook-7.pdf")
+    assert url_for(8, "src1").endswith("scan-8.jpg")
+    assert url_for(15, "src2").endswith("receipt-15.html")
+    assert n_pdf_pages(7) == 2
