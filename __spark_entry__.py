@@ -1,38 +1,680 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship extraction pipeline at sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 + the
+training-data-pipeline operators: dedup families, similarity search, text
+stats). Each callable takes ``(spark, sf_dir)`` and returns a DataFrame.
+``oracle_sql()`` — DuckDB-ANSI equivalents over the pre-registered views.
+
+The extraction queries run the REAL engine end-to-end: the pages corpus is a
+pure function of the ``documents`` table (ollama_ocr_spark.corpus), so the
+DuckDB oracle can state the expected *byte-identical* output in plain SQL —
+that is the north-rule correctness gate, driver-checked.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+_SHIPPED = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship the package zip to this session's Python workers exactly once."""
+    key = id(spark.sparkContext)
+    if key not in _SHIPPED:
+        from ollama_ocr_spark.session import _ship_package
+
+        _ship_package(spark)
+        _SHIPPED.add(key)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full engine path: synthesize pages → latest-capture dedup → extract,
+    with the recovered doc_id column for oracle joins."""
+    from ollama_ocr_spark.operators.extract import extract_stage, synthesize_stage
+    from ollama_ocr_spark.operators.maintenance import doc_id_expr, latest_capture
+
+    _ensure_shipped(spark)
+    pages = synthesize_stage(_docs(spark, sf_dir))
+    return extract_stage(latest_capture(pages)).withColumn(
+        "doc_id", doc_id_expr()
+    )
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship: the end-to-end extraction pipeline + summary report
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Extract the sf0.001 corpus and report per (lang, engine) volumes."""
+    results = _extracted(spark, "/root/testdata/sf0.001")
+    return results.groupBy("lang", "engine").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("chars").alias("total_chars"),
+        F.sum("pages").alias("total_pages"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_extract_text_roundtrip(spark, sf_dir):
+    """North rule: byte-identical extracted text per document (HTML paths)."""
+    return (
+        _extracted(spark, sf_dir)
+        .filter(F.col("doc_id") % 10 <= 6)
+        .select("doc_id", "text", "chars")
+    )
+
+
+def q_extract_pdf_fold(spark, sf_dir):
+    """PDF page explode/fold with byte-exact '--- Page N ---' separators."""
+    return (
+        _extracted(spark, sf_dir)
+        .filter(F.col("doc_id") % 10 == 7)
+        .select("doc_id", "text", "chars", "pages")
+    )
+
+
+def q_extract_route_counts(spark, sf_dir):
+    """Routing decision table: engine × doc_type counts over the corpus."""
+    return (
+        _extracted(spark, sf_dir)
+        .groupBy("engine", "doc_type")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def q_extract_error_rows(spark, sf_dir):
+    """Error-row contract: (engine='error', 0 chars, 0 pages) + image stubs."""
+    return (
+        _extracted(spark, sf_dir)
+        .filter(F.col("doc_id") % 10 >= 8)
+        .select("doc_id", "engine", "chars", "pages", "doc_type", "error")
+    )
+
+
+def q_host_skew_counts(spark, sf_dir):
+    """Per-host doc counts (salting-factor input, N6)."""
+    from ollama_ocr_spark.operators.extract import synthesize_stage
+    from ollama_ocr_spark.operators.maintenance import host_expr, latest_capture
+
+    _ensure_shipped(spark)
+    pages = latest_capture(synthesize_stage(_docs(spark, sf_dir)))
+    return pages.groupBy(host_expr().alias("host")).agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+def q_corpus_cardinality(spark, sf_dir):
+    """Exact cardinality sanity on urls/hosts (N8)."""
+    from ollama_ocr_spark.operators.extract import synthesize_stage
+    from ollama_ocr_spark.operators.maintenance import host_expr
+
+    _ensure_shipped(spark)
+    pages = synthesize_stage(_docs(spark, sf_dir)).withColumn("host", host_expr())
+    return pages.agg(
+        F.countDistinct("url").alias("n_urls"),
+        F.countDistinct("host").alias("n_hosts"),
+    )
+
+
+def q_latest_event_per_user(spark, sf_dir):
+    """Latest-capture dedup window (N3) on the events table."""
+    from ollama_ocr_spark.operators.maintenance import latest_capture
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            # parquet ts is TIMESTAMP_NTZ; session TZ is UTC so the cast
+            # gives the same epoch DuckDB's epoch_us computes
+            F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("ts_us"),
+            "event_type",
+            F.round("value", 4).alias("value_r"),
+        )
+    )
+
+
+def q_resume_anti_join(spark, sf_dir):
+    """Resume-from-snapshot anti-join (N2): drop already-done docs."""
+    from ollama_ocr_spark.operators.maintenance import resume_anti_join
+
+    docs = _docs(spark, sf_dir)
+    done = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    return resume_anti_join(docs, done, key="doc_id").select("doc_id", "n_chars")
+
+
+def q_top_docs_by_chars(spark, sf_dir):
+    """Top-k largest docs (N4), deterministic tie-break."""
+    from ollama_ocr_spark.operators.reports import top_k_largest
+
+    return top_k_largest(
+        _docs(spark, sf_dir).select("doc_id", "n_chars"),
+        "n_chars", k=20, tiebreak="doc_id",
+    )
+
+
+def q_report_cube(spark, sf_dir):
+    """Grouping-sets report (N9): metrics by (lang), (source), both, total."""
+    from ollama_ocr_spark.operators.reports import cube_report
+
+    return cube_report(_docs(spark, sf_dir), ["lang", "source"], "n_chars")
+
+
+def q_lang_summary(spark, sf_dir):
+    """Per-group batch summary (A4 analog)."""
+    from ollama_ocr_spark.operators.reports import summary_stats
+
+    return summary_stats(_docs(spark, sf_dir), "lang", "n_chars")
+
+
+def q_dedup_exact(spark, sf_dir):
+    from ollama_ocr_spark.operators.dedup import exact_dupes
+
+    return exact_dupes(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    from ollama_ocr_spark.operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(_docs(spark, sf_dir))
+
+
+def q_minhash_lsh_candidates(spark, sf_dir):
+    from ollama_ocr_spark.operators.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(_docs(spark, sf_dir))
+
+
+def q_simhash_buckets(spark, sf_dir):
+    """SimHash signatures (rows-only: xxhash64 is Spark-specific)."""
+    from ollama_ocr_spark.operators.dedup import simhash64
+
+    return simhash64(_docs(spark, sf_dir))
+
+
+def q_token_counts(spark, sf_dir):
+    from ollama_ocr_spark.operators.textstats import with_token_counts
+
+    return with_token_counts(_docs(spark, sf_dir)).select(
+        "doc_id", "n_ws_tokens", "n_re_tokens"
+    )
+
+
+def q_quality_scores(spark, sf_dir):
+    from ollama_ocr_spark.operators.textstats import with_quality_score
+
+    return with_quality_score(_docs(spark, sf_dir)).select(
+        "doc_id", "n_words", "mean_word_len", "stopword_ratio", "quality_ok"
+    )
+
+
+def q_langid_confusion(spark, sf_dir):
+    from ollama_ocr_spark.operators.textstats import with_langid
+
+    return (
+        with_langid(_docs(spark, sf_dir))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def q_fingerprints(spark, sf_dir):
+    from ollama_ocr_spark.operators.textstats import with_fingerprint
+
+    return with_fingerprint(_docs(spark, sf_dir)).select(
+        "doc_id", "fingerprint", "fp_bucket"
+    )
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    from ollama_ocr_spark.operators.similarity import cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    return cosine_topk(
+        emb.filter(F.col("vec_id") >= 10),
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+    ).withColumnRenamed("rank", "rnk")
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN (rows-only: hyperplanes derive from xxhash64)."""
+    from ollama_ocr_spark.operators.similarity import lsh_bucket_topk
+
+    emb = _emb(spark, sf_dir)
+    return lsh_bucket_topk(
+        emb.filter(F.col("vec_id") >= 10),
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+    ).withColumnRenamed("rank", "rnk")
+
+
+def q_tpch_shipping_revenue(spark, sf_dir):
+    """3-way join + agg (TPC-H Q3 shape); small dims broadcast."""
+    c = _tbl(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = _tbl(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    l = _tbl(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .agg(
+            # decimal math: float-sum ordering differs between engines and
+            # flips round() at .xx5 boundaries; decimal is associative-exact
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,4)")
+                    * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+def q_nation_revenue(spark, sf_dir):
+    """Join + rollup report: order volume per nation."""
+    o = _tbl(spark, sf_dir, "orders")
+    c = _tbl(spark, sf_dir, "customer")
+    n = _tbl(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def q_events_daily(spark, sf_dir):
+    """Event-time daily aggregate (batch twin of the streaming path)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("DAY", "ts"), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) via lag window."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("t"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t")
+    gaps = e.withColumn("pt", F.lag("t").over(w)).withColumn(
+        "new_s",
+        F.when(
+            F.col("pt").isNull() | (F.col("t") - F.col("pt") > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    return gaps.groupBy("user_id").agg(F.sum("new_s").alias("n_sessions"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "extract_text_roundtrip": q_extract_text_roundtrip,
+        "extract_pdf_fold": q_extract_pdf_fold,
+        "extract_route_counts": q_extract_route_counts,
+        "extract_error_rows": q_extract_error_rows,
+        "host_skew_counts": q_host_skew_counts,
+        "corpus_cardinality": q_corpus_cardinality,
+        "latest_event_per_user": q_latest_event_per_user,
+        "resume_anti_join": q_resume_anti_join,
+        "top_docs_by_chars": q_top_docs_by_chars,
+        "report_cube": q_report_cube,
+        "lang_summary": q_lang_summary,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_lsh_candidates": q_minhash_lsh_candidates,
+        "simhash_buckets": q_simhash_buckets,
+        "token_counts": q_token_counts,
+        "quality_scores": q_quality_scores,
+        "langid_confusion": q_langid_confusion,
+        "fingerprints": q_fingerprints,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "tpch_shipping_revenue": q_tpch_shipping_revenue,
+        "nation_revenue": q_nation_revenue,
+        "events_daily": q_events_daily,
+        "sessionize": q_sessionize,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect-compatible ANSI)
+# ---------------------------------------------------------------------------
+
+# Shared corpus-mapping fragments (mirror ollama_ocr_spark/corpus.py exactly).
+_HOST_CASE = (
+    "CASE WHEN doc_id % 100 < 50 THEN 'h0.example.com' "
+    "WHEN doc_id % 100 < 70 THEN 'h1.example.com' "
+    "WHEN doc_id % 100 < 85 THEN 'h2.example.com' "
+    "ELSE 'h' || (3 + doc_id % 13) || '.example.com' END"
+)
+_STEM_CASE = (
+    "CASE doc_id % 10 WHEN 4 THEN 'memo' WHEN 5 THEN 'receipt' "
+    "WHEN 6 THEN 'draft' WHEN 7 THEN 'playbook' WHEN 8 THEN 'scan' "
+    "WHEN 9 THEN 'page' ELSE 'article' END"
+)
+_EXT_CASE = (
+    "CASE doc_id % 10 WHEN 7 THEN '.pdf' WHEN 8 THEN '.jpg' ELSE '.html' END"
+)
+
+_SHINGLES_CTE = """
+w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+widx AS (
+  SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i
+  FROM w WHERE len(w) >= 5
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i : i + 4], ' ') AS shingle
+  FROM widx
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "extract_text_roundtrip": """
+            SELECT doc_id, text, n_chars AS chars
+            FROM documents WHERE doc_id % 10 <= 6
+        """,
+        "extract_pdf_fold": """
+            WITH pdf AS (
+              SELECT doc_id, string_split(text, ' ') AS w, 1 + doc_id % 3 AS p
+              FROM documents WHERE doc_id % 10 = 7
+            ),
+            pidx AS (
+              SELECT doc_id, p, w, unnest(range(1, p + 1)) AS n FROM pdf
+            ),
+            pages AS (
+              SELECT doc_id, n, p,
+                     array_to_string(
+                       w[(len(w) * (n - 1)) // p + 1 : (len(w) * n) // p],
+                       ' ') AS ptext
+              FROM pidx
+            ),
+            folded AS (
+              SELECT doc_id,
+                     string_agg(chr(10) || chr(10) || '--- Page ' || n ||
+                                ' ---' || chr(10) || chr(10) || ptext,
+                                '' ORDER BY n) AS raw,
+                     max(p) AS pages
+              FROM pages GROUP BY doc_id
+            )
+            SELECT doc_id, substr(raw, 3) AS text,
+                   length(substr(raw, 3))::BIGINT AS chars, pages::INT AS pages
+            FROM folded
+        """,
+        "extract_route_counts": """
+            SELECT
+              CASE WHEN doc_id % 10 IN (0,1,2,3,5,7) THEN 'printed'
+                   WHEN doc_id % 10 IN (4,6,8) THEN 'handwriting'
+                   ELSE 'error' END AS engine,
+              CASE WHEN doc_id % 10 = 7 THEN 'PDF'
+                   WHEN doc_id % 10 = 8 THEN 'Image'
+                   WHEN doc_id % 10 = 9 THEN 'error'
+                   ELSE 'HTML' END AS doc_type,
+              count(*) AS n_docs
+            FROM documents GROUP BY 1, 2
+        """,
+        "extract_error_rows": """
+            SELECT doc_id,
+              CASE WHEN doc_id % 10 = 8 THEN 'handwriting' ELSE 'error' END AS engine,
+              0::BIGINT AS chars,
+              (CASE WHEN doc_id % 10 = 8 THEN 1 ELSE 0 END)::INT AS pages,
+              CASE WHEN doc_id % 10 = 8 THEN 'Image' ELSE 'error' END AS doc_type,
+              CASE WHEN doc_id % 10 = 8 THEN NULL
+                   WHEN doc_id % 20 = 9 THEN 'empty payload'
+                   ELSE 'unrecognized payload' END AS error
+            FROM documents WHERE doc_id % 10 >= 8
+        """,
+        "host_skew_counts": f"""
+            SELECT {_HOST_CASE} AS host, count(*) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "corpus_cardinality": f"""
+            WITH pages AS (
+              SELECT 'https://' || {_HOST_CASE} || '/' || source || '/' ||
+                     {_STEM_CASE} || '-' || doc_id || {_EXT_CASE} AS url,
+                     {_HOST_CASE} AS host
+              FROM documents
+            )
+            SELECT count(DISTINCT url) AS n_urls,
+                   count(DISTINCT host) AS n_hosts
+            FROM pages
+        """,
+        "latest_event_per_user": """
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+                   round(value, 4) AS value_r
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events
+            ) WHERE rn = 1
+        """,
+        "resume_anti_join": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE doc_id NOT IN (
+              SELECT doc_id FROM documents WHERE doc_id % 7 = 0)
+        """,
+        "top_docs_by_chars": """
+            SELECT doc_id, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id ASC LIMIT 20
+        """,
+        "report_cube": """
+            SELECT lang, source, count(*) AS n_docs,
+                   sum(n_chars)::BIGINT AS sum_value,
+                   round(avg(n_chars), 4) AS avg_value
+            FROM documents GROUP BY CUBE (lang, source)
+        """,
+        "lang_summary": """
+            SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_value,
+                   round(avg(n_chars), 4) AS avg_value
+            FROM documents GROUP BY lang
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS fingerprint, min(doc_id) AS keeper,
+                   count(*) AS copies
+            FROM documents GROUP BY 1
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH {_SHINGLES_CTE},
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT a, b, inter,
+                   round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+        """,
+        "minhash_lsh_candidates": f"""
+            WITH {_SHINGLES_CTE},
+            sig AS (
+              SELECT doc_id, g.j AS j,
+                     min(md5(g.j || '|' || shingle)) AS m
+              FROM sh, generate_series(0, 7) AS g(j)
+              GROUP BY doc_id, g.j
+            ),
+            bands AS (
+              SELECT doc_id, j // 2 AS band,
+                     md5(string_agg(m, '' ORDER BY j)) AS bucket
+              FROM sig GROUP BY doc_id, j // 2
+            )
+            SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bucket = b.bucket
+              AND a.doc_id < b.doc_id
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   len(string_split(text, ' '))::INT AS n_ws_tokens,
+                   len(regexp_extract_all(lower(text), '[a-z0-9]+'))::INT
+                     AS n_re_tokens
+            FROM documents
+        """,
+        "quality_scores": """
+            WITH q AS (
+              SELECT doc_id,
+                     len(string_split(text, ' ')) AS n_words,
+                     round((length(text) - (len(string_split(text, ' ')) - 1))
+                           * 1.0 / len(string_split(text, ' ')), 4) AS mean_word_len,
+                     round(len(list_filter(string_split(text, ' '),
+                               w -> w IN ('the','a','of','to','and','in','is')))
+                           * 1.0 / len(string_split(text, ' ')), 4) AS stopword_ratio
+              FROM documents
+            )
+            SELECT doc_id, n_words::INT AS n_words, mean_word_len, stopword_ratio,
+                   (n_words >= 10 AND mean_word_len >= 2.0
+                    AND mean_word_len <= 12.0 AND stopword_ratio >= 0.01)
+                     AS quality_ok
+            FROM q
+        """,
+        "langid_confusion": """
+            SELECT lang,
+                   CASE WHEN len(list_filter(string_split(text, ' '),
+                             w -> w IN ('the','a','and','of'))) > 0
+                        THEN 'en' ELSE 'und' END AS pred_lang,
+                   count(*) AS n_docs
+            FROM documents GROUP BY 1, 2
+        """,
+        "fingerprints": """
+            SELECT doc_id, md5(text) AS fingerprint,
+                   substr(md5(text), 1, 4) AS fp_bucket
+            FROM documents
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 10),
+            c AS (SELECT vec_id AS neighbor_id, embedding AS cv
+                  FROM embeddings WHERE vec_id >= 10),
+            scored AS (
+              SELECT query_id, neighbor_id,
+                round(
+                  list_sum(list_transform(range(1, 1 + len(qv)),
+                           i -> qv[i]::DOUBLE * cv[i]::DOUBLE))
+                  / (sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE)))
+                     * sqrt(list_sum(list_transform(cv, x -> x::DOUBLE * x::DOUBLE)))),
+                  4) AS cosine
+              FROM q, c
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, cosine, rnk::INT AS rnk
+            FROM ranked WHERE rnk <= 5
+        """,
+        "tpch_shipping_revenue": """
+            SELECT l.l_orderkey AS orderkey,
+                   strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+                   CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                                  * CAST(1 - l.l_discount AS DECIMAL(18,4))), 2)
+                        AS DOUBLE) AS revenue
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+              AND l.l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2
+        """,
+        "nation_revenue": """
+            SELECT n.n_name AS nation,
+                   CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,4))), 2)
+                        AS DOUBLE) AS total_revenue,
+                   count(*) AS n_orders
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1
+        """,
+        "events_daily": """
+            SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "sessionize": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+            d AS (SELECT user_id, t,
+                         lag(t) OVER (PARTITION BY user_id ORDER BY t) AS pt
+                  FROM e),
+            s AS (SELECT user_id,
+                         CASE WHEN pt IS NULL OR t - pt > 1800000000
+                              THEN 1 ELSE 0 END AS new_s
+                  FROM d)
+            SELECT user_id, sum(new_s)::BIGINT AS n_sessions
+            FROM s GROUP BY 1
+        """,
+        # rows-only (hash-function-specific, no portable SQL):
+        #   simhash_buckets, ann_lsh_topk
+    }

@@ -1,0 +1,194 @@
+"""Deduplication family for web-scale training-data curation:
+
+- exact (hash group-by),
+- n-gram shingle Jaccard (all-pairs over an inverted shingle index),
+- MinHash + LSH banding (scale path: candidate pairs via band-bucket join),
+- SimHash (64-bit, Hamming-bucketed).
+
+Scale notes (the point of each design):
+
+- *exact*: one shuffle on the 128-bit digest, map-side partial agg; the
+  digest (not the text) shuffles, so 100 TB of text shuffles as ~3 GB of
+  keys per 10^9 docs.
+- *shingle Jaccard* is quadratic in the worst case — it is the CORRECTNESS
+  oracle for the LSH path, run on samples/buckets, never the full corpus.
+- *MinHash+LSH* is the scale path: cost is linear in (docs × shingles) for
+  signatures, then a shuffle on band keys whose buckets are tiny by
+  construction. Hash functions are md5-based so the DuckDB oracle can
+  reproduce signatures bit-for-bit (no library-specific hashing).
+- *SimHash*: signature is a cheap per-doc fold; near-dup candidates share a
+  16-bit prefix bucket (rotate for higher recall at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SHINGLE_K = 5  # words per shingle
+
+
+def exact_dupes(df: DataFrame, key: str = "doc_id",
+                col: str = "text") -> DataFrame:
+    """Group identical texts: (fingerprint, keeper, copies)."""
+    return (
+        df.withColumn("fingerprint", F.md5(F.col(col)))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(F.col(key)).alias("keeper"),
+            F.count("*").alias("copies"),
+        )
+    )
+
+
+def shingles(df: DataFrame, key: str = "doc_id", col: str = "text",
+             k: int = SHINGLE_K) -> DataFrame:
+    """(key, shingle) distinct pairs — the inverted-index build.
+
+    Expressed with native array lambdas (sequence/transform/slice) so the
+    whole shingling stage stays inside whole-stage codegen.
+    """
+    words = F.split(F.col(col), " ")
+    # Guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0] rather than an
+    # empty array, so short texts need an explicit empty-index branch.
+    idx = F.when(
+        F.size(words) >= k,
+        F.sequence(F.lit(1), F.size(words) - F.lit(k - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(words, i, k), " "))
+    return (
+        df.select(F.col(key), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(df: DataFrame, key: str = "doc_id", col: str = "text",
+                  k: int = SHINGLE_K, threshold: float = 0.0) -> DataFrame:
+    """All candidate pairs (a < b) sharing >=1 shingle, with exact Jaccard.
+
+    The shingle self-join is the textbook inverted-index plan: group by
+    shingle, pair docs within a posting list. Posting lists for common
+    shingles explode at scale — production runs cap/skip hot shingles; at
+    test scale lists are tiny.
+    """
+    sh = shingles(df, key, col, k)
+    sizes = sh.groupBy(key).agg(F.count("*").alias("n_shingles"))
+
+    a = sh.alias("sa")
+    b = sh.alias("sb")
+    inter = (
+        a.join(b, (F.col("sa.shingle") == F.col("sb.shingle"))
+               & (F.col(f"sa.{key}") < F.col(f"sb.{key}")))
+        .groupBy(F.col(f"sa.{key}").alias("a"), F.col(f"sb.{key}").alias("b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(key).alias("a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col(key).alias("b"), F.col("n_shingles").alias("nb"))
+    out = (
+        inter.join(sa, "a").join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("na") + F.col("nb") - F.col("inter")),
+                4,
+            ),
+        )
+        .select("a", "b", "inter", "jaccard")
+    )
+    if threshold > 0:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out
+
+
+def minhash_signatures(df: DataFrame, key: str = "doc_id", col: str = "text",
+                       k: int = SHINGLE_K, num_hashes: int = 8) -> DataFrame:
+    """MinHash signature per doc: sig[j] = min over shingles of
+    md5(j || '|' || shingle) — md5 keeps the oracle bit-identical.
+
+    Output: (key, sig array<string> of length num_hashes).
+    """
+    sh = shingles(df, key, col, k)
+    hashed = sh.select(
+        key,
+        *[
+            F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle"))).alias(f"h{j}")
+            for j in range(num_hashes)
+        ],
+    )
+    agg = hashed.groupBy(key).agg(
+        *[F.min(f"h{j}").alias(f"m{j}") for j in range(num_hashes)]
+    )
+    return agg.select(
+        key, F.array(*[F.col(f"m{j}") for j in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(df: DataFrame, key: str = "doc_id",
+                           col: str = "text", k: int = SHINGLE_K,
+                           num_hashes: int = 8, bands: int = 4) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding: docs sharing any band bucket.
+
+    Output: distinct (a, b) with a < b.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, key, col, k, num_hashes)
+    band_cols = []
+    for b in range(bands):
+        parts = [
+            F.col("sig")[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        ]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"),
+                     F.md5(F.concat(*parts)).alias("bucket"))
+        )
+    buckets = sigs.select(
+        key, F.explode(F.array(*band_cols)).alias("bb")
+    ).select(key, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = buckets.alias("ba")
+    b = buckets.alias("bb2")
+    return (
+        a.join(
+            b,
+            (F.col("ba.band") == F.col("bb2.band"))
+            & (F.col("ba.bucket") == F.col("bb2.bucket"))
+            & (F.col(f"ba.{key}") < F.col(f"bb2.{key}")),
+        )
+        .select(F.col(f"ba.{key}").alias("a"), F.col(f"bb2.{key}").alias("b"))
+        .distinct()
+    )
+
+
+def simhash64(df: DataFrame, key: str = "doc_id", col: str = "text") -> DataFrame:
+    """64-bit SimHash over word features (md5-derived bit vectors).
+
+    sig bit b = majority sign of sum over words of (+1 if bit b of
+    xxhash64(word) else -1). Uses Spark's xxhash64 (fast path); this one is
+    rows-only checked (no SQL oracle — hash function is Spark-specific).
+    Output: (key, simhash bigint, bucket int — top 16 bits for blocking).
+    """
+    words = F.array_distinct(F.split(F.col(col), " "))
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    bit_sums = [
+        F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(
+                h.bitwiseAND(F.shiftleft(F.lit(1).cast("bigint"), b)) != 0, 1
+            ).otherwise(-1),
+        ).alias(f"s{b}")
+        for b in range(64)
+    ]
+    with_bits = df.select(F.col(key), *bit_sums)
+    sig = None
+    for b in range(64):
+        term = F.when(
+            F.col(f"s{b}") > 0, F.shiftleft(F.lit(1).cast("bigint"), b)
+        ).otherwise(F.lit(0).cast("bigint"))
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return with_bits.select(
+        F.col(key),
+        sig.alias("simhash"),
+    ).withColumn("bucket", F.shiftrightunsigned(F.col("simhash"), 48).cast("int"))

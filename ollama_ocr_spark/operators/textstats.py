@@ -1,0 +1,85 @@
+"""Text-analysis operators for a training-data pipeline: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All expressions are native ``pyspark.sql.functions`` (JVM-side, whole-stage
+codegen) — no Python in the hot path. Each has an exact ANSI-SQL mirror in
+`__spark_entry__.oracle_sql` (DuckDB), which is why the formulas stick to
+portable primitives (split/regexp/md5/round).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword list; the synthetic corpus vocabulary contains
+# 'the' and 'a', so ratios are non-degenerate.
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is")
+
+TOKEN_RE = "[a-z0-9]+"
+
+
+def _words(col: str = "text"):
+    return F.split(F.col(col), " ")
+
+
+def with_token_counts(df: DataFrame, col: str = "text") -> DataFrame:
+    """Whitespace tokens + regex (BPE-ish pre-tokenizer) token counts."""
+    return df.withColumns(
+        {
+            "n_ws_tokens": F.size(_words(col)),
+            "n_re_tokens": F.size(
+                F.regexp_extract_all(F.lower(F.col(col)), F.lit(TOKEN_RE), 0)
+            ),
+        }
+    )
+
+
+def with_quality_score(df: DataFrame, col: str = "text") -> DataFrame:
+    """Deterministic quality features: length, word count, mean word length,
+    stopword ratio, and a composite score. (Gopher/C4-style filters use the
+    same feature family; thresholds here are illustrative and tunable.)"""
+    words = _words(col)
+    n_words = F.size(words)
+    stop_hits = F.size(
+        F.filter(words, lambda w: w.isin(*STOPWORDS))
+    )
+    mean_wl = F.round(
+        (F.length(F.col(col)) - (n_words - F.lit(1))) / n_words, 4
+    )
+    stop_ratio = F.round(stop_hits / n_words, 4)
+    return (
+        df.withColumn("n_chars_q", F.length(F.col(col)))
+        .withColumn("n_words", n_words)
+        .withColumn("mean_word_len", mean_wl)
+        .withColumn("stopword_ratio", stop_ratio)
+        .withColumn(
+            "quality_ok",
+            (n_words >= F.lit(10))
+            & (mean_wl >= F.lit(2.0))
+            & (mean_wl <= F.lit(12.0))
+            & (stop_ratio >= F.lit(0.01)),
+        )
+    )
+
+
+def with_langid(df: DataFrame, col: str = "text") -> DataFrame:
+    """N-gram-free stopword-hit language heuristic.
+
+    Real deployments plug fastText/CLD3 in here; the sandbox heuristic is a
+    deterministic marker-word vote that both Spark and the SQL oracle can
+    express identically.
+    """
+    words = _words(col)
+    en_hits = F.size(F.filter(words, lambda w: w.isin("the", "a", "and", "of")))
+    return df.withColumn(
+        "pred_lang",
+        F.when(en_hits > 0, F.lit("en")).otherwise(F.lit("und")),
+    )
+
+
+def with_fingerprint(df: DataFrame, col: str = "text") -> DataFrame:
+    """Stable 128-bit content fingerprint (md5) + 64-bit prefix bucket."""
+    return df.withColumn("fingerprint", F.md5(F.col(col))).withColumn(
+        "fp_bucket", F.substring(F.col("fingerprint"), 1, 4)
+    )
