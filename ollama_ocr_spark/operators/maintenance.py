@@ -51,6 +51,20 @@ def resume_anti_join(pages: DataFrame, done: DataFrame,
     return pages.join(done.select(key).distinct(), key, "left_anti")
 
 
+def balance_by_url(pages: DataFrame, num_partitions: int) -> DataFrame:
+    """One-shuffle balance + dedup enabler: hash-repartition on ``url``.
+
+    ``repartition(N, url)`` produces exactly the ``hashpartitioning(url)``
+    distribution the latest-capture window requires, so Catalyst inserts NO
+    second exchange for the dedup — the raw html payload crosses the wire
+    once, not twice. url-hash is also uniformly balanced regardless of host
+    skew (unlike host partitioning, which needs salting), and co-locates all
+    captures of a url. Use :func:`salt_by_host` only when host-locality is
+    required (e.g. per-host politeness or parser-cache reuse).
+    """
+    return pages.repartition(num_partitions, F.col("url"))
+
+
 def salt_by_host(pages: DataFrame, num_partitions: int,
                  salt_buckets: int = 8) -> DataFrame:
     """Explicit skew handling before the (CPU-heavy) extraction stage (N6/N7).

@@ -19,10 +19,10 @@ from pyspark.sql import functions as F
 
 from .operators.extract import extract_stage
 from .operators.maintenance import (
+    balance_by_url,
     latest_capture,
     partition_lineage,
     resume_anti_join,
-    salt_by_host,
 )
 from .sources.icetbl import IceTable
 
@@ -41,7 +41,6 @@ def run_extract(
     results_tbl: IceTable,
     metrics_tbl: IceTable,
     num_partitions: int | None = None,
-    salt_buckets: int = 8,
 ) -> RunStats:
     """Run (or resume) the extraction job over ``pages``.
 
@@ -53,13 +52,15 @@ def run_extract(
     t0 = time.monotonic()
     num_partitions = num_partitions or spark.sparkContext.defaultParallelism
 
-    deduped = latest_capture(pages)
+    # One shuffle total: url-hash repartition both balances the payload
+    # bytes per task AND satisfies the dedup window's required distribution
+    # (Catalyst inserts no second exchange — see operators.maintenance).
+    deduped = latest_capture(balance_by_url(pages, num_partitions))
 
     done = results_tbl.read(spark)
     todo = resume_anti_join(deduped, done) if done is not None else deduped
 
-    balanced = salt_by_host(todo, num_partitions, salt_buckets)
-    results = extract_stage(balanced)
+    results = extract_stage(todo)
 
     # One pass computes results + lineage: cache the (small, text-only)
     # extraction output, not the raw html.

@@ -43,9 +43,11 @@ def get_spark(app: str = "ollama_ocr_spark", master: str | None = None,
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # html payloads are ~1-50KB; 2048 rows/batch keeps Arrow batches in
-        # the tens-of-MB range so the Python worker never balloons
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # html payloads are ~1-50KB; 8192 rows/batch ≈ 20-50MB Arrow batches:
+        # few enough IPC roundtrips to keep workers pipelined, small enough
+        # that a Python worker never balloons (pair with size-targeted
+        # repartition for pathological payloads)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
     )

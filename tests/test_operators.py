@@ -1,0 +1,127 @@
+"""Unit tests for dedup / similarity / textstats operators + plan shape."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_exact_dupes_finds_copies(spark):
+    from ollama_ocr_spark.operators.dedup import exact_dupes
+
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], ["doc_id", "text"]
+    )
+    out = {r["keeper"]: r["copies"] for r in exact_dupes(df).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_shingles_short_text_guard(spark):
+    from ollama_ocr_spark.operators.dedup import shingles
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c d e f")], ["doc_id", "text"]
+    )
+    rows = shingles(df).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["shingle"])
+    assert 1 not in by_doc  # 3 words < k=5 → no shingles (not bogus ones)
+    assert sorted(by_doc[2]) == ["a b c d e", "b c d e f"]
+
+
+def test_jaccard_identical_docs(spark):
+    from ollama_ocr_spark.operators.dedup import jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5 w6"), (2, "w1 w2 w3 w4 w5 w6"), (3, "x " * 10)],
+        ["doc_id", "text"],
+    )
+    rows = jaccard_pairs(df).collect()
+    assert len(rows) == 1
+    assert (rows[0]["a"], rows[0]["b"], rows[0]["jaccard"]) == (1, 2, 1.0)
+
+
+def test_minhash_lsh_catches_exact_dupes(spark):
+    from ollama_ocr_spark.operators.dedup import minhash_lsh_candidates
+
+    text = " ".join(f"w{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, " ".join(f"z{i}" for i in range(30)))],
+        ["doc_id", "text"],
+    )
+    pairs = {(r["a"], r["b"]) for r in minhash_lsh_candidates(df).collect()}
+    assert (1, 2) in pairs
+    assert all(p == (1, 2) for p in pairs)
+
+
+def test_simhash_near_dupes_close(spark):
+    from ollama_ocr_spark.operators.dedup import simhash64
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = base + " extra"
+    far = " ".join(f"other{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], ["doc_id", "text"]
+    )
+    sig = {r["doc_id"]: r["simhash"] for r in simhash64(df).collect()}
+    d12 = bin(sig[1] ^ sig[2]).count("1")
+    d13 = bin(sig[1] ^ sig[3]).count("1")
+    assert d12 < d13
+    assert d12 <= 12
+
+
+def test_cosine_topk_exact(spark):
+    from ollama_ocr_spark.operators.similarity import cosine_topk
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (10, [1.0, 0.0, 0.0]),   # identical → cos 1.0
+        (11, [0.9, 0.1, 0.0]),
+        (12, [0.0, 1.0, 0.0]),   # orthogonal
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    out = cosine_topk(
+        df.filter("vec_id >= 10"), df.filter("vec_id < 10"), k=2
+    ).collect()
+    ranked = sorted(out, key=lambda r: r["rank"])
+    assert ranked[0]["neighbor_id"] == 10 and ranked[0]["cosine"] == 1.0
+    assert ranked[1]["neighbor_id"] == 11
+    assert math.isclose(ranked[1]["cosine"], 0.9939, abs_tol=1e-4)
+
+
+def test_quality_and_langid(spark):
+    from ollama_ocr_spark.operators.textstats import (
+        with_langid,
+        with_quality_score,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog and runs away"),
+         (2, "zzz")],
+        ["doc_id", "text"],
+    )
+    q = {r["doc_id"]: r for r in with_quality_score(df).collect()}
+    assert q[1]["quality_ok"] is True
+    assert q[2]["quality_ok"] is False
+    langs = {r["doc_id"]: r["pred_lang"] for r in with_langid(df).collect()}
+    assert langs == {1: "en", 2: "und"}
+
+
+def test_single_shuffle_extract_plan(spark, documents_smoke):
+    """Plan shape: balance_by_url + latest_capture + extract = ONE exchange,
+    and the parquet scan is pruned to the 4 kernel columns."""
+    from ollama_ocr_spark.operators.extract import extract_stage
+    from ollama_ocr_spark.operators.maintenance import balance_by_url, latest_capture
+
+    pages = synthesized = None
+    from ollama_ocr_spark.operators.extract import synthesize_stage
+
+    pages = synthesize_stage(documents_smoke)
+    plan = (
+        extract_stage(latest_capture(balance_by_url(pages, 8)))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "WindowGroupLimit" in plan
