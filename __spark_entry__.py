@@ -123,6 +123,77 @@ def q_extract_error_rows(spark, sf_dir):
     )
 
 
+def _latest_pages(spark, sf_dir):
+    from ollama_ocr_spark.operators.extract import synthesize_stage
+    from ollama_ocr_spark.operators.maintenance import latest_capture
+
+    _ensure_shipped(spark)
+    return latest_capture(synthesize_stage(_docs(spark, sf_dir)))
+
+
+def q_structured_receipts(spark, sf_dir):
+    """T8 structured mode: schema.org JSON-LD receipt field extraction."""
+    from ollama_ocr_spark.operators.maintenance import doc_id_expr
+    from ollama_ocr_spark.operators.modes import structured_stage
+
+    return (
+        structured_stage(_latest_pages(spark, sf_dir))
+        .filter(F.col("error").isNull())
+        .withColumn("doc_id", doc_id_expr())
+        .select("doc_id", "store_name", "date", "total_cents", "n_items")
+    )
+
+
+def q_analyze_metadata(spark, sf_dir):
+    """T9 analyze mode: title/h1/structure metadata per HTML document."""
+    from ollama_ocr_spark.operators.maintenance import doc_id_expr
+    from ollama_ocr_spark.operators.modes import analyze_stage
+
+    return (
+        analyze_stage(_latest_pages(spark, sf_dir))
+        .withColumn("doc_id", doc_id_expr())
+        .filter(F.col("doc_id") % 10 <= 6)
+        .select("doc_id", "title", "h1", "has_structure", "doc_class")
+    )
+
+
+def q_multi_step(spark, sf_dir):
+    """T10 multi-step: one parse pass → text + metadata + structured."""
+    from ollama_ocr_spark.operators.maintenance import doc_id_expr
+    from ollama_ocr_spark.operators.modes import multi_step_stage
+
+    return (
+        multi_step_stage(_latest_pages(spark, sf_dir))
+        .withColumn("doc_id", doc_id_expr())
+        .filter(F.col("doc_id") % 10 <= 6)
+        .select("doc_id", "text", "chars", "title", "has_receipt",
+                "total_cents")
+    )
+
+
+def q_image_metadata(spark, sf_dir):
+    """Multimodal columns: real header-level image metadata (format+dims)."""
+    from ollama_ocr_spark.operators.maintenance import doc_id_expr
+    from ollama_ocr_spark.operators.media import image_metadata_stage
+
+    return (
+        image_metadata_stage(_latest_pages(spark, sf_dir))
+        .filter(F.col("format").isNotNull())
+        .withColumn("doc_id", doc_id_expr())
+        .select("doc_id", "format", "width", "height")
+    )
+
+
+def q_image_features(spark, sf_dir):
+    """Feature-extraction plumbing (deterministic fake kernel; rows-only)."""
+    from ollama_ocr_spark.operators.media import image_features_stage
+
+    pages = _latest_pages(spark, sf_dir)
+    return image_features_stage(
+        pages.filter(F.col("url").endswith(".jpg"))
+    )
+
+
 def q_host_skew_counts(spark, sf_dir):
     """Per-host doc counts (salting-factor input, N6)."""
     from ollama_ocr_spark.operators.extract import synthesize_stage
@@ -379,6 +450,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pdf_fold": q_extract_pdf_fold,
         "extract_route_counts": q_extract_route_counts,
         "extract_error_rows": q_extract_error_rows,
+        "structured_receipts": q_structured_receipts,
+        "analyze_metadata": q_analyze_metadata,
+        "multi_step": q_multi_step,
+        "image_metadata": q_image_metadata,
+        "image_features": q_image_features,
         "host_skew_counts": q_host_skew_counts,
         "corpus_cardinality": q_corpus_cardinality,
         "latest_event_per_user": q_latest_event_per_user,
@@ -492,6 +568,43 @@ def oracle_sql() -> dict[str, str]:
                    ELSE 'unrecognized payload' END AS error
             FROM documents WHERE doc_id % 10 >= 8
         """,
+        "structured_receipts": """
+            SELECT doc_id,
+                   'Store ' || (doc_id % 7) AS store_name,
+                   '2024-01-' || lpad((1 + doc_id % 28)::VARCHAR, 2, '0') AS date,
+                   ((doc_id % 1000) * 13 + 99)::BIGINT AS total_cents,
+                   (1 + doc_id % 4)::INT AS n_items
+            FROM documents WHERE doc_id % 10 = 5
+        """,
+        "analyze_metadata": """
+            SELECT doc_id,
+                   (CASE doc_id % 10 WHEN 4 THEN 'memo' WHEN 5 THEN 'receipt'
+                        WHEN 6 THEN 'draft' ELSE 'article' END)
+                     || ' ' || doc_id AS title,
+                   'Example Site ' || (doc_id % 7) AS h1,
+                   doc_id % 10 <> 4 AS has_structure,
+                   CASE WHEN doc_id % 10 = 4 THEN 'plain'
+                        ELSE 'structured' END AS doc_class
+            FROM documents WHERE doc_id % 10 <= 6
+        """,
+        "multi_step": """
+            SELECT doc_id, text, n_chars AS chars,
+                   (CASE doc_id % 10 WHEN 4 THEN 'memo' WHEN 5 THEN 'receipt'
+                        WHEN 6 THEN 'draft' ELSE 'article' END)
+                     || ' ' || doc_id AS title,
+                   doc_id % 10 = 5 AS has_receipt,
+                   CASE WHEN doc_id % 10 = 5
+                        THEN ((doc_id % 1000) * 13 + 99)::BIGINT END AS total_cents
+            FROM documents WHERE doc_id % 10 <= 6
+        """,
+        "image_metadata": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 20 = 8 THEN 'jpeg' ELSE 'png' END AS format,
+                   (100 + doc_id % 400)::INT AS width,
+                   (80 + doc_id % 300)::INT AS height
+            FROM documents WHERE doc_id % 10 = 8
+        """,
+        # image_features: rows-only (deterministic fake embedding kernel)
         "host_skew_counts": f"""
             SELECT {_HOST_CASE} AS host, count(*) AS n_docs
             FROM documents GROUP BY 1

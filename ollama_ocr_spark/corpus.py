@@ -35,6 +35,7 @@ actually exercised.
 from __future__ import annotations
 
 import html as _html
+import json
 from datetime import datetime, timedelta, timezone
 
 from .functions.pdfmini import write_pdf
@@ -50,7 +51,32 @@ STEMS = {
 EXTS = {7: ".pdf", 8: ".jpg"}
 
 _JUNK = b"\x00\x01\x02corrupted-capture\x03\x04" * 4
-_JPEG_BLOB = b"\xff\xd8\xff\xe0" + b"\x00" * 64 + b"synthetic-scan" + b"\xff\xd9"
+
+
+def image_dims(doc_id: int) -> tuple[int, int]:
+    """(width, height) of the synthetic scan — pure fn of doc_id."""
+    return 100 + doc_id % 400, 80 + doc_id % 300
+
+
+def build_image(doc_id: int) -> bytes:
+    """Minimal-but-real image headers: JPEG with an SOF0 frame header for
+    even-k20 docs, PNG with an IHDR chunk otherwise — so the media pipeline
+    can extract true dimensions without any decoder library."""
+    w, h = image_dims(doc_id)
+    if doc_id % 20 == 8:
+        # SOI + SOF0(len=17, precision=8, height, width, 3 components)
+        sof = (
+            b"\xff\xc0\x00\x11\x08"
+            + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+            + b"\x03\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+        )
+        return b"\xff\xd8" + sof + b"synthetic-scan" + b"\xff\xd9"
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + b"\x08\x02\x00\x00\x00"
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + len(ihdr).to_bytes(4, "big") + b"IHDR" + ihdr
+        + b"\x00" * 4  # crc placeholder (parser does not verify)
+    )
 
 
 def host_for(doc_id: int) -> str:
@@ -86,6 +112,18 @@ def pdf_page_texts(text: str, n_pages: int) -> list[str]:
     ]
 
 
+def receipt_fields(doc_id: int) -> dict:
+    """Structured receipt fields (reference T8 / `ollama_cloud_ocr.py:403`
+    schema family) as a pure function of doc_id — mirrored in the SQL
+    oracle. Money is carried in integer cents (no float drift)."""
+    return {
+        "store_name": f"Store {doc_id % 7}",
+        "date": f"2024-01-{1 + doc_id % 28:02d}",
+        "total_cents": (doc_id % 1000) * 13 + 99,
+        "n_items": 1 + doc_id % 4,
+    }
+
+
 def build_html(doc_id: int, text: str, lang: str) -> bytes:
     """HTML page with boilerplate chrome around the exact document text."""
     k = doc_id % 10
@@ -119,10 +157,22 @@ def build_html(doc_id: int, text: str, lang: str) -> bytes:
             f"<body>{header}{body}{footer}</body></html>"
         )
     else:
+        # Receipt pages carry schema.org-style JSON-LD structured data —
+        # inside <script>, which the text extractor DROPS, so the byte-exact
+        # text round-trip is untouched while the structured-extraction mode
+        # (T8) has real microdata to parse.
+        ldjson = (
+            '<script type="application/ld+json">'
+            + json.dumps({"@type": "Receipt", **receipt_fields(doc_id)},
+                         separators=(",", ":"))
+            + "</script>"
+            if k == 5
+            else ""
+        )
         body = f"<article><p>{esc}</p></article>"
         page = (
             f'<!DOCTYPE html><html lang="{lang}"><head><meta charset="utf-8">'
-            f"<title>{STEMS[k]} {doc_id}</title></head>"
+            f"<title>{STEMS[k]} {doc_id}</title>{ldjson}</head>"
             f"<body>{header}{aside}{body}{linkfarm}{footer}</body></html>"
         )
     return page.encode("utf-8")
@@ -134,7 +184,7 @@ def build_payload(doc_id: int, text: str, lang: str) -> bytes | None:
         return write_pdf(pdf_page_texts(text, n_pdf_pages(doc_id)),
                          compress=doc_id % 2 == 0)
     if k == 8:
-        return _JPEG_BLOB
+        return build_image(doc_id)
     if k == 9:
         return None if doc_id % 20 == 9 else _JUNK
     return build_html(doc_id, text, lang)

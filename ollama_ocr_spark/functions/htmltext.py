@@ -66,6 +66,13 @@ class HtmlExtraction:
     text: str
     has_structure: bool
     n_blocks: int
+    # metadata captured in the SAME parse pass (the reference's
+    # "encode once, run N analysis steps" optimization —
+    # `ollama_cloud_ocr.py:541-599`): never re-parse per mode.
+    title: str = ""
+    h1: str = ""
+    n_links: int = 0
+    ldjson: tuple[str, ...] = ()
 
 
 class _BlockParser(HTMLParser):
@@ -81,6 +88,14 @@ class _BlockParser(HTMLParser):
         self._link_depth = 0
         self.structure_hits = 0
         self.block_count = 0
+        # metadata side-channels (captured even inside dropped subtrees)
+        self.title_parts: list[str] = []
+        self.h1_parts: list[str] = []
+        self.ldjson: list[str] = []
+        self.n_links = 0
+        self._in_title = False
+        self._in_h1 = False
+        self._in_ldjson = False
 
     # -- block lifecycle -------------------------------------------------
     def _flush(self) -> None:
@@ -93,6 +108,14 @@ class _BlockParser(HTMLParser):
 
     # -- HTMLParser hooks -------------------------------------------------
     def handle_starttag(self, tag: str, attrs) -> None:  # noqa: ANN001
+        if tag == "a":
+            self.n_links += 1
+        if tag == "title":
+            self._in_title = True
+        elif tag == "h1" and not self.h1_parts:
+            self._in_h1 = True
+        elif tag == "script" and ("type", "application/ld+json") in attrs:
+            self._in_ldjson = True
         if tag in DROP_TAGS:
             self._drop_depth += 1
             return
@@ -115,6 +138,12 @@ class _BlockParser(HTMLParser):
             self._flush()
 
     def handle_endtag(self, tag: str) -> None:
+        if tag == "title":
+            self._in_title = False
+        elif tag == "h1":
+            self._in_h1 = False
+        elif tag == "script":
+            self._in_ldjson = False
         if tag in DROP_TAGS:
             if self._drop_depth:
                 self._drop_depth -= 1
@@ -127,6 +156,12 @@ class _BlockParser(HTMLParser):
             self._flush()
 
     def handle_data(self, data: str) -> None:
+        if self._in_title:
+            self.title_parts.append(data)
+        if self._in_h1:
+            self.h1_parts.append(data)
+        if self._in_ldjson:
+            self.ldjson.append(data)
         if self._drop_depth or not data:
             return
         self._parts.append(data)
@@ -179,8 +214,15 @@ def parse_html_blocks(data: bytes) -> HtmlExtraction:
         parser.structure_hits > 0
         or parser.block_count > STRUCTURE_BLOCK_THRESHOLD
     )
-    return HtmlExtraction(text=joined, has_structure=has_structure,
-                          n_blocks=parser.block_count)
+    return HtmlExtraction(
+        text=joined,
+        has_structure=has_structure,
+        n_blocks=parser.block_count,
+        title=_collapse_ws("".join(parser.title_parts)),
+        h1=_collapse_ws("".join(parser.h1_parts)),
+        n_links=parser.n_links,
+        ldjson=tuple(parser.ldjson),
+    )
 
 
 def extract_html_main_text(data: bytes) -> str:

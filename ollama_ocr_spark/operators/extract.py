@@ -19,6 +19,7 @@ Stages:
 
 from __future__ import annotations
 
+import time
 from collections.abc import Iterator
 
 import pyarrow as pa
@@ -30,7 +31,7 @@ from ..functions.router import extract_document
 EXTRACT_SCHEMA = (
     "url string, warc_ts timestamp, lang string, bytes_in bigint, "
     "engine string, text string, chars bigint, pages int, "
-    "doc_type string, error string"
+    "doc_type string, error string, parse_us bigint"
 )
 
 PAGES_SCHEMA = (
@@ -61,6 +62,7 @@ _EXTRACT_PA_SCHEMA = pa.schema(
         ("pages", pa.int32()),
         ("doc_type", pa.string()),
         ("error", pa.string()),
+        ("parse_us", pa.int64()),
     ]
 )
 
@@ -74,10 +76,12 @@ def _extract_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBat
 
         out: dict[str, list] = {k: [] for k in (
             "url", "warc_ts", "lang", "bytes_in", "engine", "text",
-            "chars", "pages", "doc_type", "error",
+            "chars", "pages", "doc_type", "error", "parse_us",
         )}
         for url, t, payload, lang in zip(urls, ts, payloads, langs):
+            t0 = time.perf_counter_ns()
             r = extract_document(url, payload)
+            out["parse_us"].append((time.perf_counter_ns() - t0) // 1000)
             out["url"].append(url)
             out["warc_ts"].append(t)
             out["lang"].append(lang)

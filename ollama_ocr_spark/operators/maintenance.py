@@ -97,6 +97,10 @@ def partition_lineage(results: DataFrame) -> DataFrame:
     return with_pid.groupBy("partition_id").agg(
         F.count("*").alias("doc_count"),
         F.sum("bytes_in").alias("bytes_in"),
+        F.struct(
+            (F.sum("parse_us") / 1e6).alias("parse"),
+            (F.sum("parse_us") / 1e6).alias("total"),
+        ).alias("stage_secs"),
         F.sha2(
             F.concat_ws(
                 "",
