@@ -358,6 +358,28 @@ def q_ann_lsh_topk(spark, sf_dir):
     ).withColumnRenamed("rank", "rnk")
 
 
+def q_golden_compare(spark, sf_dir):
+    """N1: byte-identity verdict per doc — extraction joined to goldens."""
+    from ollama_ocr_spark.operators.maintenance import golden_compare
+
+    results = (
+        _extracted(spark, sf_dir)
+        .filter(F.col("doc_id") % 10 <= 6)
+        .select("doc_id", "text")
+    )
+    golden = _docs(spark, sf_dir).filter(F.col("doc_id") % 10 <= 6).select(
+        "doc_id", "text"
+    )
+    return golden_compare(results, golden, key="doc_id")
+
+
+def q_embedding_near_dupes(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs."""
+    from ollama_ocr_spark.operators.dedup import embedding_near_dupes
+
+    return embedding_near_dupes(_emb(spark, sf_dir), threshold=0.45)
+
+
 def q_tpch_shipping_revenue(spark, sf_dir):
     """3-way join + agg (TPC-H Q3 shape); small dims broadcast."""
     c = _tbl(spark, sf_dir, "customer").filter(
@@ -472,6 +494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "golden_compare": q_golden_compare,
+        "embedding_near_dupes": q_embedding_near_dupes,
         "tpch_shipping_revenue": q_tpch_shipping_revenue,
         "nation_revenue": q_nation_revenue,
         "events_daily": q_events_daily,
@@ -746,6 +770,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, cosine, rnk::INT AS rnk
             FROM ranked WHERE rnk <= 5
+        """,
+        "golden_compare": """
+            SELECT doc_id, true AS matched
+            FROM documents WHERE doc_id % 10 <= 6
+        """,
+        "embedding_near_dupes": """
+            WITH e AS (SELECT vec_id, embedding AS v FROM embeddings)
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(
+                     list_sum(list_transform(range(1, 1 + len(a.v)),
+                              i -> a.v[i]::DOUBLE * b.v[i]::DOUBLE))
+                     / (sqrt(list_sum(list_transform(a.v, x -> x::DOUBLE * x::DOUBLE)))
+                        * sqrt(list_sum(list_transform(b.v, x -> x::DOUBLE * x::DOUBLE)))),
+                     4) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(
+                     list_sum(list_transform(range(1, 1 + len(a.v)),
+                              i -> a.v[i]::DOUBLE * b.v[i]::DOUBLE))
+                     / (sqrt(list_sum(list_transform(a.v, x -> x::DOUBLE * x::DOUBLE)))
+                        * sqrt(list_sum(list_transform(b.v, x -> x::DOUBLE * x::DOUBLE)))),
+                     4) >= 0.45
         """,
         "tpch_shipping_revenue": """
             SELECT l.l_orderkey AS orderkey,

@@ -160,6 +160,34 @@ def minhash_lsh_candidates(df: DataFrame, key: str = "doc_id",
     )
 
 
+def embedding_near_dupes(df: DataFrame, key: str = "vec_id",
+                         vec: str = "embedding",
+                         threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
+
+    Test-scale exact form is the full self-join; the scale path reuses the
+    LSH bucketing from operators.similarity (bucket first, compare within
+    buckets). Double math + round(4) for oracle parity.
+    """
+    from .similarity import _dot, _norm  # shared exact kernels
+
+    a = df.select(F.col(key).alias("a"), F.col(vec).alias("va"))
+    b = df.select(F.col(key).alias("b"), F.col(vec).alias("vb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                4,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
+
+
 def simhash64(df: DataFrame, key: str = "doc_id", col: str = "text") -> DataFrame:
     """64-bit SimHash over word features (md5-derived bit vectors).
 

@@ -84,6 +84,35 @@ def salt_by_host(pages: DataFrame, num_partitions: int,
     )
 
 
+def golden_compare(results: DataFrame, golden: DataFrame,
+                   key: str = "url", text_col: str = "text") -> DataFrame:
+    """Byte-identity gate as a DataFrame op (N1): join extraction results to
+    the golden table and return per-doc match verdicts.
+
+    The golden side is broadcast (goldens are test-scale by definition);
+    comparison is sha256-based so only 32-byte digests ever leave the scan.
+    """
+    left = results.select(
+        F.col(key),
+        F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256).alias("__got"),
+    )
+    right = golden.select(
+        F.col(key),
+        F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256).alias("__want"),
+    )
+    return (
+        left.join(F.broadcast(right), key, "full_outer")
+        .select(
+            key,
+            (
+                F.col("__got").isNotNull()
+                & F.col("__want").isNotNull()
+                & (F.col("__got") == F.col("__want"))
+            ).alias("matched"),
+        )
+    )
+
+
 def partition_lineage(results: DataFrame) -> DataFrame:
     """Per-partition lineage rows (north_rule):
     ``(partition_id, doc_count, bytes_in, checksum)``.

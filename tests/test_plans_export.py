@@ -1,0 +1,80 @@
+"""Physical-plan audits + reference-format export sink."""
+
+from __future__ import annotations
+
+import csv
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ollama_ocr_spark.operators.extract import extract_stage, synthesize_stage
+from ollama_ocr_spark.operators.maintenance import balance_by_url, latest_capture
+from ollama_ocr_spark.plans import audit_plan, plan_report
+from ollama_ocr_spark.sources.export import export_reference_outputs
+
+
+def test_extract_pipeline_plan_invariants(spark, documents_smoke):
+    pages = synthesize_stage(documents_smoke)
+    df = extract_stage(latest_capture(balance_by_url(pages, 8)))
+    report = audit_plan(df, max_exchanges=1)
+    assert "WindowGroupLimit" in report.raw
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    q = docs.filter(F.col("lang") == "en").select("doc_id", "n_chars")
+    report = audit_plan(
+        q, require_pushed_filter="lang", max_scan_columns=3
+    )
+    assert report.has_wholestage_codegen
+
+
+def test_small_dim_join_broadcasts(spark):
+    orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    customer = spark.read.parquet("/root/testdata/sf0.01/customer.parquet")
+    joined = orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    ).groupBy("c_mktsegment").count()
+    audit_plan(joined, require_broadcast=True)
+
+
+def test_resume_anti_join_broadcasts_small_done_set(spark, documents_smoke):
+    from ollama_ocr_spark.operators.maintenance import resume_anti_join
+
+    done = documents_smoke.filter("doc_id % 7 = 0").select("doc_id")
+    out = resume_anti_join(documents_smoke, done, key="doc_id")
+    report = plan_report(out)
+    assert report.n_broadcasts >= 1  # AQE/Catalyst picks broadcast anti-join
+
+
+def test_export_reference_outputs(spark, documents_smoke, tmp_path):
+    results = extract_stage(
+        latest_capture(synthesize_stage(documents_smoke.filter("doc_id < 40")))
+    )
+    out_dir = str(tmp_path / "export")
+    csv_path = export_reference_outputs(results, out_dir)
+
+    with open(csv_path, newline="", encoding="utf-8") as fh:
+        rows = list(csv.reader(fh))
+    assert rows[0] == ["file", "engine", "chars", "pages", "type"]
+    assert len(rows) == 41  # header + one row per doc
+
+    # text files exist for non-error docs, named OCR_{stem}.txt
+    assert os.path.exists(os.path.join(out_dir, "OCR_article-0.txt"))
+    with open(os.path.join(out_dir, "OCR_playbook-7.txt"),
+              encoding="utf-8") as fh:
+        assert "--- Page 1 ---" in fh.read()
+    # error docs get CSV error rows but no text file
+    err_rows = [r for r in rows[1:] if r[1] == "error"]
+    assert err_rows and all(r[2:] == ["0", "0", "error"] for r in err_rows)
+    assert not os.path.exists(os.path.join(out_dir, "OCR_page-9.txt"))
+
+
+def test_export_refuses_bulk(spark, documents_smoke, tmp_path, monkeypatch):
+    import ollama_ocr_spark.sources.export as ex
+
+    monkeypatch.setattr(ex, "MAX_EXPORT_ROWS", 10)
+    results = extract_stage(synthesize_stage(documents_smoke))
+    with pytest.raises(ValueError, match="golden/fixture sink"):
+        ex.export_reference_outputs(results, str(tmp_path / "x"))
