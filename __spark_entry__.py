@@ -194,6 +194,14 @@ def q_image_features(spark, sf_dir):
     )
 
 
+def q_template_mining(spark, sf_dir):
+    """Per-host template blocks via applyInPandas (rows-only: cross-doc
+    set logic, not expressible as portable SQL over the views)."""
+    from ollama_ocr_spark.operators.templates import mine_templates
+
+    return mine_templates(_latest_pages(spark, sf_dir), min_support=0.5)
+
+
 def q_host_skew_counts(spark, sf_dir):
     """Per-host doc counts (salting-factor input, N6)."""
     from ollama_ocr_spark.operators.extract import synthesize_stage
@@ -477,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_step": q_multi_step,
         "image_metadata": q_image_metadata,
         "image_features": q_image_features,
+        "template_mining": q_template_mining,
         "host_skew_counts": q_host_skew_counts,
         "corpus_cardinality": q_corpus_cardinality,
         "latest_event_per_user": q_latest_event_per_user,

@@ -73,13 +73,18 @@ class HtmlExtraction:
     h1: str = ""
     n_links: int = 0
     ldjson: tuple[str, ...] = ()
+    # populated only when parse_html_blocks(collect_blocks=True): every
+    # block's collapsed text BEFORE the keep/drop classification — the
+    # input to cross-document template mining.
+    all_blocks: tuple[str, ...] = ()
 
 
 class _BlockParser(HTMLParser):
     """Single-pass block builder. Not thread-safe; one instance per document."""
 
-    def __init__(self) -> None:
+    def __init__(self, drop_tags: frozenset[str] = DROP_TAGS) -> None:
         super().__init__(convert_charrefs=True)
+        self.drop_tags = drop_tags
         self.blocks: list[tuple[str, int, int]] = []  # (raw_text, chars, link_chars)
         self._parts: list[str] = []
         self._chars = 0
@@ -116,7 +121,7 @@ class _BlockParser(HTMLParser):
             self._in_h1 = True
         elif tag == "script" and ("type", "application/ld+json") in attrs:
             self._in_ldjson = True
-        if tag in DROP_TAGS:
+        if tag in self.drop_tags:
             self._drop_depth += 1
             return
         if self._drop_depth:
@@ -144,7 +149,7 @@ class _BlockParser(HTMLParser):
             self._in_h1 = False
         elif tag == "script":
             self._in_ldjson = False
-        if tag in DROP_TAGS:
+        if tag in self.drop_tags:
             if self._drop_depth:
                 self._drop_depth -= 1
             return
@@ -190,9 +195,18 @@ def decode_payload(data: bytes) -> str:
     return data.decode("utf-8", errors="replace")
 
 
-def parse_html_blocks(data: bytes) -> HtmlExtraction:
-    """Full extraction pass: returns main text + structure flags."""
-    parser = _BlockParser()
+def parse_html_blocks(
+    data: bytes,
+    drop_tags: frozenset[str] = DROP_TAGS,
+    collect_blocks: bool = False,
+) -> HtmlExtraction:
+    """Full extraction pass: returns main text + structure flags.
+
+    ``drop_tags`` narrows/widens the dropped-subtree set (template mining
+    passes a minimal set so chrome blocks stay visible); ``collect_blocks``
+    additionally returns every collapsed block pre-classification.
+    """
+    parser = _BlockParser(drop_tags=drop_tags)
     try:
         parser.feed(decode_payload(data))
         parser.close()
@@ -210,11 +224,17 @@ def parse_html_blocks(data: bytes) -> HtmlExtraction:
         if density <= LINK_DENSITY_MAX:
             kept.append(text)
     joined = "\n\n".join(kept).strip()
+    all_blocks: tuple[str, ...] = ()
+    if collect_blocks:
+        all_blocks = tuple(
+            t for raw, _c, _l in parser.blocks if (t := _collapse_ws(raw))
+        )
     has_structure = (
         parser.structure_hits > 0
         or parser.block_count > STRUCTURE_BLOCK_THRESHOLD
     )
     return HtmlExtraction(
+        all_blocks=all_blocks,
         text=joined,
         has_structure=has_structure,
         n_blocks=parser.block_count,

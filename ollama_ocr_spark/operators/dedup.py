@@ -62,24 +62,54 @@ def shingles(df: DataFrame, key: str = "doc_id", col: str = "text",
     )
 
 
+def _posting_pairs(ids_col):
+    """All ordered pairs (a < b) within a posting list — native array ops.
+
+    ``flatten(transform(...))`` keeps pair generation inside codegen; with a
+    sorted list, nested slicing yields each unordered pair exactly once.
+    """
+    sorted_ids = F.sort_array(ids_col)
+    n = F.size(sorted_ids)
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.slice(sorted_ids, i + 1, n),
+                lambda y: F.struct(
+                    F.element_at(sorted_ids, i).alias("a"), y.alias("b")
+                ),
+            ),
+        )
+    )
+
+
 def jaccard_pairs(df: DataFrame, key: str = "doc_id", col: str = "text",
-                  k: int = SHINGLE_K, threshold: float = 0.0) -> DataFrame:
+                  k: int = SHINGLE_K, threshold: float = 0.0,
+                  max_posting: int | None = None) -> DataFrame:
     """All candidate pairs (a < b) sharing >=1 shingle, with exact Jaccard.
 
-    The shingle self-join is the textbook inverted-index plan: group by
-    shingle, pair docs within a posting list. Posting lists for common
-    shingles explode at scale — production runs cap/skip hot shingles; at
-    test scale lists are tiny.
+    Inverted-index plan that computes the shingle explode ONCE per branch:
+    group by shingle → posting list → generate pairs inside the list (array
+    ops, no self-join of the exploded lineage — a naive sh⨝sh re-derives the
+    shingle scan 4× and shuffles the full shingle table twice). The pair
+    keys that shuffle afterward are two longs, not text.
+
+    ``max_posting`` drops hot shingles (stopword-like n-grams whose posting
+    lists would explode quadratically) — the standard web-scale guard; None
+    keeps exact semantics for oracle comparison at test scale.
     """
     sh = shingles(df, key, col, k)
     sizes = sh.groupBy(key).agg(F.count("*").alias("n_shingles"))
 
-    a = sh.alias("sa")
-    b = sh.alias("sb")
+    postings = sh.groupBy("shingle").agg(
+        F.collect_list(F.col(key)).alias("ids")
+    ).filter(F.size("ids") >= 2)
+    if max_posting is not None:
+        postings = postings.filter(F.size("ids") <= max_posting)
+
     inter = (
-        a.join(b, (F.col("sa.shingle") == F.col("sb.shingle"))
-               & (F.col(f"sa.{key}") < F.col(f"sb.{key}")))
-        .groupBy(F.col(f"sa.{key}").alias("a"), F.col(f"sb.{key}").alias("b"))
+        postings.select(F.explode(_posting_pairs(F.col("ids"))).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .agg(F.count("*").alias("inter"))
     )
     sa = sizes.select(F.col(key).alias("a"), F.col("n_shingles").alias("na"))
@@ -146,16 +176,16 @@ def minhash_lsh_candidates(df: DataFrame, key: str = "doc_id",
         key, F.explode(F.array(*band_cols)).alias("bb")
     ).select(key, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    a = buckets.alias("ba")
-    b = buckets.alias("bb2")
+    # Pair generation inside each bucket's posting list (one shuffle on the
+    # band key) instead of a bucket×bucket self-join that would recompute
+    # the signature lineage twice. LSH buckets are tiny by construction, so
+    # the in-list pair expansion is bounded.
     return (
-        a.join(
-            b,
-            (F.col("ba.band") == F.col("bb2.band"))
-            & (F.col("ba.bucket") == F.col("bb2.bucket"))
-            & (F.col(f"ba.{key}") < F.col(f"bb2.{key}")),
-        )
-        .select(F.col(f"ba.{key}").alias("a"), F.col(f"bb2.{key}").alias("b"))
+        buckets.groupBy("band", "bucket")
+        .agg(F.collect_list(F.col(key)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode(_posting_pairs(F.col("ids"))).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .distinct()
     )
 
