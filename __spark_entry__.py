@@ -302,6 +302,13 @@ def q_minhash_lsh_candidates(spark, sf_dir):
     return minhash_lsh_candidates(_docs(spark, sf_dir))
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """MOSS-style winnowing fingerprints (rolling k-gram hash, window min)."""
+    from ollama_ocr_spark.operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir))
+
+
 def q_simhash_buckets(spark, sf_dir):
     """SimHash signatures (rows-only: xxhash64 is Spark-specific)."""
     from ollama_ocr_spark.operators.dedup import simhash64
@@ -363,6 +370,18 @@ def q_ann_lsh_topk(spark, sf_dir):
         emb.filter(F.col("vec_id") >= 10),
         emb.filter(F.col("vec_id") < 10),
         k=5,
+    ).withColumnRenamed("rank", "rnk")
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-partitioned ANN (rows-only: floating-point codebook)."""
+    from ollama_ocr_spark.operators.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    return ivf_topk(
+        emb.filter(F.col("vec_id") >= 10),
+        emb.filter(F.col("vec_id") < 10),
+        k=5, n_centroids=8, n_probe=8,
     ).withColumnRenamed("rank", "rnk")
 
 
@@ -496,6 +515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "simhash_buckets": q_simhash_buckets,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
@@ -503,6 +523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "golden_compare": q_golden_compare,
         "embedding_near_dupes": q_embedding_near_dupes,
         "tpch_shipping_revenue": q_tpch_shipping_revenue,
@@ -543,6 +564,31 @@ sh AS (
   FROM widx
 )
 """
+
+
+_ANN_ORACLE = """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 10),
+            c AS (SELECT vec_id AS neighbor_id, embedding AS cv
+                  FROM embeddings WHERE vec_id >= 10),
+            scored AS (
+              SELECT query_id, neighbor_id,
+                round(
+                  list_sum(list_transform(range(1, 1 + len(qv)),
+                           i -> qv[i]::DOUBLE * cv[i]::DOUBLE))
+                  / (sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE)))
+                     * sqrt(list_sum(list_transform(cv, x -> x::DOUBLE * x::DOUBLE)))),
+                  4) AS cosine
+              FROM q, c
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, cosine, rnk::INT AS rnk
+            FROM ranked WHERE rnk <= 5
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -720,6 +766,28 @@ def oracle_sql() -> dict[str, str]:
               ON a.band = b.band AND a.bucket = b.bucket
               AND a.doc_id < b.doc_id
         """,
+        "winnow_fingerprints": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            h AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) >= 5
+                          THEN list_transform(range(1, len(w) - 3),
+                               i -> md5(array_to_string(w[i : i + 4], ' ')))
+                          ELSE [] END AS hs
+              FROM t
+            ),
+            m AS (
+              SELECT doc_id,
+                     CASE WHEN len(hs) >= 4
+                          THEN list_transform(range(1, len(hs) - 2),
+                               i -> list_min(hs[i : i + 3]))
+                          WHEN len(hs) > 0 THEN [list_min(hs)]
+                          ELSE [] END AS mins
+              FROM h
+            ),
+            x AS (SELECT doc_id, unnest(mins) AS fingerprint FROM m)
+            SELECT DISTINCT doc_id, fingerprint FROM x
+        """,
         "token_counts": """
             SELECT doc_id,
                    len(string_split(text, ' '))::INT AS n_ws_tokens,
@@ -757,29 +825,10 @@ def oracle_sql() -> dict[str, str]:
                    substr(md5(text), 1, 4) AS fp_bucket
             FROM documents
         """,
-        "ann_cosine_topk": """
-            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-                       FROM embeddings WHERE vec_id < 10),
-            c AS (SELECT vec_id AS neighbor_id, embedding AS cv
-                  FROM embeddings WHERE vec_id >= 10),
-            scored AS (
-              SELECT query_id, neighbor_id,
-                round(
-                  list_sum(list_transform(range(1, 1 + len(qv)),
-                           i -> qv[i]::DOUBLE * cv[i]::DOUBLE))
-                  / (sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE)))
-                     * sqrt(list_sum(list_transform(cv, x -> x::DOUBLE * x::DOUBLE)))),
-                  4) AS cosine
-              FROM q, c
-            ),
-            ranked AS (
-              SELECT *, row_number() OVER (
-                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
-              FROM scored
-            )
-            SELECT query_id, neighbor_id, cosine, rnk::INT AS rnk
-            FROM ranked WHERE rnk <= 5
-        """,
+        "ann_cosine_topk": _ANN_ORACLE,
+        # ann_ivf_topk probes all cells in the driver query (exhaustive-
+        # exact), so it shares the brute-force oracle:
+        "ann_ivf_topk": _ANN_ORACLE,
         "golden_compare": """
             SELECT doc_id, true AS matched
             FROM documents WHERE doc_id % 10 <= 6

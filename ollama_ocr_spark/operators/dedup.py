@@ -190,6 +190,43 @@ def minhash_lsh_candidates(df: DataFrame, key: str = "doc_id",
     )
 
 
+def winnow_fingerprints(df: DataFrame, key: str = "doc_id",
+                        col: str = "text", k: int = SHINGLE_K,
+                        window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken MOSS
+    scheme): hash every k-gram, slide a window of ``window`` consecutive
+    hashes, keep each window's minimum — a provably-dense, position-robust
+    fingerprint subset for plagiarism/overlap detection.
+
+    Hashes are md5 hex strings (lexicographic min == numeric min on equal
+    length) so the DuckDB oracle reproduces selection exactly. Output:
+    (key, fingerprint) distinct — typically ~2/(window+1) of all k-grams.
+    """
+    words = F.split(F.col(col), " ")
+    idx = F.when(
+        F.size(words) >= k,
+        F.sequence(F.lit(1), F.size(words) - F.lit(k - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    hashes = F.transform(
+        idx, lambda i: F.md5(F.array_join(F.slice(words, i, k), " "))
+    )
+    n_h = F.size(hashes)
+    win_idx = F.when(
+        n_h >= window,
+        F.sequence(F.lit(1), n_h - F.lit(window - 1)),
+    ).otherwise(F.when(n_h > 0, F.array(F.lit(1))).otherwise(
+        F.array().cast("array<int>")
+    ))
+    mins = F.transform(
+        win_idx,
+        lambda i: F.array_min(F.slice(hashes, i, window)),
+    )
+    return (
+        df.select(F.col(key), F.explode(mins).alias("fingerprint"))
+        .distinct()
+    )
+
+
 def embedding_near_dupes(df: DataFrame, key: str = "vec_id",
                          vec: str = "embedding",
                          threshold: float = 0.95) -> DataFrame:

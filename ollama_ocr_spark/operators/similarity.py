@@ -91,6 +91,114 @@ def _rh_signature(vec, num_planes: int, dim: int):
     return sig
 
 
+def _centroids(corpus: DataFrame, key: str, vec: str,
+               n_centroids: int, dim: int) -> DataFrame:
+    """Deterministic IVF codebook: seed with the n lowest-key vectors, then
+    one Lloyd refinement (assign-all → per-cluster elementwise mean).
+
+    All DataFrame ops: the assign step broadcasts the codebook; the mean is
+    a posexplode→groupBy(cluster,pos)→collect_list fold, so it scales to
+    any corpus size (cost ∝ corpus × dim, one shuffle of (cluster,pos)
+    partial sums)."""
+    seeds = (
+        corpus.orderBy(key).limit(n_centroids)
+        .select(
+            F.row_number().over(
+                Window.orderBy(key)
+            ).alias("cluster"),
+            F.col(vec).alias("cv0"),
+        )
+    )
+    assigned = _assign(corpus, seeds, key, vec, "cv0")
+    refined = (
+        assigned.select("cluster", F.posexplode(F.col(vec)).alias("pos", "val"))
+        .groupBy("cluster", "pos")
+        .agg(F.avg(F.col("val").cast("double")).alias("m"))
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("m")))
+                ),
+                lambda s: s["m"],
+            ).alias("centroid")
+        )
+    )
+    return refined
+
+
+def _assign(points: DataFrame, centroids: DataFrame, key: str, vec: str,
+            cvec: str) -> DataFrame:
+    """Attach nearest-centroid cluster id (max cosine) to every point."""
+    scored = points.crossJoin(F.broadcast(centroids)).withColumn(
+        "__sim", _dot(F.col(vec), F.col(cvec))
+        / (_norm(F.col(vec)) * _norm(F.col(cvec)) + F.lit(1e-12))
+    )
+    w = Window.partitionBy(key).orderBy(
+        F.col("__sim").desc(), F.col("cluster").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__sim", cvec)
+    )
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             key: str = "vec_id", vec: str = "embedding",
+             n_centroids: int = 16, n_probe: int = 4,
+             dim: int = 64) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize the corpus into centroid
+    cells, probe only the n_probe nearest cells per query, exact-rerank
+    inside them.
+
+    The 100 TB shape: the codebook is tiny and broadcast; the corpus is
+    partitioned by cell (a real deployment writes it bucketed by cell, so
+    probing is partition pruning); per-query work drops from |corpus| to
+    ~|corpus|·n_probe/n_centroids. Recall < 1 by design — cosine_topk is
+    the exactness oracle.
+    """
+    cents = _centroids(corpus, key, vec, n_centroids, dim)
+    c_assigned = _assign(
+        corpus.select(F.col(key).alias("neighbor_id"), F.col(vec).alias("cv")),
+        cents.select("cluster", F.col("centroid").alias("cvec")),
+        "neighbor_id", "cv", "cvec",
+    )
+
+    q = queries.select(F.col(key).alias("query_id"), F.col(vec).alias("qv"))
+    q_scored = q.crossJoin(
+        F.broadcast(cents.select("cluster", F.col("centroid").alias("cvec")))
+    ).withColumn(
+        "__sim", _dot(F.col("qv"), F.col("cvec"))
+        / (_norm(F.col("qv")) * _norm(F.col("cvec")) + F.lit(1e-12))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("cluster").asc()
+    )
+    q_probes = (
+        q_scored.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", "qv", "cluster")
+    )
+
+    scored = (
+        c_assigned.join(F.broadcast(q_probes), "cluster")
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("qv"), F.col("cv"))
+                    / (_norm(F.col("qv")) * _norm(F.col("cv"))), 4),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                     key: str = "vec_id", vec: str = "embedding",
                     num_planes: int = 6, dim: int = 64) -> DataFrame:

@@ -91,6 +91,48 @@ def test_cosine_topk_exact(spark):
     assert math.isclose(ranked[1]["cosine"], 0.9939, abs_tol=1e-4)
 
 
+def test_ivf_topk_recall(spark):
+    from ollama_ocr_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    corpus = emb.filter("vec_id >= 10")
+    queries = emb.filter("vec_id < 10")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(corpus, queries, 5).collect()
+    }
+    # probing ALL cells must recover the exact answer (IVF is a pure
+    # partition of the corpus)
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(corpus, queries, 5, n_centroids=8, n_probe=8).collect()
+    }
+    assert full == exact
+    # partial probing trades recall for a bounded candidate set; on
+    # UNclustered random vectors the floor is ~n_probe/n_centroids
+    part = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(corpus, queries, 5, n_centroids=16, n_probe=4).collect()
+    }
+    assert len(part & exact) / len(exact) >= 0.3
+
+
+def test_winnow_fingerprints_shape(spark):
+    from ollama_ocr_spark.operators.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(20))), (2, "a b")],
+        ["doc_id", "text"],
+    )
+    rows = winnow_fingerprints(df).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    # 20 words → 16 k-grams → 13 windows; winnowing keeps a strict subset
+    assert 1 <= len(by_doc[1]) <= 13
+    assert 2 not in by_doc  # too short for any k-gram
+
+
 def test_quality_and_langid(spark):
     from ollama_ocr_spark.operators.textstats import (
         with_langid,
