@@ -31,12 +31,15 @@ _SHIPPED = set()
 
 
 def _ensure_shipped(spark: SparkSession) -> None:
-    """Ship the package zip to this session's Python workers exactly once."""
+    """Ship the package zip to this session's Python workers exactly once,
+    and pin UTC session semantics (timestamp queries assume it; the driver's
+    session timezone is not guaranteed)."""
     key = id(spark.sparkContext)
     if key not in _SHIPPED:
         from ollama_ocr_spark.session import _ship_package
 
         _ship_package(spark)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         _SHIPPED.add(key)
 
 
@@ -493,8 +496,24 @@ def q_sessionize(spark, sf_dir):
     return gaps.groupBy("user_id").agg(F.sum("new_s").alias("n_sessions"))
 
 
+def _utc_wrapped(fn):
+    """Every query assumes UTC session semantics (timestamp↔epoch parity
+    with the DuckDB oracle); the driver's session timezone is unknown."""
+
+    def inner(spark, sf_dir):
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return fn(spark, sf_dir)
+
+    inner.__name__ = fn.__name__
+    inner.__doc__ = fn.__doc__
+    return inner
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    return {name: _utc_wrapped(fn) for name, fn in _QUERIES.items()}
+
+
+_QUERIES = {
         "extract_text_roundtrip": q_extract_text_roundtrip,
         "extract_pdf_fold": q_extract_pdf_fold,
         "extract_route_counts": q_extract_route_counts,
@@ -530,7 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_revenue": q_nation_revenue,
         "events_daily": q_events_daily,
         "sessionize": q_sessionize,
-    }
+}
 
 
 # ---------------------------------------------------------------------------

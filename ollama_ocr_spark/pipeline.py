@@ -35,6 +35,49 @@ class RunStats:
     wall_secs: float
 
 
+def repair_metrics(spark: SparkSession, results_tbl: IceTable,
+                   metrics_tbl: IceTable) -> list[int]:
+    """Backfill lineage for results snapshots that committed without their
+    metrics rows (crash window between the two appends).
+
+    The two tables cannot commit in one atomic snapshot (separate icetbl
+    roots, like separate Iceberg tables), so the recovery contract is:
+    results commit FIRST, metrics reference the results snapshot id, and any
+    run starts by backfilling metrics for orphaned results snapshots. The
+    backfilled partition_id reflects the repair read, but doc_count /
+    bytes_in / checksum are content-derived and therefore identical.
+    """
+    last_results = results_tbl.current_snapshot_id()
+    if last_results is None:
+        return []
+    metrics = metrics_tbl.read(spark)
+    covered: set[int] = set()
+    if metrics is not None:
+        covered = {
+            r["snapshot_id"]
+            for r in metrics.select("snapshot_id").distinct().collect()
+        }
+    repaired = []
+    for sid in range(1, last_results + 1):
+        if sid in covered:
+            continue
+        snap = results_tbl.snapshot(sid)
+        parent = results_tbl.snapshot(snap.parent) if snap.parent else None
+        new_files = [
+            f for f in snap.files
+            if parent is None or f not in set(parent.files)
+        ]
+        if not new_files:
+            continue
+        delta = spark.read.parquet(*new_files)
+        lineage = partition_lineage(delta).withColumn(
+            "snapshot_id", F.lit(sid)
+        )
+        metrics_tbl.append(lineage)
+        repaired.append(sid)
+    return repaired
+
+
 def run_extract(
     spark: SparkSession,
     pages: DataFrame,
@@ -51,6 +94,10 @@ def run_extract(
     """
     t0 = time.monotonic()
     num_partitions = num_partitions or spark.sparkContext.defaultParallelism
+
+    # Recover lineage for any results snapshot whose metrics append was
+    # lost to a crash (resume correctness, SURVEY §7.3.4).
+    repair_metrics(spark, results_tbl, metrics_tbl)
 
     # One shuffle total: url-hash repartition both balances the payload
     # bytes per task AND satisfies the dedup window's required distribution

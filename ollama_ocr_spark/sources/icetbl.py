@@ -35,6 +35,11 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer published this snapshot id first (optimistic
+    concurrency, as in Iceberg): re-read and retry."""
+
+
 @dataclass
 class Snapshot:
     snapshot_id: int
@@ -102,7 +107,20 @@ class IceTable:
                  "files": files},
                 fh,
             )
-        os.rename(tmp, self._snapshot_path(new_sid))  # atomic publish
+        # Atomic CREATE, not rename: os.rename silently REPLACES an existing
+        # snapshot, which would lose a concurrent writer's commit. os.link
+        # fails with EEXIST if another writer won the race — the Iceberg
+        # optimistic-commit contract (loser must retry against the new
+        # parent).
+        try:
+            os.link(tmp, self._snapshot_path(new_sid))
+        except FileExistsError as exc:
+            raise ConcurrentCommitError(
+                f"snapshot v{new_sid} was committed by another writer; "
+                "re-read the table and retry the append"
+            ) from exc
+        finally:
+            os.unlink(tmp)
         return new_sid
 
     # -- read path -----------------------------------------------------------

@@ -22,6 +22,69 @@ def test_icetbl_append_and_time_travel(spark, tmp_path):
     assert tbl.current_snapshot_id() == 2
 
 
+def test_crash_between_results_and_metrics_is_repaired(
+    spark, documents_smoke, tmp_path
+):
+    """Crash window: results snapshot committed, metrics append lost. The
+    next run must backfill the orphaned snapshot's lineage."""
+    from ollama_ocr_spark.operators.extract import extract_stage
+    from ollama_ocr_spark.pipeline import repair_metrics
+
+    results_tbl = IceTable(str(tmp_path / "results"))
+    metrics_tbl = IceTable(str(tmp_path / "metrics"))
+
+    # simulate the crashed run: results land, metrics never do
+    from ollama_ocr_spark.operators.maintenance import latest_capture
+
+    crashed = extract_stage(
+        latest_capture(synthesize_stage(documents_smoke.filter("doc_id < 100")))
+    )
+    sid = results_tbl.append(crashed)
+    assert metrics_tbl.read(spark) is None
+
+    repaired = repair_metrics(spark, results_tbl, metrics_tbl)
+    assert repaired == [sid]
+    backfilled = metrics_tbl.read(spark)
+    assert backfilled.agg(F.sum("doc_count")).collect()[0][0] == crashed.count()
+
+    # and run_extract performs the repair implicitly + dedups the work
+    s = run_extract(
+        spark, synthesize_stage(documents_smoke), results_tbl, metrics_tbl
+    )
+    assert s.docs_extracted == documents_smoke.count() - crashed.count()
+    total = metrics_tbl.read(spark).agg(F.sum("doc_count")).collect()[0][0]
+    assert total == documents_smoke.count()
+
+
+def test_icetbl_concurrent_commit_detected(spark, tmp_path):
+    """Two writers racing to the same snapshot id: exactly one wins, the
+    loser gets ConcurrentCommitError (optimistic concurrency, not silent
+    lost-commit via rename-overwrite)."""
+    from ollama_ocr_spark.sources.icetbl import ConcurrentCommitError, IceTable
+    import pytest
+
+    tbl_a = IceTable(str(tmp_path / "t"))
+    tbl_b = IceTable(str(tmp_path / "t"))  # second handle, same table
+    df = spark.range(3)
+
+    # Simulate the race: both handles observed snapshot None; a commits
+    # first, then b tries to publish the same v1.
+    parent_a = tbl_a.snapshot()
+    assert parent_a is None
+    tbl_a.append(df)
+    # Freeze b's view at snapshot v1 (stale read), then let a commit v2
+    # first — b's publish of v2 must collide, not overwrite.
+    stale = tbl_b.snapshot()
+    tbl_b.snapshot = lambda sid=None: stale  # type: ignore[method-assign]
+    sid2 = tbl_a.append(df)
+    assert sid2 == 2
+    winner_files = tbl_a.snapshot(2).files
+    with pytest.raises(ConcurrentCommitError):
+        tbl_b.append(df)  # also computes new_sid=2 → collision detected
+    # winner's metadata intact (not clobbered by the loser)
+    assert tbl_a.snapshot(2).files == winner_files
+
+
 def test_pipeline_resume_no_duplicates(spark, documents_smoke, tmp_path):
     results_tbl = IceTable(str(tmp_path / "results"))
     metrics_tbl = IceTable(str(tmp_path / "metrics"))
