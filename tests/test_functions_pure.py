@@ -59,6 +59,38 @@ def test_html_never_raises_on_garbage():
     assert extract_html_main_text(b"<<<>>>\xff\xfe<p>ok</p>") is not None
 
 
+def test_fast_tokenizer_matches_stdlib():
+    """The fast regex tokenizer and the stdlib html.parser path drive the
+    same block-builder hooks; every extraction field must agree on corpus
+    archetypes and on adversarial markup."""
+    samples = [
+        # corpus archetypes (all HTML k-slots)
+        *[
+            build_payload(doc_id, f"Body text for doc {doc_id}.\nSecond para & more.", "en")
+            for doc_id in (0, 1, 2, 3, 4, 5, 6, 10, 14, 23)
+        ],
+        # adversarial but well-formed-ish markup
+        b"<p>a  \n  b &amp; c &#65; &unknown; d</p>",
+        b"<div><script>var x = '<p>not a block</p>';</script><p>real</p></div>",
+        b"<style>p { color: red }</style><p>styled</p>",
+        b"<!-- comment with <p>tag</p> inside --><p>after</p>",
+        b"<!DOCTYPE html><html><body><p>doc</p></body></html>",
+        b"<p>self-close<br/>and<hr />rules</p>",
+        b"<p>unclosed <b>bold",
+        b"<p>attr soup <a href='/x' data-y=\"z>w\" q>link text</a> tail</p>",
+        b"<table><tr><td>c1</td><td>c2</td></tr></table>",
+        b'<script type="application/ld+json">{"@type":"Receipt"}</script><p>x</p>',
+        b"<p>1 < 2 and 3 > 2</p>",
+        b"<P>UPPER<DIV>case tags</DIV></P>",
+        b"<p>&lt;escaped&gt; markup</p>",
+        b"<h1>first h1</h1><h1>second h1</h1><title>t &amp; t</title>",
+    ]
+    for payload in samples:
+        fast = parse_html_blocks(payload, engine="fast", collect_blocks=True)
+        std = parse_html_blocks(payload, engine="stdlib", collect_blocks=True)
+        assert fast == std, payload
+
+
 # ----------------------------------------------------------------- pdf ----
 
 @pytest.mark.parametrize("compress", [True, False])
