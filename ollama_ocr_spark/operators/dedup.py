@@ -41,12 +41,11 @@ def exact_dupes(df: DataFrame, key: str = "doc_id",
     )
 
 
-def shingles(df: DataFrame, key: str = "doc_id", col: str = "text",
-             k: int = SHINGLE_K) -> DataFrame:
-    """(key, shingle) distinct pairs — the inverted-index build.
-
-    Expressed with native array lambdas (sequence/transform/slice) so the
-    whole shingling stage stays inside whole-stage codegen.
+def _shingle_set(col: str, k: int):
+    """Per-row DISTINCT shingle array — native array lambdas only, so the
+    whole shingling stage stays inside whole-stage codegen and the
+    within-doc dedup happens map-side (``array_distinct``), never as a
+    ``distinct()`` shuffle of exploded rows.
     """
     words = F.split(F.col(col), " ")
     # Guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0] rather than an
@@ -55,11 +54,20 @@ def shingles(df: DataFrame, key: str = "doc_id", col: str = "text",
         F.size(words) >= k,
         F.sequence(F.lit(1), F.size(words) - F.lit(k - 1)),
     ).otherwise(F.array().cast("array<int>"))
-    sh = F.transform(idx, lambda i: F.array_join(F.slice(words, i, k), " "))
-    return (
-        df.select(F.col(key), F.explode(sh).alias("shingle"))
-        .distinct()
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(words, i, k), " "))
     )
+
+
+def shingles(df: DataFrame, key: str = "doc_id", col: str = "text",
+             k: int = SHINGLE_K) -> DataFrame:
+    """(key, shingle) distinct pairs — the inverted-index build.
+
+    Assumes ``key`` is unique per input row (true for doc_id), so the
+    per-row ``array_distinct`` already yields globally distinct pairs with
+    zero shuffle.
+    """
+    return df.select(F.col(key), F.explode(_shingle_set(col, k)).alias("shingle"))
 
 
 def _posting_pairs(ids_col):
@@ -97,34 +105,40 @@ def jaccard_pairs(df: DataFrame, key: str = "doc_id", col: str = "text",
     ``max_posting`` drops hot shingles (stopword-like n-grams whose posting
     lists would explode quadratically) — the standard web-scale guard; None
     keeps exact semantics for oracle comparison at test scale.
-    """
-    sh = shingles(df, key, col, k)
-    sizes = sh.groupBy(key).agg(F.count("*").alias("n_shingles"))
 
-    postings = sh.groupBy("shingle").agg(
-        F.collect_list(F.col(key)).alias("ids")
+    Single-scan plan: each doc's shingle-set size rides along INTO the
+    posting lists as ``struct(id, n)``, so pair rows emerge already carrying
+    both set sizes — no separate sizes branch (which re-scanned the source)
+    and no post-hoc a/b size joins (two shuffles each at scale). Total:
+    1 source scan, 2 shuffles (postings groupBy, pair groupBy).
+    """
+    docs = df.select(F.col(key).alias("id"), _shingle_set(col, k).alias("shs"))
+    exploded = docs.select(
+        F.struct(F.col("id"), F.size("shs").alias("n")).alias("doc"),
+        F.explode("shs").alias("shingle"),
+    )
+    postings = exploded.groupBy("shingle").agg(
+        F.collect_list("doc").alias("ids")
     ).filter(F.size("ids") >= 2)
     if max_posting is not None:
         postings = postings.filter(F.size("ids") <= max_posting)
 
+    # sort_array orders structs by their first field (the unique id), so
+    # _posting_pairs still yields each unordered pair exactly once, a < b.
     inter = (
         postings.select(F.explode(_posting_pairs(F.col("ids"))).alias("p"))
-        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy(F.col("p.a").alias("pa"), F.col("p.b").alias("pb"))
         .agg(F.count("*").alias("inter"))
     )
-    sa = sizes.select(F.col(key).alias("a"), F.col("n_shingles").alias("na"))
-    sb = sizes.select(F.col(key).alias("b"), F.col("n_shingles").alias("nb"))
-    out = (
-        inter.join(sa, "a").join(sb, "b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter")
-                / (F.col("na") + F.col("nb") - F.col("inter")),
-                4,
-            ),
-        )
-        .select("a", "b", "inter", "jaccard")
+    out = inter.select(
+        F.col("pa.id").alias("a"),
+        F.col("pb.id").alias("b"),
+        "inter",
+        F.round(
+            F.col("inter")
+            / (F.col("pa.n") + F.col("pb.n") - F.col("inter")),
+            4,
+        ).alias("jaccard"),
     )
     if threshold > 0:
         out = out.filter(F.col("jaccard") >= threshold)
@@ -136,21 +150,28 @@ def minhash_signatures(df: DataFrame, key: str = "doc_id", col: str = "text",
     """MinHash signature per doc: sig[j] = min over shingles of
     md5(j || '|' || shingle) — md5 keeps the oracle bit-identical.
 
-    Output: (key, sig array<string> of length num_hashes).
+    Entirely map-side: the shingle set is a per-row array, so each sig
+    element is ``array_min(transform(...))`` — ZERO shuffles (the previous
+    explode→distinct→groupBy plan shuffled the full shingle table twice).
+    Docs with no shingles produce no signature row (matches the grouped
+    form and the oracle). Output: (key, sig array<string> len num_hashes).
     """
-    sh = shingles(df, key, col, k)
-    hashed = sh.select(
+    shs = df.select(F.col(key), _shingle_set(col, k).alias("shs")).filter(
+        F.size("shs") > 0
+    )
+    return shs.select(
         key,
-        *[
-            F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle"))).alias(f"h{j}")
-            for j in range(num_hashes)
-        ],
-    )
-    agg = hashed.groupBy(key).agg(
-        *[F.min(f"h{j}").alias(f"m{j}") for j in range(num_hashes)]
-    )
-    return agg.select(
-        key, F.array(*[F.col(f"m{j}") for j in range(num_hashes)]).alias("sig")
+        F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        F.col("shs"),
+                        lambda s: F.md5(F.concat(F.lit(f"{j}|"), s)),
+                    )
+                )
+                for j in range(num_hashes)
+            ]
+        ).alias("sig"),
     )
 
 

@@ -39,6 +39,23 @@ def test_small_dim_join_broadcasts(spark):
     audit_plan(joined, require_broadcast=True)
 
 
+def test_dedup_plans_minimize_shuffles(spark, documents_smoke):
+    """The single-scan dedup restructure: jaccard carries set sizes through
+    the posting lists (no sizes branch, no a/b size joins) and minhash
+    signatures are computed per-row with array_min (no explode/groupBy)."""
+    from ollama_ocr_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    assert plan_report(minhash_signatures(documents_smoke)).n_exchanges == 0
+    # postings groupBy + pair groupBy only
+    assert plan_report(jaccard_pairs(documents_smoke)).n_exchanges == 2
+    # band-bucket groupBy + distinct only
+    assert plan_report(minhash_lsh_candidates(documents_smoke)).n_exchanges == 2
+
+
 def test_resume_anti_join_broadcasts_small_done_set(spark, documents_smoke):
     from ollama_ocr_spark.operators.maintenance import resume_anti_join
 
