@@ -397,8 +397,10 @@ def q_golden_compare(spark, sf_dir):
         .filter(F.col("doc_id") % 10 <= 6)
         .select("doc_id", "text")
     )
+    from ollama_ocr_spark.operators.maintenance import golden_text_expr
+
     golden = _docs(spark, sf_dir).filter(F.col("doc_id") % 10 <= 6).select(
-        "doc_id", "text"
+        "doc_id", golden_text_expr().alias("text")
     )
     return golden_compare(results, golden, key="doc_id")
 
@@ -564,10 +566,47 @@ _HOST_CASE = (
     "ELSE 'h' || (3 + doc_id % 13) || '.example.com' END"
 )
 _STEM_CASE = (
-    "CASE doc_id % 10 WHEN 4 THEN 'memo' WHEN 5 THEN 'receipt' "
+    "CASE doc_id % 10 WHEN 2 THEN 'table' WHEN 3 THEN 'list' "
+    "WHEN 4 THEN 'memo' WHEN 5 THEN 'receipt' "
     "WHEN 6 THEN 'draft' WHEN 7 THEN 'playbook' WHEN 8 THEN 'scan' "
     "WHEN 9 THEN 'page' ELSE 'article' END"
 )
+
+# Golden-text rendering for the k=2 (table) / k=3 (list) archetypes —
+# mirrors corpus.table_markdown / corpus.list_markdown. `gold` maps every
+# doc to its expected extracted text.
+_RENDER_CTES = """
+rw AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE doc_id % 10 IN (2, 3)
+),
+rc AS (
+  SELECT doc_id, unnest(range(0, (len(w) + 7) // 8)) AS i, w FROM rw
+),
+rp AS (
+  -- coalesce: DuckDB yields NULL (not []) for fully out-of-range slices
+  SELECT doc_id, i,
+         coalesce(array_to_string(w[8*i+1 : 8*i+4], ' '), '') AS ca,
+         coalesce(array_to_string(w[8*i+5 : 8*i+8], ' '), '') AS cb,
+         coalesce(array_to_string(w[8*i+1 : 8*i+8], ' '), '') AS item
+  FROM rc
+),
+rendered AS (
+  SELECT doc_id,
+         CASE doc_id % 10
+           WHEN 2 THEN string_agg(
+             '| ' || ca || CASE WHEN cb = '' THEN '' ELSE ' | ' || cb END
+                  || ' |', chr(10) ORDER BY i) FILTER (WHERE ca <> '')
+           ELSE string_agg('- ' || item, chr(10) || chr(10) ORDER BY i)
+                  FILTER (WHERE item <> '')
+         END AS gtext
+  FROM rp GROUP BY doc_id
+),
+gold AS (
+  SELECT d.doc_id, coalesce(r.gtext, d.text) AS gtext
+  FROM documents d LEFT JOIN rendered r USING (doc_id)
+)
+"""
 _EXT_CASE = (
     "CASE doc_id % 10 WHEN 7 THEN '.pdf' WHEN 8 THEN '.jpg' ELSE '.html' END"
 )
@@ -612,9 +651,10 @@ _ANN_ORACLE = """
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "extract_text_roundtrip": """
-            SELECT doc_id, text, n_chars AS chars
-            FROM documents WHERE doc_id % 10 <= 6
+        "extract_text_roundtrip": f"""
+            WITH {_RENDER_CTES}
+            SELECT doc_id, gtext AS text, length(gtext)::BIGINT AS chars
+            FROM gold WHERE doc_id % 10 <= 6
         """,
         "extract_pdf_fold": """
             WITH pdf AS (
@@ -676,7 +716,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "analyze_metadata": """
             SELECT doc_id,
-                   (CASE doc_id % 10 WHEN 4 THEN 'memo' WHEN 5 THEN 'receipt'
+                   (CASE doc_id % 10 WHEN 2 THEN 'table' WHEN 3 THEN 'list'
+                        WHEN 4 THEN 'memo' WHEN 5 THEN 'receipt'
                         WHEN 6 THEN 'draft' ELSE 'article' END)
                      || ' ' || doc_id AS title,
                    'Example Site ' || (doc_id % 7) AS h1,
@@ -685,15 +726,17 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'structured' END AS doc_class
             FROM documents WHERE doc_id % 10 <= 6
         """,
-        "multi_step": """
-            SELECT doc_id, text, n_chars AS chars,
-                   (CASE doc_id % 10 WHEN 4 THEN 'memo' WHEN 5 THEN 'receipt'
+        "multi_step": f"""
+            WITH {_RENDER_CTES}
+            SELECT doc_id, gtext AS text, length(gtext)::BIGINT AS chars,
+                   (CASE doc_id % 10 WHEN 2 THEN 'table' WHEN 3 THEN 'list'
+                        WHEN 4 THEN 'memo' WHEN 5 THEN 'receipt'
                         WHEN 6 THEN 'draft' ELSE 'article' END)
                      || ' ' || doc_id AS title,
                    doc_id % 10 = 5 AS has_receipt,
                    CASE WHEN doc_id % 10 = 5
                         THEN ((doc_id % 1000) * 13 + 99)::BIGINT END AS total_cents
-            FROM documents WHERE doc_id % 10 <= 6
+            FROM gold WHERE doc_id % 10 <= 6
         """,
         "image_metadata": """
             SELECT doc_id,

@@ -15,7 +15,11 @@ Archetype table (k = doc_id % 10), mirroring the 5 reference fixtures in
 
 | k       | stem       | payload                           | route (expected)      |
 |---------|------------|-----------------------------------|-----------------------|
-| 0..3    | article    | HTML, <article> main + boilerplate| printed (structure)   |
+| 0..1    | article    | HTML, <article> main + boilerplate| printed (structure)   |
+| 2       | table      | HTML, 2-col <table> of word rows →| printed (structure)   |
+|         |            | markdown "| a | b |" golden       |                       |
+| 3       | list       | HTML, <ul> of word items →        | printed (structure)   |
+|         |            | markdown "- item" golden          |                       |
 | 4       | memo       | HTML, plain <div> main, no markers| handwriting (fallback)|
 | 5       | receipt    | HTML like 0..3, url keyword       | printed (keyword)     |
 | 6       | draft      | HTML like 0..3, url keyword       | handwriting (keyword) |
@@ -44,10 +48,13 @@ from .functions.router import fold_pages
 BASE_TS = datetime(2024, 1, 1, tzinfo=timezone.utc)
 
 STEMS = {
-    0: "article", 1: "article", 2: "article", 3: "article",
+    0: "article", 1: "article", 2: "table", 3: "list",
     4: "memo", 5: "receipt", 6: "draft", 7: "playbook",
     8: "scan", 9: "page",
 }
+
+# Words per table row / list item for the k=2/k=3 structured archetypes.
+CHUNK_WORDS = 8
 EXTS = {7: ".pdf", 8: ".jpg"}
 
 _JUNK = b"\x00\x01\x02corrupted-capture\x03\x04" * 4
@@ -112,6 +119,32 @@ def pdf_page_texts(text: str, n_pages: int) -> list[str]:
     ]
 
 
+def text_chunks(text: str) -> list[list[str]]:
+    """Word chunks of CHUNK_WORDS — the row/item unit for k=2/k=3 pages.
+    Mirrored in `__spark_entry__` oracle SQL and the Spark golden expr."""
+    words = text.split(" ")
+    return [words[i:i + CHUNK_WORDS] for i in range(0, len(words), CHUNK_WORDS)]
+
+
+def table_markdown(text: str) -> str:
+    """Golden rendering of the k=2 table page: each chunk is one 2-cell row
+    (4+4 words); markdown '| a | b |' lines joined by newline."""
+    lines = []
+    for chunk in text_chunks(text):
+        ca = " ".join(chunk[:4])
+        cb = " ".join(chunk[4:])
+        cells = [c for c in (ca, cb) if c]
+        if cells:
+            lines.append("| " + " | ".join(cells) + " |")
+    return "\n".join(lines).strip()
+
+
+def list_markdown(text: str) -> str:
+    """Golden rendering of the k=3 list page: '- item' blocks, \\n\\n-joined."""
+    items = [" ".join(chunk) for chunk in text_chunks(text)]
+    return "\n\n".join("- " + it for it in items if it).strip()
+
+
 def receipt_fields(doc_id: int) -> dict:
     """Structured receipt fields (reference T8 / `ollama_cloud_ocr.py:403`
     schema family) as a pure function of doc_id — mirrored in the SQL
@@ -169,7 +202,26 @@ def build_html(doc_id: int, text: str, lang: str) -> bytes:
             if k == 5
             else ""
         )
-        body = f"<article><p>{esc}</p></article>"
+        if k == 2:
+            # table archetype: word chunks as 2-cell rows
+            rows = []
+            for chunk in text_chunks(text):
+                ca = _html.escape(" ".join(chunk[:4]))
+                cb = _html.escape(" ".join(chunk[4:]))
+                cells = "".join(f"<td>{c}</td>" for c in (ca, cb) if c)
+                if cells:
+                    rows.append(f"<tr>{cells}</tr>")
+            body = f"<article><table>{''.join(rows)}</table></article>"
+        elif k == 3:
+            # list archetype: word chunks as list items
+            items = "".join(
+                f"<li>{_html.escape(' '.join(chunk))}</li>"
+                for chunk in text_chunks(text)
+                if any(chunk)
+            )
+            body = f"<article><ul>{items}</ul></article>"
+        else:
+            body = f"<article><p>{esc}</p></article>"
         page = (
             f'<!DOCTYPE html><html lang="{lang}"><head><meta charset="utf-8">'
             f"<title>{STEMS[k]} {doc_id}</title>{ldjson}</head>"
@@ -198,6 +250,10 @@ def golden_text(doc_id: int, text: str) -> str:
         return ""
     if k == 7:
         return fold_pages(pdf_page_texts(text, n_pdf_pages(doc_id)))
+    if k == 2:
+        return table_markdown(text)
+    if k == 3:
+        return list_markdown(text)
     return text.strip()
 
 

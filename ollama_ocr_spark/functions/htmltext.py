@@ -56,6 +56,19 @@ DROP_TAGS = frozenset(
 # (analog of the reference's many-straight-lines heuristic).
 STRUCTURE_TAGS = frozenset({"article", "main", "table"})
 
+# Markdown-ish block serialization: the extractor renders structural
+# elements the way the reference's structured modes render documents
+# (README.md "markdown output" contract) — list items get a "- " prefix,
+# headings get "#"-runs, and a whole <table> becomes ONE block of
+# "| cell | cell |" lines. Prefixes attach at block flush; tables collect
+# rows and bypass whitespace collapse (their newlines are content).
+_PREFIX_TAGS = {
+    "li": "- ",
+    "h1": "# ", "h2": "## ", "h3": "### ",
+    "h4": "#### ", "h5": "##### ", "h6": "###### ",
+}
+_TABLE_BLOCK = object()  # sentinel marking a pre-rendered table block
+
 # Block-count threshold for the structure heuristic, mirroring the
 # reference's `len(lines) > 15 → printed` (`ocr_router.py:166`).
 STRUCTURE_BLOCK_THRESHOLD = 15
@@ -87,12 +100,21 @@ class _BlockParser(HTMLParser):
     def __init__(self, drop_tags: frozenset[str] = DROP_TAGS) -> None:
         super().__init__(convert_charrefs=True)
         self.drop_tags = drop_tags
-        self.blocks: list[tuple[str, int, int]] = []  # (raw_text, chars, link_chars)
+        # (raw_text, chars, link_chars, prefix) — prefix is "" / a markdown
+        # prefix / the _TABLE_BLOCK sentinel (raw already rendered).
+        self.blocks: list[tuple[str, int, int, object]] = []
         self._parts: list[str] = []
         self._chars = 0
         self._link_chars = 0
         self._drop_depth = 0
         self._link_depth = 0
+        self._prefix = ""
+        # table mode
+        self._table_depth = 0
+        self._table_rows: list[list[str]] = []
+        self._cell_parts: list[str] | None = None
+        self._table_chars = 0
+        self._table_link_chars = 0
         self.structure_hits = 0
         self.block_count = 0
         # metadata side-channels (captured even inside dropped subtrees)
@@ -108,10 +130,51 @@ class _BlockParser(HTMLParser):
     def _flush(self) -> None:
         if self._parts:
             raw = "".join(self._parts)
-            self.blocks.append((raw, self._chars, self._link_chars))
+            self.blocks.append((raw, self._chars, self._link_chars, self._prefix))
         self._parts = []
         self._chars = 0
         self._link_chars = 0
+        self._prefix = ""
+
+    # -- table mode ------------------------------------------------------
+    def _close_cell(self) -> None:
+        if self._cell_parts is not None:
+            text = " ".join("".join(self._cell_parts).split())
+            self._table_rows[-1].append(text)
+            self._cell_parts = None
+
+    def _open_cell(self) -> None:
+        self._close_cell()
+        if not self._table_rows:
+            self._table_rows.append([])
+        self._cell_parts = []
+
+    def _cell_space(self) -> None:
+        if self._cell_parts is not None:
+            self._cell_parts.append(" ")
+
+    def _finalize_table(self) -> None:
+        self._close_cell()
+        lines = []
+        for row in self._table_rows:
+            cells = [c for c in row if c]
+            if cells:
+                lines.append("| " + " | ".join(cells) + " |")
+        if lines:
+            self.blocks.append((
+                "\n".join(lines), self._table_chars,
+                self._table_link_chars, _TABLE_BLOCK,
+            ))
+        self._table_rows = []
+        self._table_chars = 0
+        self._table_link_chars = 0
+
+    def finish(self) -> None:
+        """End-of-document: finalize any unterminated table, flush."""
+        if self._table_depth:
+            self._table_depth = 0
+            self._finalize_table()
+        self._flush()
 
     # -- HTMLParser hooks -------------------------------------------------
     def handle_starttag(self, tag: str, attrs) -> None:  # noqa: ANN001
@@ -132,13 +195,39 @@ class _BlockParser(HTMLParser):
             self.structure_hits += 1
         if tag == "a":
             self._link_depth += 1
+        if self._table_depth:
+            if tag == "table":
+                self._table_depth += 1
+                self._cell_space()
+            elif self._table_depth == 1 and tag == "tr":
+                self._close_cell()
+                self._table_rows.append([])
+            elif self._table_depth == 1 and tag in ("td", "th"):
+                self._open_cell()
+            elif tag in BLOCK_TAGS:
+                self._cell_space()
+            if tag in BLOCK_TAGS:
+                self.block_count += 1
+            return
+        if tag == "table":
+            self.block_count += 1
+            self._flush()
+            self._table_depth = 1
+            self._table_rows = []
+            return
         if tag in BLOCK_TAGS:
             self.block_count += 1
             self._flush()
+            self._prefix = _PREFIX_TAGS.get(tag, "")
 
     def handle_startendtag(self, tag: str, attrs) -> None:  # noqa: ANN001
         # <br/>, <hr/> etc. — block boundary, no subtree.
         if self._drop_depth:
+            return
+        if self._table_depth:
+            if tag in BLOCK_TAGS:
+                self.block_count += 1
+                self._cell_space()
             return
         if tag in BLOCK_TAGS:
             self.block_count += 1
@@ -159,6 +248,20 @@ class _BlockParser(HTMLParser):
             return
         if tag == "a" and self._link_depth:
             self._link_depth -= 1
+        if self._table_depth:
+            if tag == "table":
+                self._table_depth -= 1
+                if self._table_depth == 0:
+                    self._finalize_table()
+                else:
+                    self._cell_space()
+            elif self._table_depth == 1 and tag in ("td", "th"):
+                self._close_cell()
+            elif self._table_depth == 1 and tag == "tr":
+                self._close_cell()
+            elif tag in BLOCK_TAGS:
+                self._cell_space()
+            return
         if tag in BLOCK_TAGS:
             self._flush()
 
@@ -171,6 +274,14 @@ class _BlockParser(HTMLParser):
             self.ldjson.append(data)
         if self._drop_depth or not data:
             return
+        if self._table_depth:
+            if self._cell_parts is not None:
+                self._cell_parts.append(data)
+                n = len(data)
+                self._table_chars += n
+                if self._link_depth:
+                    self._table_link_chars += n
+            return
         self._parts.append(data)
         n = len(data)
         self._chars += n
@@ -179,7 +290,7 @@ class _BlockParser(HTMLParser):
 
     def close(self) -> None:  # noqa: D102
         super().close()
-        self._flush()
+        self.finish()
 
 
 # ---------------------------------------------------------------------------
@@ -308,7 +419,7 @@ def parse_html_blocks(
     try:
         if engine == "fast":
             _scan_html(decode_payload(data), parser)
-            parser._flush()
+            parser.finish()
         else:
             parser.feed(decode_payload(data))
             parser.close()
@@ -316,10 +427,19 @@ def parse_html_blocks(
         # Tokenizers are tolerant by construction; anything that still
         # escapes is treated as "no further content" (error isolation per
         # `ocr_router.py:296-298` — never abort the document batch).
-        parser._flush()
-    kept: list[str] = []
-    for raw, chars, link_chars in parser.blocks:
+        parser.finish()
+
+    def _render(raw: str, prefix: object) -> str:
+        if prefix is _TABLE_BLOCK:
+            return raw  # pre-rendered "| cell | cell |" lines
         text = _collapse_ws(raw)
+        if text and prefix:
+            text = prefix + text  # markdown li/heading prefix
+        return text
+
+    kept: list[str] = []
+    for raw, chars, link_chars, prefix in parser.blocks:
+        text = _render(raw, prefix)
         if not text:
             continue
         density = (link_chars / chars) if chars else 0.0
@@ -329,7 +449,8 @@ def parse_html_blocks(
     all_blocks: tuple[str, ...] = ()
     if collect_blocks:
         all_blocks = tuple(
-            t for raw, _c, _l in parser.blocks if (t := _collapse_ws(raw))
+            t for raw, _c, _l, prefix in parser.blocks
+            if (t := _render(raw, prefix))
         )
     has_structure = (
         parser.structure_hits > 0

@@ -24,6 +24,58 @@ def doc_id_expr(url_col: str = "url"):
     return F.regexp_extract(F.col(url_col), r"-(\d+)\.[a-z]+$", 1).cast("bigint")
 
 
+def golden_text_expr(doc_id_col: str = "doc_id", text_col: str = "text"):
+    """Native-expression twin of ``corpus.golden_text`` for the HTML
+    archetypes (k <= 6): identity for prose pages, markdown rendering for
+    the k=2 table / k=3 list pages (mirrors ``corpus.table_markdown`` /
+    ``corpus.list_markdown`` — keep all three in sync). Pure column ops, so
+    the golden side of the compare join stays inside codegen.
+    """
+    did = F.col(doc_id_col)
+    words = F.split(F.col(text_col), " ")
+    nchunks = F.ceil(F.size(words) / F.lit(8)).cast("int")
+    idx = F.when(
+        nchunks >= 1, F.sequence(F.lit(0), nchunks - 1)
+    ).otherwise(F.array().cast("array<int>"))
+
+    def _cells(i):
+        return F.filter(
+            F.array(
+                F.array_join(F.slice(words, i * 8 + 1, 4), " "),
+                F.array_join(F.slice(words, i * 8 + 5, 4), " "),
+            ),
+            lambda c: c != "",
+        )
+
+    table_render = F.array_join(
+        F.filter(
+            F.transform(
+                idx,
+                lambda i: F.when(
+                    F.size(_cells(i)) > 0,
+                    F.concat(
+                        F.lit("| "), F.array_join(_cells(i), " | "), F.lit(" |")
+                    ),
+                ),
+            ),
+            lambda r: r.isNotNull(),
+        ),
+        "\n",
+    )
+    items = F.filter(
+        F.transform(idx, lambda i: F.array_join(F.slice(words, i * 8 + 1, 8), " ")),
+        lambda it: it != "",
+    )
+    list_render = F.array_join(
+        F.transform(items, lambda it: F.concat(F.lit("- "), it)), "\n\n"
+    )
+    return (
+        F.when(did % 10 == 2, table_render)
+        .when(did % 10 == 3, list_render)
+        .otherwise(F.col(text_col))
+    )
+
+
 def latest_capture(pages: DataFrame, key: str = "url",
                    ts: str = "warc_ts") -> DataFrame:
     """Keep the newest capture per url (N3).

@@ -59,6 +59,42 @@ def test_html_never_raises_on_garbage():
     assert extract_html_main_text(b"<<<>>>\xff\xfe<p>ok</p>") is not None
 
 
+def test_markdown_archetypes_roundtrip():
+    """k=2 table / k=3 list pages extract to their markdown goldens, and the
+    three golden implementations (python, Spark expr, oracle SQL) agree —
+    python vs extraction here; Spark/SQL covered by golden_compare oracle."""
+    from ollama_ocr_spark.corpus import list_markdown, table_markdown
+    from ollama_ocr_spark.functions.router import extract_document
+
+    text = " ".join(f"w{i}" for i in range(21))  # 2 full chunks + 5-word tail
+    for doc_id, golden in ((12, table_markdown(text)), (13, list_markdown(text))):
+        payload = build_payload(doc_id, text, "en")
+        r = extract_document(f"https://h/x-{doc_id}.html", payload)
+        assert r.text == golden
+        assert r.engine == "printed"  # article/table structure markers
+    assert table_markdown(text).count("\n") == 2  # 3 rows
+    assert "| w16 w17 w18 w19 | w20 |" in table_markdown(text)
+    assert list_markdown(text).endswith("- w16 w17 w18 w19 w20")
+
+
+def test_markdown_rendering_features():
+    """li/heading prefixes and table serialization (markdown-ish blocks)."""
+    assert extract_html_main_text(
+        b"<table><tr><td>a b</td><td>c</td></tr><tr><td>d</td></tr></table>"
+    ) == "| a b | c |\n| d |"
+    assert extract_html_main_text(
+        b"<ul><li>one item</li><li>two</li></ul>"
+    ) == "- one item\n\n- two"
+    assert extract_html_main_text(
+        b"<h2>Heading</h2><p>body</p>"
+    ) == "## Heading\n\nbody"
+    # nested blocks inside a cell collapse to spaces; unterminated tables close
+    assert extract_html_main_text(
+        b"<table><tr><td><p>nested</p><p>blocks</p></td></tr></table>"
+    ) == "| nested blocks |"
+    assert extract_html_main_text(b"<table><tr><td>open") == "| open |"
+
+
 def test_fast_tokenizer_matches_stdlib():
     """The fast regex tokenizer and the stdlib html.parser path drive the
     same block-builder hooks; every extraction field must agree on corpus
