@@ -498,6 +498,14 @@ def q_sessionize(spark, sf_dir):
     return gaps.groupBy("user_id").agg(F.sum("new_s").alias("n_sessions"))
 
 
+def q_session_windows(spark, sf_dir):
+    """Built-in ``session_window`` sessionization (declarative state-store
+    path; batch twin of the streaming operator). Oracle: gaps-and-islands."""
+    from ollama_ocr_spark.streaming.incremental import session_window_agg
+
+    return session_window_agg(_events(spark, sf_dir))
+
+
 def _utc_wrapped(fn):
     """Every query assumes UTC session semantics (timestamp↔epoch parity
     with the DuckDB oracle); the driver's session timezone is unknown."""
@@ -551,6 +559,7 @@ _QUERIES = {
         "nation_revenue": q_nation_revenue,
         "events_daily": q_events_daily,
         "sessionize": q_sessionize,
+        "session_windows": q_session_windows,
 }
 
 
@@ -940,6 +949,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                    count(*) AS n_events, round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "session_windows": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+            d AS (SELECT user_id, t,
+                         lag(t) OVER (PARTITION BY user_id ORDER BY t) AS pt
+                  FROM e),
+            s AS (SELECT user_id, t,
+                         CASE WHEN pt IS NULL OR t - pt > 1800000000
+                              THEN 1 ELSE 0 END AS new_s
+                  FROM d),
+            g AS (SELECT user_id, t,
+                         sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+                           ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM s)
+            SELECT user_id, min(t) AS start_us,
+                   max(t) + 1800000000 AS end_us,
+                   count(*) AS n_events
+            FROM g GROUP BY user_id, sid
         """,
         "sessionize": """
             WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),

@@ -52,6 +52,39 @@ def incremental_extract(
     )
 
 
+def session_window_agg(events: DataFrame, gap: str = "30 minutes",
+                       watermark: str = "2 hours") -> DataFrame:
+    """Gap sessionization via Spark's built-in ``session_window`` — the
+    DECLARATIVE twin of both the lag-window batch sessionizer
+    (`__spark_entry__.q_sessionize`) and the Python-state streaming one
+    (`stateful.streaming_sessionize`).
+
+    This is the scale path for streams: state lives in Spark's native state
+    store (RocksDB-capable, watermark-evicted), merges happen JVM-side, and
+    late events beyond the watermark are dropped instead of growing state
+    forever. On a static DataFrame the same expression runs as a plain
+    aggregation (no watermark needed), giving an oracle-checkable batch
+    twin (`session_windows` query: gaps-and-islands SQL).
+
+    Output: (user_id, start_us, end_us, n_events); end = last event + gap.
+    """
+    src = events.select(
+        "user_id", F.col("ts").cast("timestamp_ltz").alias("ts")
+    )
+    if events.isStreaming:
+        src = src.withWatermark("ts", watermark)
+    return (
+        src.groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("sw.start").alias("start_us"),
+            F.unix_micros("sw.end").alias("end_us"),
+            "n_events",
+        )
+    )
+
+
 def windowed_event_counts(events: DataFrame, window: str = "1 hour",
                           watermark: str = "2 hours") -> DataFrame:
     """Event-time tumbling-window counts with late-data watermark.

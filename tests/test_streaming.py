@@ -35,6 +35,73 @@ def test_incremental_extract_drains_and_resumes(spark, documents_smoke, tmp_path
     assert results.read(spark).count() == n2
 
 
+def test_watermarked_session_stream(spark, tmp_path):
+    """session_window + watermark over a stream: sessions finalize (append
+    mode) only once the watermark passes their end; events later than the
+    watermark are dropped; state recovers from the checkpoint between
+    availableNow runs."""
+    from pyspark.sql import functions as F
+
+    from ollama_ocr_spark.streaming.incremental import session_window_agg
+
+    events_dir = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _write(rows):
+        spark.createDataFrame(rows, "user_id bigint, ts string").select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts")
+        ).write.mode("append").parquet(events_dir)
+
+    def _drain():
+        stream = spark.readStream.schema("user_id bigint, ts timestamp").parquet(
+            events_dir
+        )
+        out = session_window_agg(stream, gap="30 minutes", watermark="2 hours")
+        emitted = []
+
+        def _collect(batch_df, _bid):
+            emitted.extend(batch_df.collect())
+
+        (
+            out.writeStream.foreachBatch(_collect)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        return emitted
+
+    # Run 1: two users' morning sessions + an evening event driving the
+    # watermark to 18:00 (20:00 - 2h) in the final no-data batch, which
+    # finalizes both morning sessions; the evening one stays open.
+    _write([
+        (1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:10:00"),
+        (2, "2024-01-01 10:05:00"), (99, "2024-01-01 20:00:00"),
+    ])
+    emitted = {r["user_id"]: r for r in _drain()}
+    assert set(emitted) == {1, 2}
+    assert emitted[1]["n_events"] == 2
+    ten = spark.sql("select unix_micros(timestamp '2024-01-01 10:00:00') u").first()["u"]
+    assert emitted[1]["start_us"] == ten
+    assert emitted[1]["end_us"] == ten + (40 * 60) * 1_000_000  # 10:10 + gap
+    assert emitted[2]["n_events"] == 1
+
+    # Run 2 (checkpoint-recovered watermark = 18:00): an event inside user
+    # 1's already-finalized session arrives LATE (10:05 < watermark) and is
+    # dropped; fresh 21:00 activity moves the watermark to 19:00, which
+    # still finalizes nothing (user 99's session ends 20:30).
+    _write([(1, "2024-01-01 10:05:00"), (3, "2024-01-01 21:00:00")])
+    assert _drain() == []
+
+    # Run 3: watermark → 21:45 finalizes user 99 and user 3. User 1 never
+    # re-emits — the late event really was discarded, not sessionized.
+    _write([(4, "2024-01-01 23:45:00")])
+    emitted = {r["user_id"]: r for r in _drain()}
+    assert set(emitted) == {99, 3}
+    assert emitted[99]["n_events"] == 1 and emitted[3]["n_events"] == 1
+
+
 def test_windowed_event_counts_batch_twin(spark):
     events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     out = windowed_event_counts(events, window="1 day", watermark="1 day")
