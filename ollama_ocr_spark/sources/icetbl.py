@@ -33,6 +33,7 @@ import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.errors.exceptions.captured import AnalysisException
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -129,3 +130,75 @@ class IceTable:
         if snap is None or not snap.files:
             return None
         return spark.read.parquet(*snap.files)
+
+
+class CatalogTable:
+    """Real-table-format path (feature-flagged): the same duck-type API as
+    :class:`IceTable` over a Spark catalog table via the DataSourceV2
+    ``writeTo`` API.
+
+    With an Iceberg catalog configured (runtime jar +
+    ``spark.sql.catalog.<name>`` conf — absent in this sandbox, SURVEY.md
+    §7.0), appends are Iceberg snapshot commits, ``current_snapshot_id``
+    reads the ``<tbl>.snapshots`` metadata table, and time travel uses the
+    ``snapshot-id`` read option. With any other V2 catalog the write/read
+    mechanics still work; snapshot-dependent methods degrade to ``None``
+    (callers treat the table as append-only without time travel).
+    """
+
+    def __init__(self, spark: SparkSession, identifier: str,
+                 using: str = "iceberg") -> None:
+        self.spark = spark
+        self.identifier = identifier
+        self.using = using
+
+    def _exists(self) -> bool:
+        return self.spark.catalog.tableExists(self.identifier)
+
+    def append(self, df: DataFrame) -> int | None:
+        if self._exists():
+            try:
+                df.writeTo(self.identifier).append()
+            except AnalysisException:
+                # session-catalog v1 tables reject V2 appends ("Cannot write
+                # into v1 table"); fall back to the positional v1 insert.
+                df.write.insertInto(self.identifier)
+        else:
+            df.writeTo(self.identifier).using(self.using).create()
+        return self.current_snapshot_id()
+
+    def current_snapshot_id(self) -> int | None:
+        try:
+            row = self.spark.sql(
+                f"SELECT snapshot_id FROM {self.identifier}.snapshots "
+                "ORDER BY committed_at DESC LIMIT 1"
+            ).first()
+        except Exception:
+            return None  # catalog without Iceberg snapshot metadata
+        return int(row["snapshot_id"]) if row else None
+
+    def read(self, spark: SparkSession | None = None,
+             snapshot_id: int | None = None) -> DataFrame | None:
+        spark = spark or self.spark
+        if not self._exists():
+            return None
+        if snapshot_id is not None:
+            return (
+                spark.read.option("snapshot-id", str(snapshot_id))
+                .table(self.identifier)
+            )
+        return spark.table(self.identifier)
+
+
+def open_table(root_or_identifier: str, spark: SparkSession | None = None,
+               fmt: str | None = None):
+    """Table factory behind the ``SPARK_GRAFT_TABLE_FORMAT`` feature flag:
+    ``icetbl`` (default — snapshot-log-over-parquet, zero dependencies) or
+    ``iceberg`` (catalog-backed ``writeTo`` path; requires the runtime jar
+    and a SparkSession)."""
+    fmt = fmt or os.environ.get("SPARK_GRAFT_TABLE_FORMAT", "icetbl")
+    if fmt == "iceberg":
+        if spark is None:
+            raise ValueError("table format 'iceberg' needs a SparkSession")
+        return CatalogTable(spark, root_or_identifier)
+    return IceTable(root_or_identifier)

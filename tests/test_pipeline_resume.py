@@ -22,6 +22,29 @@ def test_icetbl_append_and_time_travel(spark, tmp_path):
     assert tbl.current_snapshot_id() == 2
 
 
+def test_open_table_flag_and_catalog_writeTo(spark, tmp_path, monkeypatch):
+    """Feature flag: default → icetbl; 'iceberg' → catalog writeTo path.
+    The V2 write/read mechanics run here against the session catalog with
+    using='parquet' (no Iceberg jar in-sandbox); snapshot-dependent methods
+    degrade to None on a non-Iceberg catalog."""
+    from ollama_ocr_spark.sources.icetbl import CatalogTable, open_table
+
+    assert isinstance(open_table(str(tmp_path / "t")), IceTable)
+    monkeypatch.setenv("SPARK_GRAFT_TABLE_FORMAT", "iceberg")
+    assert isinstance(open_table("default.t", spark=spark), CatalogTable)
+
+    tbl = CatalogTable(spark, "default.graft_cat_test", using="parquet")
+    try:
+        assert tbl.read() is None
+        tbl.append(spark.range(5).withColumn("tag", F.lit("a")))
+        tbl.append(spark.range(3).withColumn("tag", F.lit("b")))
+        assert tbl.read().count() == 8
+        assert tbl.read(spark).count() == 8
+        assert tbl.current_snapshot_id() is None  # parquet: no .snapshots
+    finally:
+        spark.sql("DROP TABLE IF EXISTS default.graft_cat_test")
+
+
 def test_crash_between_results_and_metrics_is_repaired(
     spark, documents_smoke, tmp_path
 ):
