@@ -106,39 +106,43 @@ def jaccard_pairs(df: DataFrame, key: str = "doc_id", col: str = "text",
     lists would explode quadratically) — the standard web-scale guard; None
     keeps exact semantics for oracle comparison at test scale.
 
-    Single-scan plan: each doc's shingle-set size rides along INTO the
-    posting lists as ``struct(id, n)``, so pair rows emerge already carrying
-    both set sizes — no separate sizes branch (which re-scanned the source)
-    and no post-hoc a/b size joins (two shuffles each at scale). Total:
-    1 source scan, 2 shuffles (postings groupBy, pair groupBy).
+    Single-scan plan: each doc's shingle-set size rides INTO the posting
+    lists bit-packed with its id (``id * 2^22 + n``), so pair rows emerge
+    already carrying both set sizes — no separate sizes branch (a second
+    full corpus scan) and no post-hoc a/b size joins. Packing (rather than
+    a struct) keeps posting lists ``array<bigint>``: long-only sort/slice
+    codegen, and sorting packed values sorts by id since ids are unique.
+    Limits (documented, asserted-at-scale trade): id < 2^41 (covers 10^12
+    docs), n clamped at 2^22-1 distinct shingles ≈ a 4M-word document.
+    Total: 1 source scan, 2 shuffles (postings groupBy, pair groupBy).
     """
+    PACK = 1 << 22
     docs = df.select(F.col(key).alias("id"), _shingle_set(col, k).alias("shs"))
     exploded = docs.select(
-        F.struct(F.col("id"), F.size("shs").alias("n")).alias("doc"),
+        (
+            F.shiftleft(F.col("id").cast("bigint"), 22)
+            + F.least(F.size("shs"), F.lit(PACK - 1)).cast("bigint")
+        ).alias("pid"),
         F.explode("shs").alias("shingle"),
     )
     postings = exploded.groupBy("shingle").agg(
-        F.collect_list("doc").alias("ids")
+        F.collect_list("pid").alias("ids")
     ).filter(F.size("ids") >= 2)
     if max_posting is not None:
         postings = postings.filter(F.size("ids") <= max_posting)
 
-    # sort_array orders structs by their first field (the unique id), so
-    # _posting_pairs still yields each unordered pair exactly once, a < b.
     inter = (
         postings.select(F.explode(_posting_pairs(F.col("ids"))).alias("p"))
         .groupBy(F.col("p.a").alias("pa"), F.col("p.b").alias("pb"))
         .agg(F.count("*").alias("inter"))
     )
+    na = F.col("pa").bitwiseAND(PACK - 1)
+    nb = F.col("pb").bitwiseAND(PACK - 1)
     out = inter.select(
-        F.col("pa.id").alias("a"),
-        F.col("pb.id").alias("b"),
+        F.shiftrightunsigned(F.col("pa"), 22).alias("a"),
+        F.shiftrightunsigned(F.col("pb"), 22).alias("b"),
         "inter",
-        F.round(
-            F.col("inter")
-            / (F.col("pa.n") + F.col("pb.n") - F.col("inter")),
-            4,
-        ).alias("jaccard"),
+        F.round(F.col("inter") / (na + nb - F.col("inter")), 4).alias("jaccard"),
     )
     if threshold > 0:
         out = out.filter(F.col("jaccard") >= threshold)
