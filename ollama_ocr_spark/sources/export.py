@@ -32,11 +32,14 @@ def _stem(url: str) -> str:
 
 
 def export_reference_outputs(results: DataFrame, out_dir: str,
-                             prefix: str = "OCR") -> str:
+                             prefix: str = "OCR",
+                             write_csv: bool = True) -> str:
     """Write per-doc text files + summary.csv in the reference's format.
 
-    Returns the summary.csv path. Deterministic order (sorted by url —
-    the analog of the reference's sorted directory scan).
+    Returns the summary.csv path (written only when ``write_csv`` — the
+    reference's batch mode always writes the text files but gates the CSV
+    behind ``--csv``, `ocr_router.py:381-386`). Deterministic order (sorted
+    by url — the analog of the reference's sorted directory scan).
     """
     os.makedirs(out_dir, exist_ok=True)
     rows = (
@@ -51,19 +54,26 @@ def export_reference_outputs(results: DataFrame, out_dir: str,
             "use the icetbl results table for bulk output"
         )
     csv_path = os.path.join(out_dir, "summary.csv")
-    with open(csv_path, "w", newline="", encoding="utf-8") as fh:
-        writer = csv.writer(fh)
-        writer.writerow(["file", "engine", "chars", "pages", "type"])
+    fh = open(csv_path, "w", newline="", encoding="utf-8") if write_csv else None
+    try:
+        writer = csv.writer(fh) if fh else None
+        if writer:
+            writer.writerow(["file", "engine", "chars", "pages", "type"])
         for r in rows:
             stem = _stem(r["url"])
             if r["engine"] == "error":
                 # error-row contract: ocr_router.py:414-415
-                writer.writerow([stem, "error", 0, 0, "error"])
+                if writer:
+                    writer.writerow([stem, "error", 0, 0, "error"])
                 continue
             with open(os.path.join(out_dir, f"{prefix}_{stem}.txt"),
                       "w", encoding="utf-8") as tf:
                 tf.write(r["text"])
-            writer.writerow(
-                [stem, r["engine"], r["chars"], r["pages"], r["doc_type"]]
-            )
+            if writer:
+                writer.writerow(
+                    [stem, r["engine"], r["chars"], r["pages"], r["doc_type"]]
+                )
+    finally:
+        if fh:
+            fh.close()
     return csv_path

@@ -88,6 +88,37 @@ def test_export_reference_outputs(spark, documents_smoke, tmp_path):
     assert not os.path.exists(os.path.join(out_dir, "OCR_page-9.txt"))
 
 
+def test_cli_batch_and_single_url(spark, tmp_path, capsys):
+    """Reference-CLI parity: batch run exports OCR_{stem}.txt + summary.csv,
+    re-run resumes (0 new docs), --url prints the 400-char preview."""
+    from ollama_ocr_spark.cli import main
+
+    workdir = str(tmp_path / "run")
+    outdir = str(tmp_path / "out")
+    base = ["--input", "/root/testdata/sf0.001/documents.parquet",
+            "--synthesize", "--workdir", workdir]
+    assert main(base + ["--outdir", outdir, "--csv"]) == 0
+    out = capsys.readouterr().out
+    assert "extracted 500 new / 500 docs" in out
+    assert os.path.exists(os.path.join(outdir, "summary.csv"))
+    assert os.path.exists(os.path.join(outdir, "OCR_article-0.txt"))
+
+    # resume: nothing new
+    assert main(base) == 0
+    assert "extracted 0 new / 500 docs" in capsys.readouterr().out
+
+    # single-file mode analog
+    assert main(base + ["--url", "https://h0.example.com/src0/article-0.html"]) == 0
+    out = capsys.readouterr().out
+    assert out.startswith("[printed] https://h0.example.com/src0/article-0.html")
+
+    # --outdir without --csv writes text files only
+    outdir2 = str(tmp_path / "out2")
+    assert main(base + ["--outdir", outdir2]) == 0
+    assert os.path.exists(os.path.join(outdir2, "OCR_article-0.txt"))
+    assert not os.path.exists(os.path.join(outdir2, "summary.csv"))
+
+
 def test_export_refuses_bulk(spark, documents_smoke, tmp_path, monkeypatch):
     import ollama_ocr_spark.sources.export as ex
 
