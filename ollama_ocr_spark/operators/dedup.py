@@ -280,35 +280,49 @@ def embedding_near_dupes(df: DataFrame, key: str = "vec_id",
     )
 
 
+# Two's-complement bit masks: 1<<b for b<63, sign bit as Java long min.
+_SIMHASH_POWS = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
+
+
 def simhash64(df: DataFrame, key: str = "doc_id", col: str = "text") -> DataFrame:
-    """64-bit SimHash over word features (md5-derived bit vectors).
+    """64-bit SimHash over word features (xxhash64-derived bit vectors).
 
     sig bit b = majority sign of sum over words of (+1 if bit b of
-    xxhash64(word) else -1). Uses Spark's xxhash64 (fast path); this one is
-    rows-only checked (no SQL oracle — hash function is Spark-specific).
-    Output: (key, simhash bigint, bucket int — top 16 bits for blocking).
+    xxhash64(word) else -1). Rows-only checked (no SQL oracle — hash
+    function is Spark-specific). Output: (key, simhash bigint, bucket int —
+    top 16 bits for blocking).
+
+    Single-traversal plan: ONE ``aggregate`` over the hash array with an
+    ``array<int>[64]`` accumulator (``zip_with`` adds all 64 bit signs per
+    word) — the per-bit-aggregate formulation re-evaluated the
+    words→xxhash64 transform 64 times per row. The signature folds back
+    from the accumulator by summing the masks of positive bits (exact
+    two's-complement reconstruction, so the sign bit mask is Java long
+    min, never an overflowing ``1<<63``).
     """
-    words = F.array_distinct(F.split(F.col(col), " "))
-    hashes = F.transform(words, lambda w: F.xxhash64(w))
-    bit_sums = [
-        F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(
-                h.bitwiseAND(F.shiftleft(F.lit(1).cast("bigint"), b)) != 0, 1
-            ).otherwise(-1),
-        ).alias(f"s{b}")
-        for b in range(64)
-    ]
-    with_bits = df.select(F.col(key), *bit_sums)
-    sig = None
-    for b in range(64):
-        term = F.when(
-            F.col(f"s{b}") > 0, F.shiftleft(F.lit(1).cast("bigint"), b)
-        ).otherwise(F.lit(0).cast("bigint"))
-        sig = term if sig is None else sig.bitwiseXOR(term)
-    return with_bits.select(
+    pows = F.array(*[F.lit(p).cast("bigint") for p in _SIMHASH_POWS])
+    hashes = F.transform(
+        F.array_distinct(F.split(F.col(col), " ")), lambda w: F.xxhash64(w)
+    )
+    acc = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda a, h: F.zip_with(
+            a,
+            pows,
+            lambda s, p: s
+            + F.when(h.bitwiseAND(p) != 0, 1).otherwise(-1),
+        ),
+    )
+    sig = F.aggregate(
+        F.zip_with(
+            acc, pows,
+            lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda x, y: x + y,
+    )
+    return df.select(
         F.col(key),
         sig.alias("simhash"),
     ).withColumn("bucket", F.shiftrightunsigned(F.col("simhash"), 48).cast("int"))
