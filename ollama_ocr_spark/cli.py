@@ -52,6 +52,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--engine", choices=["auto", "printed", "handwriting"],
                    default="auto",
                    help="engine label override (default: auto routing)")
+    p.add_argument("--mode",
+                   choices=["extract", "structured", "analyze", "multi"],
+                   default="extract",
+                   help="analysis mode (ollama_cloud_ocr.py --mode analog): "
+                        "extract=main text; structured=receipt fields; "
+                        "analyze=document metadata; multi=one-parse "
+                        "multi-step")
     p.add_argument("--workdir", default="ocr_run",
                    help="icetbl results/metrics tables root (resume anchor)")
     p.add_argument("--outdir", default=None,
@@ -78,6 +85,31 @@ def main(argv: list[str] | None = None) -> int:
         pages = synthesize_stage(pages)
     if args.url:
         pages = pages.filter(F.col("url") == args.url)
+
+    if args.mode != "extract":
+        # cloud-CLI mode dispatch (ollama_cloud_ocr.py:744-788): run the
+        # parameterized analysis stage, commit to its own icetbl table.
+        from .operators import modes as _modes
+
+        stage = {
+            "structured": _modes.structured_stage,
+            "analyze": _modes.analyze_stage,
+            "multi": _modes.multi_step_stage,
+        }[args.mode]
+        out = stage(pages)
+        tbl = IceTable(os.path.join(args.workdir, args.mode))
+        sid = tbl.append(out)
+        if args.url:
+            row = tbl.read(spark).filter(F.col("url") == args.url).first()
+            if row is None:
+                print(f"no document for url: {args.url}", file=sys.stderr)
+                return 1
+            for field, val in row.asDict().items():
+                print(f"{field}: {val}")
+        else:
+            print(f"{args.mode}: {tbl.read(spark).count()} rows -> "
+                  f"{tbl.root} (snapshot {sid})")
+        return 0
 
     results_tbl = IceTable(os.path.join(args.workdir, "results"))
     metrics_tbl = IceTable(os.path.join(args.workdir, "metrics"))

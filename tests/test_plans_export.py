@@ -118,6 +118,14 @@ def test_cli_batch_and_single_url(spark, tmp_path, capsys):
     assert os.path.exists(os.path.join(outdir2, "OCR_article-0.txt"))
     assert not os.path.exists(os.path.join(outdir2, "summary.csv"))
 
+    # --mode dispatch (cloud-CLI analog): analyze on a single url
+    assert main(base + ["--mode", "analyze",
+                        "--url", "https://h0.example.com/src0/article-0.html"]) == 0
+    out = capsys.readouterr().out
+    assert "title: article 0" in out and "doc_class: structured" in out
+    assert main(base + ["--mode", "structured"]) == 0
+    assert "structured:" in capsys.readouterr().out
+
 
 def test_export_refuses_bulk(spark, documents_smoke, tmp_path, monkeypatch):
     import ollama_ocr_spark.sources.export as ex
