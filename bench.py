@@ -101,7 +101,10 @@ def _pipeline(spark, cores: int):
     from ollama_ocr_spark.operators.maintenance import balance_by_url, latest_capture
 
     pages = spark.read.parquet(PAGES_DIR)
-    return extract_stage(latest_capture(balance_by_url(pages, cores * 2)))
+    # One task wave (partitions == cores): measured 91k vs 55-64k docs/s at
+    # local[32] against 2x/4x over-partitioning — each extra wave re-pays
+    # Arrow pipeline spin-up per partition; AQE handles any stragglers.
+    return extract_stage(latest_capture(balance_by_url(pages, cores)))
 
 
 def timed_extract(spark, cores: int) -> dict:
