@@ -335,6 +335,16 @@ def q_quality_scores(spark, sf_dir):
     )
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition filters: distinct/top-word/dup-kgram mass."""
+    from ollama_ocr_spark.operators.textstats import with_repetition_stats
+
+    return with_repetition_stats(_docs(spark, sf_dir)).select(
+        "doc_id", "n_words", "distinct_word_frac", "top_word_frac",
+        "dup_kgram_frac", "repetition_ok"
+    )
+
+
 def q_langid_confusion(spark, sf_dir):
     from ollama_ocr_spark.operators.textstats import with_langid
 
@@ -548,6 +558,7 @@ _QUERIES = {
         "simhash_buckets": q_simhash_buckets,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
+        "repetition_stats": q_repetition_stats,
         "langid_confusion": q_langid_confusion,
         "fingerprints": q_fingerprints,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -882,6 +893,41 @@ def oracle_sql() -> dict[str, str]:
                     AND mean_word_len <= 12.0 AND stopword_ratio >= 0.01)
                      AS quality_ok
             FROM q
+        """,
+        "repetition_stats": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+                       FROM documents),
+            counts AS (
+              SELECT doc_id, count(*) AS c
+              FROM (SELECT doc_id, unnest(w) AS word FROM w)
+              GROUP BY doc_id, word
+            ),
+            top AS (SELECT doc_id, max(c) AS topc FROM counts GROUP BY 1),
+            kg AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) >= 5
+                          THEN list_transform(range(1, len(w) - 3),
+                               i -> array_to_string(w[i : i + 4], ' '))
+                          ELSE [] END AS gs
+              FROM w
+            ),
+            r AS (
+              SELECT w.doc_id, len(w.w) AS n_words,
+                     round(len(list_distinct(w.w)) * 1.0 / len(w.w), 4)
+                       AS distinct_word_frac,
+                     round(t.topc * 1.0 / len(w.w), 4) AS top_word_frac,
+                     CASE WHEN len(k.gs) > 0
+                          THEN round(1 - len(list_distinct(k.gs)) * 1.0
+                                     / len(k.gs), 4)
+                          ELSE 0.0 END AS dup_kgram_frac
+              FROM w JOIN top t ON t.doc_id = w.doc_id
+                     JOIN kg k ON k.doc_id = w.doc_id
+            )
+            SELECT doc_id, n_words::INT AS n_words, distinct_word_frac,
+                   top_word_frac, dup_kgram_frac,
+                   (distinct_word_frac >= 0.2 AND top_word_frac <= 0.3
+                    AND dup_kgram_frac <= 0.6) AS repetition_ok
+            FROM r
         """,
         "langid_confusion": """
             SELECT lang,

@@ -63,6 +63,59 @@ def with_quality_score(df: DataFrame, col: str = "text") -> DataFrame:
     )
 
 
+def with_repetition_stats(df: DataFrame, col: str = "text",
+                          k: int = 5) -> DataFrame:
+    """Repetition-based quality signals (the Gopher/MassiveText filter
+    family: published rules drop documents whose duplicate n-gram or
+    top-word mass is too high — arXiv:2112.11446 §A1.1):
+
+    - ``distinct_word_frac``: |distinct words| / |words|,
+    - ``top_word_frac``: share of the single most frequent word,
+    - ``dup_kgram_frac``: 1 - |distinct k-grams| / |k-grams| (k=5 default,
+      same shingle unit as the dedup family),
+    - ``repetition_ok``: illustrative composite threshold.
+
+    All native array expressions (one pass, no explode/shuffle); exact
+    DuckDB mirror in the ``repetition_stats`` oracle.
+    """
+    words = _words(col)
+    n_words = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+    # top word share via aggregate over distinct words, counting matches in
+    # the full array — O(distinct * n) worst case but fully map-side; texts
+    # are documents, not books.
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(words),
+            lambda w: F.size(F.filter(words, lambda x: x == w)),
+        )
+    )
+    idx = F.when(
+        n_words >= k,
+        F.sequence(F.lit(1), n_words - F.lit(k - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    kgrams = F.transform(idx, lambda i: F.array_join(F.slice(words, i, k), " "))
+    n_kgrams = F.size(kgrams)
+    dup_frac = F.when(
+        n_kgrams > 0,
+        F.round(1 - F.size(F.array_distinct(kgrams)) / n_kgrams, 4),
+    ).otherwise(F.lit(0.0))
+    distinct_frac = F.round(n_distinct / n_words, 4)
+    top_frac = F.round(top_count / n_words, 4)
+    return (
+        df.withColumn("n_words", n_words)
+        .withColumn("distinct_word_frac", distinct_frac)
+        .withColumn("top_word_frac", top_frac)
+        .withColumn("dup_kgram_frac", dup_frac)
+        .withColumn(
+            "repetition_ok",
+            (distinct_frac >= F.lit(0.2))
+            & (top_frac <= F.lit(0.3))
+            & (dup_frac <= F.lit(0.6)),
+        )
+    )
+
+
 def with_langid(df: DataFrame, col: str = "text") -> DataFrame:
     """N-gram-free stopword-hit language heuristic.
 

@@ -151,6 +151,27 @@ def test_quality_and_langid(spark):
     assert langs == {1: "en", 2: "und"}
 
 
+def test_repetition_stats(spark):
+    from ollama_ocr_spark.operators.textstats import with_repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "spam " * 19 + "spam"),                       # 20x one word
+         (2, "the quick brown fox jumps over a lazy dog today")],
+        ["doc_id", "text"],
+    )
+    r = {row["doc_id"]: row for row in with_repetition_stats(df).collect()}
+    assert r[1]["distinct_word_frac"] == 0.05
+    assert r[1]["top_word_frac"] == 1.0
+    assert r[1]["dup_kgram_frac"] == round(1 - 1 / 16, 4)
+    assert r[1]["repetition_ok"] is False
+    assert r[2]["distinct_word_frac"] == 1.0
+    assert r[2]["dup_kgram_frac"] == 0.0
+    assert r[2]["repetition_ok"] is True
+    # zero shuffles: all map-side array expressions
+    from ollama_ocr_spark.plans.audit import plan_report
+    assert plan_report(with_repetition_stats(df)).n_exchanges == 0
+
+
 def test_single_shuffle_extract_plan(spark, documents_smoke):
     """Plan shape: balance_by_url + latest_capture + extract = ONE exchange,
     and the parquet scan is pruned to the 4 kernel columns."""
