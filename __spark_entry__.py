@@ -335,6 +335,24 @@ def q_quality_scores(spark, sf_dir):
     )
 
 
+def q_url_normalize(spark, sf_dir):
+    """URL canonicalization over synthetic dirty variants of corpus urls."""
+    from ollama_ocr_spark.operators.maintenance import normalize_url_expr
+
+    pages = _latest_pages(spark, sf_dir)
+    dirty = pages.select(
+        F.concat(
+            F.col("url"), F.lit("?utm_source=feed&id="),
+            F.regexp_extract("url", r"-(\d+)\.", 1),
+            F.lit("&gclid=zz#frag"),
+        ).alias("url")
+    )
+    return dirty.select(
+        F.col("url").alias("dirty_url"),
+        normalize_url_expr().alias("canonical_url"),
+    )
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher-style repetition filters: distinct/top-word/dup-kgram mass."""
     from ollama_ocr_spark.operators.textstats import with_repetition_stats
@@ -559,6 +577,7 @@ _QUERIES = {
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "repetition_stats": q_repetition_stats,
+        "url_normalize": q_url_normalize,
         "langid_confusion": q_langid_confusion,
         "fingerprints": q_fingerprints,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -893,6 +912,24 @@ def oracle_sql() -> dict[str, str]:
                     AND mean_word_len <= 12.0 AND stopword_ratio >= 0.01)
                      AS quality_ok
             FROM q
+        """,
+        "url_normalize": f"""
+            WITH u AS (
+              SELECT 'https://' || {_HOST_CASE} || '/' || source || '/' ||
+                     {_STEM_CASE} || '-' || doc_id || {_EXT_CASE}
+                     || '?utm_source=feed&id=' || doc_id
+                     || '&gclid=zz#frag' AS dirty_url
+              FROM documents
+            )
+            SELECT dirty_url,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(dirty_url, '#.*$', '', 'g'),
+                         '(utm_[a-z]+|fbclid|gclid)=[^&#]*&?', '', 'g'),
+                       '[?&]+$', '', 'g'),
+                     '\\?&', '?', 'g') AS canonical_url
+            FROM u
         """,
         "repetition_stats": """
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS w

@@ -396,8 +396,38 @@ def _collapse_ws(raw: str) -> str:
     return " ".join(raw.split())
 
 
+# Charset declaration inside the first 1KB: <meta charset=X> or the legacy
+# http-equiv content="text/html; charset=X" form.
+_CHARSET_RE = re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?([A-Za-z0-9_.:-]+)""", re.IGNORECASE
+)
+# Encodings we honor when declared; everything else falls back to UTF-8
+# (errors='replace' keeps the decode total). Names are canonical lowercase.
+_KNOWN_CHARSETS = frozenset({
+    "utf-8", "utf8", "latin-1", "latin1", "iso-8859-1", "iso8859-1",
+    "windows-1252", "cp1252", "ascii", "us-ascii",
+})
+
+
 def decode_payload(data: bytes) -> str:
-    """Deterministic byte→str decode; never raises."""
+    """Deterministic byte→str decode; never raises.
+
+    Real Common-Crawl captures declare charsets: honor UTF BOMs first, then
+    a ``<meta charset>`` declaration in the first 1KB (the whitelist keeps
+    decoding deterministic — an unknown or lying declaration degrades to
+    UTF-8-replace instead of raising).
+    """
+    if data.startswith(b"\xef\xbb\xbf"):
+        return data[3:].decode("utf-8", errors="replace")
+    if data.startswith(b"\xff\xfe"):
+        return data[2:].decode("utf-16-le", errors="replace")
+    if data.startswith(b"\xfe\xff"):
+        return data[2:].decode("utf-16-be", errors="replace")
+    m = _CHARSET_RE.search(data[:1024])
+    if m:
+        enc = m.group(1).decode("ascii", errors="replace").lower()
+        if enc in _KNOWN_CHARSETS and not enc.startswith(("utf-8", "utf8")):
+            return data.decode(enc, errors="replace")
     return data.decode("utf-8", errors="replace")
 
 

@@ -24,6 +24,32 @@ def doc_id_expr(url_col: str = "url"):
     return F.regexp_extract(F.col(url_col), r"-(\d+)\.[a-z]+$", 1).cast("bigint")
 
 
+def normalize_url_expr(url_col: str = "url"):
+    """Canonical URL form for dedup keys (all native regexp ops, codegen):
+
+    - lowercase the scheme://host prefix,
+    - drop the fragment,
+    - drop default ports (:80 http, :443 https),
+    - strip tracking params (utm_*, fbclid, gclid) and tidy leftover
+      ``?``/``&`` separators.
+
+    Mirrored in the ``url_normalize`` oracle (DuckDB regexp_replace with
+    the 'g' flag — Spark's replaces all matches by default).
+    """
+    u = F.col(url_col)
+    u = F.regexp_replace(u, r"#.*$", "")                     # fragment
+    u = F.concat(                                            # lower scheme+host
+        F.lower(F.regexp_extract(u, r"(?i)^(https?://[^/?]*)", 1)),
+        F.regexp_replace(u, r"(?i)^https?://[^/?]*", ""),
+    )
+    u = F.regexp_replace(u, r"^(http://[^/?:]*):80(?=[/?]|$)", r"$1")
+    u = F.regexp_replace(u, r"^(https://[^/?:]*):443(?=[/?]|$)", r"$1")
+    u = F.regexp_replace(u, r"(utm_[a-z]+|fbclid|gclid)=[^&#]*&?", "")  # trackers
+    u = F.regexp_replace(u, r"[?&]+$", "")                   # dangling seps
+    u = F.regexp_replace(u, r"\?&", "?")
+    return u
+
+
 def golden_text_expr(doc_id_col: str = "doc_id", text_col: str = "text"):
     """Native-expression twin of ``corpus.golden_text`` for the HTML
     archetypes (k <= 6): identity for prose pages, markdown rendering for

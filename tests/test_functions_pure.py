@@ -59,6 +59,40 @@ def test_html_never_raises_on_garbage():
     assert extract_html_main_text(b"<<<>>>\xff\xfe<p>ok</p>") is not None
 
 
+def test_charset_detection():
+    """BOMs and declared legacy charsets decode correctly; unknown or
+    utf-8 declarations fall through to utf-8-replace."""
+    from ollama_ocr_spark.functions.htmltext import decode_payload
+
+    assert decode_payload("café".encode("utf-8-sig")) == "café"
+    assert decode_payload(b"\xef\xbb\xbfhi") == "hi"
+    assert decode_payload(b"\xff\xfeh\x00i\x00") == "hi"  # UTF-16-LE BOM
+    latin = '<meta charset="iso-8859-1"><p>caf\xe9</p>'.encode("latin-1")
+    assert "café" in decode_payload(latin)
+    assert extract_html_main_text(latin) == "café"
+    # lying/unknown charset degrades to utf-8-replace, never raises
+    weird = b'<meta charset="klingon"><p>\xff ok</p>'
+    assert "ok" in decode_payload(weird)
+
+
+def test_normalize_url_expr(spark):
+    from pyspark.sql import functions as F
+
+    from ollama_ocr_spark.operators.maintenance import normalize_url_expr
+
+    cases = [
+        ("HTTPS://Example.COM/Path?utm_source=x&q=1#frag",
+         "https://example.com/Path?q=1"),
+        ("http://h.com:80/a", "http://h.com/a"),
+        ("https://h.com:443/a?gclid=z", "https://h.com/a"),
+        ("https://h.com/a?utm_a=1&utm_b=2", "https://h.com/a"),
+        ("https://h.com/clean?id=7", "https://h.com/clean?id=7"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = [r[0] for r in df.select(normalize_url_expr()).collect()]
+    assert got == [want for _, want in cases]
+
+
 def test_markdown_archetypes_roundtrip():
     """k=2 table / k=3 list pages extract to their markdown goldens, and the
     three golden implementations (python, Spark expr, oracle SQL) agree —
