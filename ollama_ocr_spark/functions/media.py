@@ -69,6 +69,64 @@ def image_metadata(data: bytes | None) -> tuple[str | None, int | None, int | No
     return None, None, None
 
 
+def wav_metadata(data: bytes) -> tuple[int, int, float] | None:
+    """(channels, sample_rate, duration_secs) from a RIFF/WAVE header —
+    walks the chunk list for ``fmt `` and ``data`` (pure byte math)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    pos = 12
+    channels = rate = block_align = None
+    data_size = None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        size = int.from_bytes(data[pos + 4:pos + 8], "little")
+        body = data[pos + 8:pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            block_align = int.from_bytes(body[12:14], "little")
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if not (channels and rate and block_align):
+        return None
+    duration = (
+        round(data_size / (rate * block_align), 4)
+        if data_size is not None else 0.0
+    )
+    return channels, rate, duration
+
+
+def mp4_metadata(data: bytes) -> tuple[str, float] | None:
+    """(brand, duration_secs) from an ISO-BMFF header — reads the ``ftyp``
+    major brand and the ``mvhd`` timescale/duration inside ``moov``
+    (top-level box walk + one nested scan; no codec work)."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        return None
+    brand = data[8:12].decode("ascii", errors="replace").strip()
+    pos = 0
+    while pos + 8 <= len(data):
+        size = int.from_bytes(data[pos:pos + 4], "big")
+        if size < 8:
+            break
+        if data[pos + 4:pos + 8] == b"moov":
+            moov = data[pos + 8:pos + size]
+            i = moov.find(b"mvhd")
+            if i >= 0 and len(moov) >= i + 24:
+                version = moov[i + 4]
+                if version == 1:
+                    timescale = int.from_bytes(moov[i + 24:i + 28], "big")
+                    duration = int.from_bytes(moov[i + 28:i + 36], "big")
+                else:
+                    timescale = int.from_bytes(moov[i + 16:i + 20], "big")
+                    duration = int.from_bytes(moov[i + 20:i + 24], "big")
+                if timescale:
+                    return brand, round(duration / timescale, 4)
+            return brand, 0.0
+        pos += size
+    return brand, 0.0
+
+
 def decode_image(data: bytes):  # pragma: no cover - by design
     """Decode to a pixel array. STUB: no codec library in-sandbox."""
     raise MediaDecodeUnavailable(

@@ -17,10 +17,15 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from ..functions.media import image_metadata
+from ..functions.media import image_metadata, mp4_metadata, wav_metadata
 
 IMAGE_META_SCHEMA = (
     "url string, format string, width int, height int, bytes bigint"
+)
+
+MEDIA_META_SCHEMA = (
+    "url string, media_type string, format string, width int, height int, "
+    "channels int, sample_rate int, duration_secs double, bytes bigint"
 )
 
 FEATURE_DIM = 8
@@ -51,6 +56,47 @@ def image_metadata_stage(pages: DataFrame) -> DataFrame:
             )
 
     return pages.select("url", "html").mapInPandas(kernel, IMAGE_META_SCHEMA)
+
+
+def media_metadata_stage(pages: DataFrame) -> DataFrame:
+    """Unified multimodal metadata: image (jpeg/png dims), audio (WAV
+    channels/rate/duration), video (MP4 brand/duration) — all header-level
+    parses of the opaque ``binary`` column, dispatched on magic bytes.
+    Non-media payloads yield ``media_type=NULL`` rows (filter downstream).
+    """
+
+    def _one(payload: bytes | None) -> dict:
+        row = dict(media_type=None, format=None, width=None, height=None,
+                   channels=None, sample_rate=None, duration_secs=None,
+                   bytes=len(payload) if payload else 0)
+        if not payload:
+            return row
+        fmt, w, h = image_metadata(payload)
+        if fmt:
+            row.update(media_type="image", format=fmt, width=w, height=h)
+            return row
+        wav = wav_metadata(payload)
+        if wav:
+            row.update(media_type="audio", format="wav", channels=wav[0],
+                       sample_rate=wav[1], duration_secs=wav[2])
+            return row
+        mp4 = mp4_metadata(payload)
+        if mp4:
+            row.update(media_type="video", format=mp4[0],
+                       duration_secs=mp4[1])
+        return row
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [_one(p) for p in pdf["html"]]
+            out = pd.DataFrame(rows)
+            out.insert(0, "url", pdf["url"].values)
+            for c, dt in (("width", "Int32"), ("height", "Int32"),
+                          ("channels", "Int32"), ("sample_rate", "Int32")):
+                out[c] = pd.array(out[c], dtype=dt)
+            yield out
+
+    return pages.select("url", "html").mapInPandas(kernel, MEDIA_META_SCHEMA)
 
 
 def image_features_stage(pages: DataFrame) -> DataFrame:

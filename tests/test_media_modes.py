@@ -97,3 +97,68 @@ def test_analyze_and_multistep_share_semantics(spark, documents_smoke):
     # memo archetype is the unstructured class
     memos = [u for u in html_urls if "memo-" in u]
     assert memos and all(meta[u]["doc_class"] == "plain" for u in memos)
+
+
+def _wav_bytes(channels=2, rate=44100, seconds=2) -> bytes:
+    block_align = channels * 2  # 16-bit samples
+    data_size = rate * block_align * seconds
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * block_align).to_bytes(4, "little")
+        + block_align.to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    data = b"data" + data_size.to_bytes(4, "little")  # header only (no body)
+    riff_size = 4 + len(fmt) + len(data) + data_size
+    return b"RIFF" + riff_size.to_bytes(4, "little") + b"WAVE" + fmt + data
+
+
+def _mp4_bytes(timescale=600, duration=1500) -> bytes:
+    body = b"ftypisom" + (0).to_bytes(4, "big") + b"isomiso2"
+    ftyp = (4 + len(body)).to_bytes(4, "big") + body
+    mvhd = (
+        b"mvhd" + bytes([0]) + b"\x00\x00\x00"  # version 0 + flags
+        + (0).to_bytes(4, "big") * 2             # ctime, mtime
+        + timescale.to_bytes(4, "big") + duration.to_bytes(4, "big")
+    )
+    moov = b"moov" + mvhd
+    moov = (4 + len(moov)).to_bytes(4, "big") + moov
+    return ftyp + moov
+
+
+def test_audio_video_header_parsers():
+    from ollama_ocr_spark.functions.media import mp4_metadata, wav_metadata
+
+    # duration from the DECLARED data-chunk size (body itself not needed)
+    assert wav_metadata(_wav_bytes()) == (2, 44100, 2.0)
+    assert wav_metadata(_wav_bytes(channels=1, rate=8000, seconds=3)) == (
+        1, 8000, 3.0)
+    assert wav_metadata(b"RIFFxxxxAVI ") is None
+    assert mp4_metadata(_mp4_bytes()) == ("isom", 2.5)  # 1500/600
+    assert mp4_metadata(b"\x00\x00\x00\x08free") is None
+
+
+def test_media_metadata_stage_dispatch(spark):
+    from ollama_ocr_spark.operators.media import media_metadata_stage
+
+    rows = [
+        ("u/a.wav", _wav_bytes()),
+        ("u/v.mp4", _mp4_bytes()),
+        ("u/p.png", b"\x89PNG\r\n\x1a\n" + (7).to_bytes(4, "big") * 0
+         + (13).to_bytes(4, "big") + b"IHDR"
+         + (320).to_bytes(4, "big") + (200).to_bytes(4, "big")
+         + b"\x08\x02\x00\x00\x00" + b"\x00" * 4),
+        ("u/t.html", b"<html><p>x</p></html>"),
+        ("u/none", None),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r["url"]: r for r in media_metadata_stage(df).collect()}
+    assert got["u/a.wav"]["media_type"] == "audio"
+    assert (got["u/a.wav"]["channels"], got["u/a.wav"]["sample_rate"]) == (2, 44100)
+    assert got["u/v.mp4"]["media_type"] == "video"
+    assert got["u/v.mp4"]["duration_secs"] == 2.5
+    assert got["u/p.png"]["media_type"] == "image"
+    assert (got["u/p.png"]["width"], got["u/p.png"]["height"]) == (320, 200)
+    assert got["u/t.html"]["media_type"] is None
+    assert got["u/none"]["media_type"] is None and got["u/none"]["bytes"] == 0
