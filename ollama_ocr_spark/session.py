@@ -54,3 +54,20 @@ def get_spark(app: str = "ollama_ocr_spark", master: str | None = None,
     spark = builder.getOrCreate()
     _ship_package(spark)
     return spark
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+def enable_rocksdb_state(spark: SparkSession) -> None:
+    """Switch this session's streaming state store to RocksDB (bundled with
+    Spark 4) — the production path for large keyed state (sessionization,
+    stream dedup): state lives off-heap/on-disk per executor instead of in
+    the JVM heap, with zipped snapshots uploaded to the checkpoint. Runtime
+    SQL conf, so it applies to queries started after this call."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    )

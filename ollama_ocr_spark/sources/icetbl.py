@@ -73,8 +73,11 @@ class IceTable:
             sid = self.current_snapshot_id()
         if sid is None:
             return None
-        with open(self._snapshot_path(sid)) as fh:
-            payload = json.load(fh)
+        try:
+            with open(self._snapshot_path(sid)) as fh:
+                payload = json.load(fh)
+        except FileNotFoundError:  # expired snapshot
+            return None
         return Snapshot(payload["snapshot_id"], payload.get("parent"),
                         payload["files"])
 
@@ -100,19 +103,26 @@ class IceTable:
         os.rmdir(staging)
 
         files = (parent.files if parent else []) + new_files
+        self._publish(new_sid, parent.snapshot_id if parent else None, files)
+        return new_sid
+
+    def _publish(self, new_sid: int, parent_sid: int | None,
+                 files: list[str]) -> None:
+        """Atomically publish snapshot ``new_sid`` listing ``files``.
+
+        Atomic CREATE, not rename: os.rename silently REPLACES an existing
+        snapshot, which would lose a concurrent writer's commit. os.link
+        fails with EEXIST if another writer won the race — the Iceberg
+        optimistic-commit contract (loser must retry against the new
+        parent).
+        """
         tmp = self._snapshot_path(new_sid) + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
             json.dump(
-                {"snapshot_id": new_sid,
-                 "parent": parent.snapshot_id if parent else None,
+                {"snapshot_id": new_sid, "parent": parent_sid,
                  "files": files},
                 fh,
             )
-        # Atomic CREATE, not rename: os.rename silently REPLACES an existing
-        # snapshot, which would lose a concurrent writer's commit. os.link
-        # fails with EEXIST if another writer won the race — the Iceberg
-        # optimistic-commit contract (loser must retry against the new
-        # parent).
         try:
             os.link(tmp, self._snapshot_path(new_sid))
         except FileExistsError as exc:
@@ -122,7 +132,6 @@ class IceTable:
             ) from exc
         finally:
             os.unlink(tmp)
-        return new_sid
 
     # -- read path -----------------------------------------------------------
     def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame | None:
@@ -130,6 +139,66 @@ class IceTable:
         if snap is None or not snap.files:
             return None
         return spark.read.parquet(*snap.files)
+
+    # -- maintenance (Iceberg rewrite_data_files / expire_snapshots analogs) --
+    def compact(self, spark: SparkSession, target_files: int = 1) -> int | None:
+        """Rewrite the current snapshot's data into ``target_files`` files
+        and publish a new snapshot referencing ONLY the rewritten files.
+
+        Append-heavy tables accumulate a file per commit per partition; at
+        scale that means millions of small files and scan-planning blowup —
+        periodic compaction is the standard Iceberg maintenance op
+        (``rewrite_data_files``). Old snapshots still reference the old
+        files, so time travel keeps working until :meth:`expire_snapshots`.
+        """
+        snap = self.snapshot()
+        if snap is None or not snap.files:
+            return None
+        df = spark.read.parquet(*snap.files).coalesce(target_files)
+        staging = os.path.join(self.data_dir, f"_stage-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(staging)
+        new_sid = snap.snapshot_id + 1
+        new_files = []
+        for name in sorted(os.listdir(staging)):
+            if not name.endswith(".parquet"):
+                continue
+            final = os.path.join(
+                self.data_dir, f"part-{new_sid}-{uuid.uuid4().hex}.parquet"
+            )
+            os.rename(os.path.join(staging, name), final)
+            new_files.append(final)
+        for leftover in os.listdir(staging):
+            os.remove(os.path.join(staging, leftover))
+        os.rmdir(staging)
+        self._publish(new_sid, snap.snapshot_id, new_files)
+        return new_sid
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
+        """Drop all but the newest ``keep_last`` snapshots and delete data
+        files no live snapshot references (Iceberg ``expire_snapshots``).
+        Returns the deleted file paths."""
+        current = self.current_snapshot_id()
+        if current is None:
+            return []
+        cutoff = current - keep_last
+        live_files: set[str] = set()
+        expired_sids = []
+        for sid in range(1, current + 1):
+            snap = self.snapshot(sid)
+            if snap is None:
+                continue
+            if sid > cutoff:
+                live_files.update(snap.files)
+            else:
+                expired_sids.append(sid)
+        deleted = []
+        for sid in expired_sids:
+            for f in self.snapshot(sid).files:
+                if f not in live_files and os.path.exists(f):
+                    os.remove(f)
+                    deleted.append(f)
+            os.remove(self._snapshot_path(sid))
+        return sorted(set(deleted))
 
 
 class CatalogTable:

@@ -22,6 +22,35 @@ def test_icetbl_append_and_time_travel(spark, tmp_path):
     assert tbl.current_snapshot_id() == 2
 
 
+def test_icetbl_compact_and_expire(spark, tmp_path):
+    """Iceberg-maintenance analogs: compaction rewrites the live snapshot
+    into fewer files (time travel intact), expire_snapshots then deletes
+    unreferenced files and old snapshot logs."""
+    import glob
+
+    tbl = IceTable(str(tmp_path / "t"))
+    for i in range(3):
+        tbl.append(spark.range(10).withColumn("tag", F.lit(str(i))))
+    files_before = len(tbl.snapshot().files)
+    assert files_before >= 3
+
+    sid = tbl.compact(spark, target_files=1)
+    assert sid == 4
+    assert tbl.read(spark).count() == 30
+    assert len(tbl.snapshot().files) == 1
+    # time travel to a pre-compaction snapshot still works
+    assert tbl.read(spark, snapshot_id=2).count() == 20
+
+    deleted = tbl.expire_snapshots(keep_last=1)
+    assert deleted  # old small files physically removed
+    assert tbl.read(spark).count() == 30  # live snapshot untouched
+    assert tbl.snapshot(2) is None  # expired log gone
+    on_disk = glob.glob(str(tmp_path / "t" / "data" / "*.parquet"))
+    assert set(on_disk) == set(tbl.snapshot().files)
+    # a second expire over the now-sparse log is a no-op, not a crash
+    assert tbl.expire_snapshots(keep_last=1) == []
+
+
 def test_open_table_flag_and_catalog_writeTo(spark, tmp_path, monkeypatch):
     """Feature flag: default → icetbl; 'iceberg' → catalog writeTo path.
     The V2 write/read mechanics run here against the session catalog with

@@ -68,3 +68,37 @@ def test_stateful_sessionize_incremental_matches_batch(spark, tmp_path):
     grew = [u for u in first if u in second and second[u] > first[u]]
     assert grew
     assert os.path.isdir(ckpt)
+
+
+def test_rocksdb_state_store(spark, tmp_path):
+    """The production state-store path: RocksDB provider (bundled in Spark
+    4) produces the same sessionization answer, with zipped RocksDB
+    snapshots in the checkpoint instead of HDFS-backed heap state."""
+    from ollama_ocr_spark.session import ROCKSDB_PROVIDER, enable_rocksdb_state
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events_dir = str(tmp_path / "ev")
+    ckpt = str(tmp_path / "ck")
+    events.write.parquet(events_dir)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    enable_rocksdb_state(spark)
+    try:
+        assert (
+            spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+            == ROCKSDB_PROVIDER
+        )
+        got = run_sessionize_availableNow(spark, events_dir, ckpt, EVENTS_SCHEMA)
+        assert got == _batch_sessions(events)
+        zips = [
+            f for _, _, files in os.walk(os.path.join(ckpt, "state"))
+            for f in files if f.endswith(".zip")
+        ]
+        assert zips  # RocksDB snapshot uploads
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
