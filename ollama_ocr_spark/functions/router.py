@@ -38,7 +38,13 @@ ENGINE_ERROR = "error"
 TYPE_HTML = "HTML"
 TYPE_PDF = "PDF"
 TYPE_IMAGE = "Image"
+TYPE_TEXT = "Text"
 TYPE_ERROR = "error"
+
+# Plain-text acceptance: strict UTF-8 and no control bytes beyond \t\n\r —
+# anything binary-ish stays an error row (the corpus' junk captures carry
+# \x00 and must keep their error contract).
+_TEXT_FORBIDDEN = set(range(0x00, 0x20)) - {0x09, 0x0A, 0x0D}
 
 PAGE_SEP_FMT = "\n\n--- Page {n} ---\n\n"          # ocr_router.py:294
 PAGE_ERR_FMT = "[Error processing page: {e}]"       # ocr_router.py:298
@@ -69,6 +75,15 @@ def sniff_payload(data: bytes | None) -> tuple[str | None, str | None]:
     head = data[:256].lstrip().lower()
     if head.startswith(b"<!doctype") or head.startswith(b"<html") or head.startswith(b"<"):
         return "html", None
+    probe = data[:4096]
+    if len(data) > 4096:
+        probe = probe[:-3]  # don't split a multibyte char at the window edge
+    if not any(b in _TEXT_FORBIDDEN for b in probe):
+        try:
+            probe.decode("utf-8")
+        except UnicodeDecodeError:
+            return None, "unrecognized payload"
+        return "text", None
     return None, "unrecognized payload"
 
 
@@ -119,6 +134,17 @@ def extract_document(url: str, payload: bytes | None) -> ExtractResult:
         return ExtractResult(
             engine=kw_engine or ENGINE_PRINTED, text=text, chars=len(text),
             pages=len(pages), doc_type=TYPE_PDF, error=None,
+        )
+
+    if kind == "text":
+        # Plain-text capture: no markup to strip; Python str.strip()
+        # mirrors the reference's final strip (`ocr_router.py:301`). No
+        # structure markers → fallback class, like the reference's
+        # unreadable-image default.
+        text = payload.decode("utf-8", errors="replace").strip()  # type: ignore[union-attr]
+        return ExtractResult(
+            engine=kw_engine or ENGINE_HANDWRITING, text=text,
+            chars=len(text), pages=1, doc_type=TYPE_TEXT, error=None,
         )
 
     if kind == "image":

@@ -59,6 +59,19 @@ def test_html_never_raises_on_garbage():
     assert extract_html_main_text(b"<<<>>>\xff\xfe<p>ok</p>") is not None
 
 
+def test_plain_text_payloads():
+    """text/plain captures route to the fallback class with stripped text;
+    binary junk (control bytes / invalid UTF-8) keeps the error contract."""
+    r = extract_document("https://h/readme-1.txt", b"  plain capture\nline 2 ")
+    assert (r.doc_type, r.engine, r.error) == ("Text", "handwriting", None)
+    assert r.text == "plain capture\nline 2"
+    # printed keyword still wins
+    assert extract_document("https://h/receipt-1.txt", b"total 4.20").engine == "printed"
+    # junk stays an error row (corpus k=9 contract)
+    assert extract_document("https://h/x", b"\x00\x01junk").engine == "error"
+    assert extract_document("https://h/x", b"\xff\xfe\x01garbl").engine == "error"
+
+
 def test_charset_detection():
     """BOMs and declared legacy charsets decode correctly; unknown or
     utf-8 declarations fall through to utf-8-replace."""
