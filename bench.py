@@ -104,7 +104,17 @@ def _pipeline(spark, cores: int):
     # One task wave (partitions == cores): measured 91k vs 55-64k docs/s at
     # local[32] against 2x/4x over-partitioning — each extra wave re-pays
     # Arrow pipeline spin-up per partition; AQE handles any stragglers.
-    return extract_stage(latest_capture(balance_by_url(pages, cores)))
+    mode = os.environ.get("SPARK_GRAFT_DEDUP", "window")
+    if mode == "none":          # ceiling probe: no dedup at all
+        return extract_stage(pages.coalesce(cores))
+    if mode == "window":
+        return extract_stage(
+            latest_capture(balance_by_url(pages, cores), strategy="window"))
+    # semi dedup: winners computed from a light (url, ts) column-pruned
+    # scan, broadcast back — payload rows never shuffle; coalesce (narrow)
+    # gives the one task wave the repartition used to provide.
+    deduped = latest_capture(pages, broadcast_winners=True)
+    return extract_stage(deduped.coalesce(cores))
 
 
 def timed_extract(spark, cores: int) -> dict:

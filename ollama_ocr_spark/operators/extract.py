@@ -68,23 +68,26 @@ _EXTRACT_PA_SCHEMA = pa.schema(
 
 
 def _extract_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    # Only url + html are materialized into Python (the kernel needs them);
+    # warc_ts and lang PASS THROUGH as Arrow arrays. Materializing a
+    # tz-aware timestamp column via to_pylist costs ~30us/row — half the
+    # per-doc budget of the whole extraction kernel (~80us/doc) — because
+    # every element becomes a fresh tzinfo-carrying datetime object.
     for rb in batches:
-        urls = rb.column(rb.schema.get_field_index("url")).to_pylist()
-        ts = rb.column(rb.schema.get_field_index("warc_ts")).to_pylist()
+        url_arr = rb.column(rb.schema.get_field_index("url")).cast(pa.string())
+        ts_arr = rb.column(rb.schema.get_field_index("warc_ts")).cast(_PA_TS)
+        lang_arr = rb.column(rb.schema.get_field_index("lang")).cast(pa.string())
+        urls = url_arr.to_pylist()
         payloads = rb.column(rb.schema.get_field_index("html")).to_pylist()
-        langs = rb.column(rb.schema.get_field_index("lang")).to_pylist()
 
         out: dict[str, list] = {k: [] for k in (
-            "url", "warc_ts", "lang", "bytes_in", "engine", "text",
-            "chars", "pages", "doc_type", "error", "parse_us",
+            "bytes_in", "engine", "text", "chars", "pages", "doc_type",
+            "error", "parse_us",
         )}
-        for url, t, payload, lang in zip(urls, ts, payloads, langs):
+        for url, payload in zip(urls, payloads):
             t0 = time.perf_counter_ns()
             r = extract_document(url, payload)
             out["parse_us"].append((time.perf_counter_ns() - t0) // 1000)
-            out["url"].append(url)
-            out["warc_ts"].append(t)
-            out["lang"].append(lang)
             out["bytes_in"].append(len(payload) if payload is not None else 0)
             out["engine"].append(r.engine)
             out["text"].append(r.text)
@@ -93,7 +96,9 @@ def _extract_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBat
             out["doc_type"].append(r.doc_type)
             out["error"].append(r.error)
         yield pa.RecordBatch.from_arrays(
-            [pa.array(out[f.name], type=f.type) for f in _EXTRACT_PA_SCHEMA],
+            [url_arr, ts_arr, lang_arr]
+            + [pa.array(out[f.name], type=f.type)
+               for f in _EXTRACT_PA_SCHEMA if f.name in out],
             schema=_EXTRACT_PA_SCHEMA,
         )
 
