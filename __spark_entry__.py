@@ -263,6 +263,23 @@ def q_resume_anti_join(spark, sf_dir):
     return resume_anti_join(docs, done, key="doc_id").select("doc_id", "n_chars")
 
 
+def q_latest_capture_semi(spark, sf_dir):
+    """Semi-join latest-capture strategy (N3 alternative plan): light-column
+    winners aggregate + left-semi join — payload rows never shuffle or sort.
+    Must keep exactly one row per url with the newest warc_ts, byte-equal to
+    the window strategy (oracle = BASE_TS + doc_id seconds arithmetic;
+    corpus.capture_rows adds a 1h-older stale capture for doc_id % 5 == 0)."""
+    from ollama_ocr_spark.operators.extract import synthesize_stage
+    from ollama_ocr_spark.operators.maintenance import doc_id_expr, latest_capture
+
+    pages = synthesize_stage(_docs(spark, sf_dir))
+    deduped = latest_capture(pages, strategy="semi")
+    return deduped.select(
+        doc_id_expr().alias("doc_id"),
+        F.unix_micros(F.col("warc_ts").cast("timestamp_ltz")).alias("ts_us"),
+    )
+
+
 def q_top_docs_by_chars(spark, sf_dir):
     """Top-k largest docs (N4), deterministic tie-break."""
     from ollama_ocr_spark.operators.reports import top_k_largest
@@ -566,6 +583,7 @@ _QUERIES = {
         "corpus_cardinality": q_corpus_cardinality,
         "latest_event_per_user": q_latest_event_per_user,
         "resume_anti_join": q_resume_anti_join,
+        "latest_capture_semi": q_latest_capture_semi,
         "top_docs_by_chars": q_top_docs_by_chars,
         "report_cube": q_report_cube,
         "lang_summary": q_lang_summary,
@@ -813,6 +831,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars FROM documents
             WHERE doc_id NOT IN (
               SELECT doc_id FROM documents WHERE doc_id % 7 = 0)
+        """,
+        "latest_capture_semi": """
+            SELECT doc_id,
+                   epoch_us(TIMESTAMP '2024-01-01 00:00:00'
+                            + to_seconds(doc_id::BIGINT)) AS ts_us
+            FROM documents
         """,
         "top_docs_by_chars": """
             SELECT doc_id, n_chars FROM documents

@@ -9,7 +9,11 @@ Prints ONE JSON line:
 Method:
 - The pages corpus (deterministic function of documents.parquet, replicated
   REPL× for volume) is materialized ONCE to parquet — corpus synthesis is
-  fixture cost, not engine cost.
+  fixture cost, not engine cost. REPL is sized so a timed pass runs several
+  seconds per level: per-pass fixed costs (job scheduling, shuffle setup,
+  AQE stage barriers) are constant, so too-short passes under-measure the
+  big-N level and bias the N→4N efficiency low — a real 100 TB job
+  amortizes those costs over hours.
 - The timed job = read parquet → latest-capture dedup → host-salt
   repartition → mapInArrow extract → count.
 - **Scaling (sandbox stand-in for N vs 4N executors)**: the same job runs at
@@ -42,7 +46,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-REPL = int(os.environ.get("SPARK_GRAFT_BENCH_REPL", "40"))
+REPL = int(os.environ.get("SPARK_GRAFT_BENCH_REPL", "80"))
 TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "4"))
 SMALL = int(os.environ.get("SPARK_GRAFT_BENCH_SMALL", "2"))
 PAGES_DIR = f"/tmp/bench_pages_{os.path.basename(SF_DIR)}_x{REPL}"

@@ -51,6 +51,12 @@ def get_spark(app: str = "ollama_ocr_spark", master: str | None = None,
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
     )
+    # Operator-level overrides / experiment knobs, e.g.
+    # SPARK_GRAFT_CONF="spark.shuffle.compress=false;spark.io.compression.codec=zstd"
+    for kv in os.environ.get("SPARK_GRAFT_CONF", "").split(";"):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     _ship_package(spark)
     return spark
