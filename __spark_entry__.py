@@ -187,6 +187,23 @@ def q_image_metadata(spark, sf_dir):
     )
 
 
+def q_media_metadata(spark, sf_dir):
+    """Audio/video metadata roundtrip: deterministic WAV/MP4 fixture payloads
+    (synthesize_media_stage) parsed back by the real RIFF/ISO-BMFF header
+    walkers; the oracle mirrors the doc_id arithmetic."""
+    from ollama_ocr_spark.operators.media import (
+        media_metadata_stage, synthesize_media_stage)
+
+    _ensure_shipped(spark)
+    media = synthesize_media_stage(_docs(spark, sf_dir))
+    return media_metadata_stage(media).select(
+        F.regexp_extract("url", r"media://(\d+)", 1).cast("bigint").alias("doc_id"),
+        "media_type", "format", "channels", "sample_rate",
+        F.round("duration_secs", 4).alias("dur_secs"),
+        F.col("bytes").alias("hdr_bytes"),
+    )
+
+
 def q_image_features(spark, sf_dir):
     """Feature-extraction plumbing (deterministic fake kernel; rows-only)."""
     from ollama_ocr_spark.operators.media import image_features_stage
@@ -577,6 +594,7 @@ _QUERIES = {
         "analyze_metadata": q_analyze_metadata,
         "multi_step": q_multi_step,
         "image_metadata": q_image_metadata,
+        "media_metadata": q_media_metadata,
         "image_features": q_image_features,
         "template_mining": q_template_mining,
         "host_skew_counts": q_host_skew_counts,
@@ -801,6 +819,24 @@ def oracle_sql() -> dict[str, str]:
                    (100 + doc_id % 400)::INT AS width,
                    (80 + doc_id % 300)::INT AS height
             FROM documents WHERE doc_id % 10 = 8
+        """,
+        "media_metadata": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'audio' ELSE 'video' END
+                     AS media_type,
+                   CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'isom' END
+                     AS format,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN (1 + (doc_id % 4) // 2)::INT END AS channels,
+                   CASE WHEN doc_id % 2 = 0 THEN (CASE doc_id % 3
+                        WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                        ELSE 44100 END)::INT END AS sample_rate,
+                   round(CASE WHEN doc_id % 2 = 0
+                              THEN (1 + doc_id % 5)::DOUBLE
+                              ELSE (1 + doc_id % 10) / 2.0 END, 4) AS dur_secs,
+                   (CASE WHEN doc_id % 2 = 0 THEN 44 ELSE 56 END)::BIGINT
+                     AS hdr_bytes
+            FROM documents
         """,
         # image_features: rows-only (deterministic fake embedding kernel)
         "host_skew_counts": f"""

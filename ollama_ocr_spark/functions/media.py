@@ -127,6 +127,41 @@ def mp4_metadata(data: bytes) -> tuple[str, float] | None:
     return brand, 0.0
 
 
+def build_wav(channels: int = 2, rate: int = 44100, seconds: int = 2) -> bytes:
+    """Header-only RIFF/WAVE fixture (16-bit PCM, no sample body): the
+    ``data`` chunk declares ``rate * block_align * seconds`` bytes so
+    :func:`wav_metadata` reads back exactly (channels, rate, seconds).
+    Deterministic — used by corpus-style media fixtures and tests."""
+    block_align = channels * 2
+    data_size = rate * block_align * seconds
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * block_align).to_bytes(4, "little")
+        + block_align.to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    data = b"data" + data_size.to_bytes(4, "little")
+    riff_size = 4 + len(fmt) + len(data) + data_size
+    return b"RIFF" + riff_size.to_bytes(4, "little") + b"WAVE" + fmt + data
+
+
+def build_mp4(timescale: int = 600, duration: int = 1500,
+              brand: bytes = b"isom") -> bytes:
+    """Header-only ISO-BMFF fixture (``ftyp`` + ``moov``/``mvhd`` v0):
+    :func:`mp4_metadata` reads back (brand, duration / timescale)."""
+    body = b"ftyp" + brand + (0).to_bytes(4, "big") + brand + b"iso2"
+    ftyp = (4 + len(body)).to_bytes(4, "big") + body
+    mvhd = (
+        b"mvhd" + bytes([0]) + b"\x00\x00\x00"      # version 0 + flags
+        + (0).to_bytes(4, "big") * 2                 # ctime, mtime
+        + timescale.to_bytes(4, "big") + duration.to_bytes(4, "big")
+    )
+    moov = b"moov" + mvhd
+    moov = (4 + len(moov)).to_bytes(4, "big") + moov
+    return ftyp + moov
+
+
 def decode_image(data: bytes):  # pragma: no cover - by design
     """Decode to a pixel array. STUB: no codec library in-sandbox."""
     raise MediaDecodeUnavailable(

@@ -58,6 +58,38 @@ def image_metadata_stage(pages: DataFrame) -> DataFrame:
     return pages.select("url", "html").mapInPandas(kernel, IMAGE_META_SCHEMA)
 
 
+def synthesize_media_stage(docs: DataFrame) -> DataFrame:
+    """documents(doc_id) → deterministic audio/video fixture payloads
+    ``(url, html)`` — the media twin of ``corpus``' pages synthesis.
+
+    Arithmetic contract (mirrored by the ``media_metadata`` oracle SQL):
+    even doc_id → WAV with channels ``1 + (doc_id % 4) // 2``, rate
+    ``[8000, 16000, 44100][doc_id % 3]``, ``1 + doc_id % 5`` seconds;
+    odd doc_id → MP4 (brand isom, timescale 600) with duration
+    ``300 * (1 + doc_id % 10)`` ticks = ``(1 + doc_id % 10) / 2`` secs.
+    """
+    from ..functions.media import build_mp4, build_wav
+
+    rates = (8000, 16000, 44100)
+
+    def _payload(doc_id: int) -> bytes:
+        if doc_id % 2 == 0:
+            return build_wav(channels=1 + (doc_id % 4) // 2,
+                             rate=rates[doc_id % 3],
+                             seconds=1 + doc_id % 5)
+        return build_mp4(timescale=600, duration=300 * (1 + doc_id % 10))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame({
+                "url": ["media://%d.bin" % d for d in ids],
+                "html": [_payload(int(d)) for d in ids],
+            })
+
+    return docs.select("doc_id").mapInPandas(kernel, "url string, html binary")
+
+
 def media_metadata_stage(pages: DataFrame) -> DataFrame:
     """Unified multimodal metadata: image (jpeg/png dims), audio (WAV
     channels/rate/duration), video (MP4 brand/duration) — all header-level

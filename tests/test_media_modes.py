@@ -99,32 +99,8 @@ def test_analyze_and_multistep_share_semantics(spark, documents_smoke):
     assert memos and all(meta[u]["doc_class"] == "plain" for u in memos)
 
 
-def _wav_bytes(channels=2, rate=44100, seconds=2) -> bytes:
-    block_align = channels * 2  # 16-bit samples
-    data_size = rate * block_align * seconds
-    fmt = (
-        b"fmt " + (16).to_bytes(4, "little")
-        + (1).to_bytes(2, "little") + channels.to_bytes(2, "little")
-        + rate.to_bytes(4, "little")
-        + (rate * block_align).to_bytes(4, "little")
-        + block_align.to_bytes(2, "little") + (16).to_bytes(2, "little")
-    )
-    data = b"data" + data_size.to_bytes(4, "little")  # header only (no body)
-    riff_size = 4 + len(fmt) + len(data) + data_size
-    return b"RIFF" + riff_size.to_bytes(4, "little") + b"WAVE" + fmt + data
-
-
-def _mp4_bytes(timescale=600, duration=1500) -> bytes:
-    body = b"ftypisom" + (0).to_bytes(4, "big") + b"isomiso2"
-    ftyp = (4 + len(body)).to_bytes(4, "big") + body
-    mvhd = (
-        b"mvhd" + bytes([0]) + b"\x00\x00\x00"  # version 0 + flags
-        + (0).to_bytes(4, "big") * 2             # ctime, mtime
-        + timescale.to_bytes(4, "big") + duration.to_bytes(4, "big")
-    )
-    moov = b"moov" + mvhd
-    moov = (4 + len(moov)).to_bytes(4, "big") + moov
-    return ftyp + moov
+from ollama_ocr_spark.functions.media import build_mp4 as _mp4_bytes
+from ollama_ocr_spark.functions.media import build_wav as _wav_bytes
 
 
 def test_audio_video_header_parsers():
