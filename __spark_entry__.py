@@ -280,6 +280,32 @@ def q_resume_anti_join(spark, sf_dir):
     return resume_anti_join(docs, done, key="doc_id").select("doc_id", "n_chars")
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (emails / IPv4 / phones) — native regexp ops. Both
+    engines append the same deterministic PII to documents.text, then the
+    oracle re-runs the scrub with DuckDB's RE2 engine: the patterns are a
+    shared dialect-safe subset (see textstats.PII_*_RE)."""
+    docs = _docs(spark, sf_dir)
+    s = lambda c: c.cast("string")  # noqa: E731
+    did = F.col("doc_id")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), s(did), F.lit("@mail.example.com or 10.0."),
+        s(did % 256), F.lit("."), s((did * 7) % 256),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" ring +1 555 010 "),
+                     F.lpad(s(did % 10000), 4, "0")),
+        ).otherwise(F.lit("")),
+    )
+    from ollama_ocr_spark.operators.textstats import with_pii_scrub
+
+    return with_pii_scrub(
+        docs.select("doc_id", pii_text.alias("text"))
+    ).select("doc_id", "n_emails", "n_ipv4", "n_phones", "scrubbed",
+             "pii_free")
+
+
 def q_latest_capture_semi(spark, sf_dir):
     """Semi-join latest-capture strategy (N3 alternative plan): light-column
     winners aggregate + left-semi join — payload rows never shuffle or sort.
@@ -602,6 +628,7 @@ _QUERIES = {
         "latest_event_per_user": q_latest_event_per_user,
         "resume_anti_join": q_resume_anti_join,
         "latest_capture_semi": q_latest_capture_semi,
+        "pii_scrub": q_pii_scrub,
         "top_docs_by_chars": q_top_docs_by_chars,
         "report_cube": q_report_cube,
         "lang_summary": q_lang_summary,
@@ -722,6 +749,11 @@ _ANN_ORACLE = """
             SELECT query_id, neighbor_id, cosine, rnk::INT AS rnk
             FROM ranked WHERE rnk <= 5
         """
+
+
+from ollama_ocr_spark.operators.textstats import PII_EMAIL_RE as _PII_EMAIL
+from ollama_ocr_spark.operators.textstats import PII_IPV4_RE as _PII_IPV4
+from ollama_ocr_spark.operators.textstats import PII_PHONE_RE as _PII_PHONE
 
 
 def oracle_sql() -> dict[str, str]:
@@ -867,6 +899,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars FROM documents
             WHERE doc_id NOT IN (
               SELECT doc_id FROM documents WHERE doc_id % 7 = 0)
+        """,
+        "pii_scrub": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id
+                          || '@mail.example.com or 10.0.'
+                          || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+                          || CASE WHEN doc_id % 3 = 0
+                             THEN ' ring +1 555 010 '
+                                  || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                             ELSE '' END AS t
+              FROM documents)
+            SELECT doc_id,
+                   len(regexp_extract_all(t, '{_PII_EMAIL}'))::INT AS n_emails,
+                   len(regexp_extract_all(t, '{_PII_IPV4}'))::INT AS n_ipv4,
+                   len(regexp_extract_all(t, '{_PII_PHONE}'))::INT AS n_phones,
+                   regexp_replace(regexp_replace(regexp_replace(
+                     t, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+                     '{_PII_IPV4}', '[IP]', 'g'),
+                     '{_PII_PHONE}', '[PHONE]', 'g') AS scrubbed,
+                   (len(regexp_extract_all(t, '{_PII_EMAIL}')) = 0
+                    AND len(regexp_extract_all(t, '{_PII_IPV4}')) = 0
+                    AND len(regexp_extract_all(t, '{_PII_PHONE}')) = 0)
+                     AS pii_free
+            FROM base
         """,
         "latest_capture_semi": """
             SELECT doc_id,

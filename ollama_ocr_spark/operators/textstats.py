@@ -136,3 +136,42 @@ def with_fingerprint(df: DataFrame, col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", F.md5(F.col(col))).withColumn(
         "fp_bucket", F.substring(F.col("fingerprint"), 1, 4)
     )
+
+
+# PII patterns: shared Java-regex/RE2-safe subset (no lookaround, no
+# backrefs) so the Spark expressions and the DuckDB oracle scrub byte-
+# identically. Scrub order matters and is part of the contract:
+# emails first (they contain dots/digits), then IPv4, then phones.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+\d{1,3}[- ]\d{3}[- ]\d{3}[- ]\d{4}"
+
+
+def with_pii_scrub(df: DataFrame, col: str = "text") -> DataFrame:
+    """Training-data hygiene: count and redact emails / IPv4s / phone
+    numbers (map-side native ``regexp_*`` — stays in codegen, no shuffle,
+    no Python). Adds ``n_emails/n_ipv4/n_phones``, the redacted
+    ``scrubbed`` column ([EMAIL]/[IP]/[PHONE] placeholders), and a
+    ``pii_free`` flag. Real deployments extend the pattern table (SSNs,
+    IBANs, street addresses) the same way — one column expression each.
+    """
+    c = F.col(col)
+    n_emails = F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL_RE), F.lit(0)))
+    n_ipv4 = F.size(F.regexp_extract_all(c, F.lit(PII_IPV4_RE), F.lit(0)))
+    n_phones = F.size(F.regexp_extract_all(c, F.lit(PII_PHONE_RE), F.lit(0)))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, PII_EMAIL_RE, "[EMAIL]"),
+            PII_IPV4_RE, "[IP]",
+        ),
+        PII_PHONE_RE, "[PHONE]",
+    )
+    return (
+        df.withColumn("n_emails", n_emails)
+        .withColumn("n_ipv4", n_ipv4)
+        .withColumn("n_phones", n_phones)
+        .withColumn("scrubbed", scrubbed)
+        .withColumn(
+            "pii_free", (n_emails == 0) & (n_ipv4 == 0) & (n_phones == 0)
+        )
+    )

@@ -172,6 +172,26 @@ def test_repetition_stats(spark):
     assert plan_report(with_repetition_stats(df)).n_exchanges == 0
 
 
+def test_pii_scrub(spark):
+    from ollama_ocr_spark.operators.textstats import with_pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith@corp.example.org from 192.168.1.20 "
+             "or ring +44 123 456 7890 now"),
+         (2, "no pii here, just words and 42 numbers")],
+        ["doc_id", "text"],
+    )
+    r = {row["doc_id"]: row for row in with_pii_scrub(df).collect()}
+    assert (r[1]["n_emails"], r[1]["n_ipv4"], r[1]["n_phones"]) == (1, 1, 1)
+    assert r[1]["scrubbed"] == (
+        "mail [EMAIL] from [IP] or ring [PHONE] now")
+    assert r[1]["pii_free"] is False
+    assert r[2]["scrubbed"] == r[2]["text"] and r[2]["pii_free"] is True
+    # zero shuffles: all map-side regexp expressions
+    from ollama_ocr_spark.plans.audit import plan_report
+    assert plan_report(with_pii_scrub(df)).n_exchanges == 0
+
+
 def test_single_shuffle_extract_plan(spark, documents_smoke):
     """Plan shape: balance_by_url + latest_capture + extract = ONE exchange,
     and the parquet scan is pruned to the 4 kernel columns."""
