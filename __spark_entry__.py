@@ -280,6 +280,26 @@ def q_resume_anti_join(spark, sf_dir):
     return resume_anti_join(docs, done, key="doc_id").select("doc_id", "n_chars")
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """Inter-document duplicate-paragraph removal (Gopher/C4-style): both
+    engines wrap documents.text with a shared boilerplate header (all docs)
+    and a 1-in-4 shared footer; the operator must drop exactly those (plus
+    any corpus-level exact-dup middles) and keep paragraph order."""
+    from ollama_ocr_spark.operators.dedup import drop_duplicate_paragraphs
+
+    did = F.col("doc_id")
+    t = F.concat(
+        F.lit("subscribe to our newsletter today\n\n"), F.col("text"),
+        F.when(did % 4 == 0, F.lit("\n\nfollow us on social media"))
+        .otherwise(F.concat(F.lit("\n\nunique tail "), did.cast("string"))),
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", t.alias("text"))
+    return drop_duplicate_paragraphs(docs).select(
+        "doc_id", "text", "n_paras_in",
+        F.col("n_paras_kept").cast("int").alias("n_paras_kept"),
+    )
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII redaction (emails / IPv4 / phones) — native regexp ops. Both
     engines append the same deterministic PII to documents.text, then the
@@ -629,6 +649,7 @@ _QUERIES = {
         "resume_anti_join": q_resume_anti_join,
         "latest_capture_semi": q_latest_capture_semi,
         "pii_scrub": q_pii_scrub,
+        "paragraph_dedup": q_paragraph_dedup,
         "top_docs_by_chars": q_top_docs_by_chars,
         "report_cube": q_report_cube,
         "lang_summary": q_lang_summary,
@@ -899,6 +920,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars FROM documents
             WHERE doc_id NOT IN (
               SELECT doc_id FROM documents WHERE doc_id % 7 = 0)
+        """,
+        "paragraph_dedup": """
+            WITH inp AS (
+              SELECT doc_id,
+                     'subscribe to our newsletter today' || chr(10) || chr(10)
+                     || text ||
+                     CASE WHEN doc_id % 4 = 0
+                          THEN chr(10) || chr(10) || 'follow us on social media'
+                          ELSE chr(10) || chr(10) || 'unique tail ' || doc_id
+                     END AS t
+              FROM documents),
+            lists AS (
+              SELECT doc_id, string_split(t, chr(10) || chr(10)) AS l
+              FROM inp),
+            pos AS (
+              SELECT doc_id, l, unnest(range(len(l))) AS i FROM lists),
+            paras AS (SELECT doc_id, i, l[i + 1] AS para FROM pos),
+            dup AS (
+              SELECT para FROM paras GROUP BY para HAVING count(*) >= 2),
+            kept AS (
+              SELECT doc_id, i, para FROM paras
+              WHERE para NOT IN (SELECT para FROM dup)),
+            outp AS (
+              SELECT doc_id,
+                     string_agg(para, chr(10) || chr(10) ORDER BY i) AS text,
+                     count(*)::INT AS n_paras_kept
+              FROM kept GROUP BY doc_id)
+            SELECT o.doc_id, o.text, len(l.l)::INT AS n_paras_in,
+                   o.n_paras_kept
+            FROM outp o JOIN lists l ON o.doc_id = l.doc_id
         """,
         "pii_scrub": f"""
             WITH base AS (

@@ -326,3 +326,52 @@ def simhash64(df: DataFrame, key: str = "doc_id", col: str = "text") -> DataFram
         F.col(key),
         sig.alias("simhash"),
     ).withColumn("bucket", F.shiftrightunsigned(F.col("simhash"), 48).cast("int"))
+
+
+def drop_duplicate_paragraphs(df: DataFrame, key: str = "doc_id",
+                              col: str = "text", sep: str = "\n\n",
+                              min_count: int = 2) -> DataFrame:
+    """Inter-document boilerplate removal (Gopher/C4-style): drop every
+    paragraph whose exact text occurs ``min_count``+ times across the
+    corpus (nav bars, subscribe prompts, cookie banners), then reassemble
+    each document preserving paragraph order.
+
+    Scale shape (explicitly, for 100 TB):
+    - paragraph frequency: group on ``md5(paragraph)`` — the 128-bit
+      digest shuffles with map-side partial aggregation, the paragraph
+      text itself never re-shuffles for counting;
+    - the duplicated-digest set is boilerplate-sized (≪ corpus), so AQE
+      turns the anti-join into a broadcast anti-join;
+    - reassembly shuffles (doc_id, paragraph) once, sorting in-array per
+      doc (``array_sort`` over (pos, para) structs — no window, no
+      secondary sort).
+
+    Output: (key, clean text, n_paras_in, n_paras_kept).
+    """
+    paras = df.select(
+        F.col(key),
+        F.posexplode(F.split(F.col(col), F.lit(sep))).alias("pos", "para"),
+    ).withColumn("ph", F.md5(F.col("para")))
+    dupes = (
+        paras.groupBy("ph").agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+        .select("ph")
+    )
+    kept = paras.join(dupes, "ph", "left_anti")
+    n_in = df.select(
+        F.col(key),
+        F.size(F.split(F.col(col), F.lit(sep))).alias("n_paras_in"),
+    )
+    rebuilt = kept.groupBy(key).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda x: x["para"],
+            ),
+            sep,
+        ).alias(col),
+        F.count("*").alias("n_paras_kept"),
+    )
+    return rebuilt.join(n_in, key).select(
+        key, col, "n_paras_in", "n_paras_kept"
+    )

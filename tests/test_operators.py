@@ -172,6 +172,25 @@ def test_repetition_stats(spark):
     assert plan_report(with_repetition_stats(df)).n_exchanges == 0
 
 
+def test_drop_duplicate_paragraphs(spark):
+    from ollama_ocr_spark.operators.dedup import drop_duplicate_paragraphs
+
+    boiler = "subscribe now"
+    df = spark.createDataFrame(
+        [(1, f"{boiler}\n\nalpha body one\n\nfooter x"),
+         (2, f"{boiler}\n\nbeta body two\n\nfooter x"),
+         (3, f"{boiler}\n\ngamma body three\n\nunique tail")],
+        ["doc_id", "text"],
+    )
+    r = {row["doc_id"]: row
+         for row in drop_duplicate_paragraphs(df).collect()}
+    # boiler (3x) and "footer x" (2x) dropped; order preserved
+    assert r[1]["text"] == "alpha body one"
+    assert r[2]["text"] == "beta body two"
+    assert r[3]["text"] == "gamma body three\n\nunique tail"
+    assert r[3]["n_paras_in"] == 3 and r[3]["n_paras_kept"] == 2
+
+
 def test_pii_scrub(spark):
     from ollama_ocr_spark.operators.textstats import with_pii_scrub
 
