@@ -280,6 +280,24 @@ def q_resume_anti_join(spark, sf_dir):
     return resume_anti_join(docs, done, key="doc_id").select("doc_id", "n_chars")
 
 
+def q_line_filter(spark, sf_dir):
+    """C4-style line filter: both engines build the same 4-line input
+    (good sentence / too-short / javascript / cookie lines) and must keep
+    exactly the same lines."""
+    from ollama_ocr_spark.operators.textstats import with_line_filter
+
+    t = F.concat(
+        F.col("text"), F.lit(".\n"),
+        F.lit("short line\n"),
+        F.lit("Please enable javascript to view this page.\n"),
+        F.lit("This site uses cookie consent banners everywhere."),
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", t.alias("text"))
+    return with_line_filter(docs).select(
+        "doc_id", "n_lines", "n_lines_kept", "clean_text"
+    )
+
+
 def q_paragraph_dedup(spark, sf_dir):
     """Inter-document duplicate-paragraph removal (Gopher/C4-style): both
     engines wrap documents.text with a shared boilerplate header (all docs)
@@ -650,6 +668,7 @@ _QUERIES = {
         "latest_capture_semi": q_latest_capture_semi,
         "pii_scrub": q_pii_scrub,
         "paragraph_dedup": q_paragraph_dedup,
+        "line_filter": q_line_filter,
         "top_docs_by_chars": q_top_docs_by_chars,
         "report_cube": q_report_cube,
         "lang_summary": q_lang_summary,
@@ -920,6 +939,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars FROM documents
             WHERE doc_id NOT IN (
               SELECT doc_id FROM documents WHERE doc_id % 7 = 0)
+        """,
+        "line_filter": """
+            WITH inp AS (
+              SELECT doc_id,
+                     text || '.' || chr(10) || 'short line' || chr(10)
+                     || 'Please enable javascript to view this page.'
+                     || chr(10)
+                     || 'This site uses cookie consent banners everywhere.'
+                       AS t
+              FROM documents),
+            lists AS (
+              SELECT doc_id, string_split(t, chr(10)) AS l,
+                     list_filter(string_split(t, chr(10)), x ->
+                       len(string_split(trim(x), ' ')) >= 5
+                       AND regexp_matches(x, '[.!?]$')
+                       AND NOT contains(lower(x), 'javascript')
+                       AND NOT contains(lower(x), 'cookie')
+                       AND NOT contains(lower(x), 'lorem ipsum')) AS kept
+              FROM inp)
+            SELECT doc_id, len(l)::INT AS n_lines,
+                   len(kept)::INT AS n_lines_kept,
+                   coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+            FROM lists
         """,
         "paragraph_dedup": """
             WITH inp AS (

@@ -175,3 +175,33 @@ def with_pii_scrub(df: DataFrame, col: str = "text") -> DataFrame:
             "pii_free", (n_emails == 0) & (n_ipv4 == 0) & (n_phones == 0)
         )
     )
+
+
+C4_MIN_LINE_WORDS = 5
+# Substring blocklist for line filtering (C4 drops lines mentioning
+# javascript / cookie / lorem ipsum policy boilerplate).
+C4_LINE_BLOCKLIST = ("javascript", "cookie", "lorem ipsum")
+
+
+def with_line_filter(df: DataFrame, col: str = "text") -> DataFrame:
+    """C4-style line-level quality filter, entirely in native array
+    lambdas (codegen, zero shuffle): keep lines that (a) have at least
+    ``C4_MIN_LINE_WORDS`` words, (b) end in terminal punctuation, and
+    (c) contain no blocklisted substring. Adds ``n_lines``,
+    ``n_lines_kept`` and the filtered ``clean_text``.
+    """
+    lines = F.split(F.col(col), "\n")
+
+    def _ok(ln):
+        cond = (F.size(F.split(F.trim(ln), " ")) >= C4_MIN_LINE_WORDS) \
+            & ln.rlike("[.!?]$")
+        for bad in C4_LINE_BLOCKLIST:
+            cond = cond & ~F.lower(ln).contains(bad)
+        return cond
+
+    kept = F.filter(lines, _ok)
+    return (
+        df.withColumn("n_lines", F.size(lines))
+        .withColumn("n_lines_kept", F.size(kept))
+        .withColumn("clean_text", F.array_join(kept, "\n"))
+    )

@@ -105,3 +105,25 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
             "event_type", "n_events", "sum_value",
         )
     )
+
+
+def streaming_exact_dedup(captures: DataFrame, key: str = "url",
+                          ts: str = "warc_ts",
+                          watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of exact capture dedup: drop repeat captures of the
+    same key arriving within the watermark window
+    (``dropDuplicatesWithinWatermark``, Spark 3.5+).
+
+    Unlike plain ``dropDuplicates`` on a stream — whose state grows without
+    bound — the within-watermark form evicts each key's state once the
+    watermark passes it, so a 10^12-document crawl stream runs with bounded
+    state (pair with the RocksDB state store,
+    ``session.enable_rocksdb_state``). Batch-mode equivalence: on a finite
+    input this keeps the FIRST capture per key seen within any watermark
+    window, i.e. recrawl echoes inside the window are suppressed while a
+    genuine recrawl after the window passes through to the latest-capture
+    batch dedup downstream.
+    """
+    return captures.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(
+        [key]
+    )

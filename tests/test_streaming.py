@@ -108,3 +108,59 @@ def test_windowed_event_counts_batch_twin(spark):
     rows = out.collect()
     assert sum(r["n_events"] for r in rows) == events.count()
     assert {len(r) for r in rows} == {4}
+
+
+def test_streaming_exact_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark suppresses recrawl echoes of the same
+    url inside the watermark window; state recovers from the checkpoint so
+    a second drain does not re-emit already-seen urls from the same batch
+    window."""
+    from pyspark.sql import functions as F
+
+    from ollama_ocr_spark.streaming.incremental import streaming_exact_dedup
+
+    cap_dir = str(tmp_path / "caps")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _write(rows):
+        spark.createDataFrame(rows, "url string, warc_ts string").select(
+            "url", F.col("warc_ts").cast("timestamp").alias("warc_ts")
+        ).write.mode("append").parquet(cap_dir)
+
+    def _drain():
+        stream = spark.readStream.schema("url string, warc_ts timestamp").parquet(
+            cap_dir
+        )
+        out = streaming_exact_dedup(stream, watermark="1 hour")
+        emitted = []
+
+        def _sink(batch_df, _bid):
+            emitted.extend(
+                (r["url"], str(r["warc_ts"])) for r in batch_df.collect()
+            )
+
+        (
+            out.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        return sorted(emitted)
+
+    _write([
+        ("https://h/a", "2024-01-01 10:00:00"),
+        ("https://h/a", "2024-01-01 10:10:00"),   # echo inside watermark
+        ("https://h/b", "2024-01-01 10:05:00"),
+    ])
+    first = _drain()
+    assert [u for u, _ in first] == ["https://h/a", "https://h/b"]
+
+    # second batch: an 'a' echo still inside the first capture's watermark
+    # window is dropped (state recovered from checkpoint); a new url passes.
+    _write([
+        ("https://h/a", "2024-01-01 10:20:00"),
+        ("https://h/c", "2024-01-01 10:30:00"),
+    ])
+    second = _drain()
+    assert [u for u, _ in second] == ["https://h/c"]
