@@ -280,6 +280,26 @@ def q_resume_anti_join(spark, sf_dir):
     return resume_anti_join(docs, done, key="doc_id").select("doc_id", "n_chars")
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic md5-bucket train/val/test assignment — engine-portable
+    (no RNG/seed), so the oracle reproduces every row's split."""
+    from ollama_ocr_spark.operators.maintenance import hash_split
+
+    return hash_split(_docs(spark, sf_dir), key="doc_id").select(
+        "doc_id", "split"
+    )
+
+
+def q_deterministic_sample(spark, sf_dir):
+    """Reproducible 25% uniform sample by md5 bucket (scale-safe df.sample
+    replacement: same rows on any engine / partitioning / run)."""
+    from ollama_ocr_spark.operators.maintenance import deterministic_sample
+
+    return deterministic_sample(
+        _docs(spark, sf_dir), key="doc_id", fraction=0.25
+    ).select("doc_id", "n_chars")
+
+
 def q_line_filter(spark, sf_dir):
     """C4-style line filter: both engines build the same 4-line input
     (good sentence / too-short / javascript / cookie lines) and must keep
@@ -669,6 +689,8 @@ _QUERIES = {
         "pii_scrub": q_pii_scrub,
         "paragraph_dedup": q_paragraph_dedup,
         "line_filter": q_line_filter,
+        "hash_split": q_hash_split,
+        "deterministic_sample": q_deterministic_sample,
         "top_docs_by_chars": q_top_docs_by_chars,
         "report_cube": q_report_cube,
         "lang_summary": q_lang_summary,
@@ -939,6 +961,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars FROM documents
             WHERE doc_id NOT IN (
               SELECT doc_id FROM documents WHERE doc_id % 7 = 0)
+        """,
+        "hash_split": """
+            SELECT doc_id,
+                   CASE WHEN substr(md5(doc_id::VARCHAR), 1, 4) < 'e666'
+                          THEN 'train'
+                        WHEN substr(md5(doc_id::VARCHAR), 1, 4) < 'f333'
+                          THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "deterministic_sample": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE substr(md5(doc_id::VARCHAR), 1, 4) < '4000'
         """,
         "line_filter": """
             WITH inp AS (

@@ -251,3 +251,43 @@ def partition_lineage(results: DataFrame) -> DataFrame:
             256,
         ).alias("checksum"),
     )
+
+
+def hash_split(pages: DataFrame, key: str = "url",
+               boundaries: tuple = (("train", 0.9), ("val", 0.05),
+                                    ("test", 0.05)),
+               col_name: str = "split") -> DataFrame:
+    """Deterministic, engine-portable train/val/test assignment (N6-adjacent
+    pipeline hygiene): bucket = first 4 hex chars of ``md5(key)`` compared
+    against cumulative-fraction thresholds rendered as hex strings.
+
+    Pure map-side string ops — no RNG, no shuffle, no seed to lose: the
+    same row lands in the same split on any engine, any run, any cluster
+    size (lowercase fixed-width hex compares lexicographically == numeric).
+    ``deterministic_sample`` below is the single-bucket special case.
+    Granularity: 1/65536.
+    """
+    h = F.substring(F.md5(F.col(key).cast("string")), 1, 4)
+    acc = 0.0
+    expr = None
+    cases = []
+    for name, frac in boundaries:
+        acc += frac
+        cases.append((name, format(min(int(acc * 65536), 65536), "04x")))
+    expr = F.when(h < cases[0][1], F.lit(cases[0][0]))
+    for name, bound in cases[1:-1]:
+        expr = expr.when(h < bound, F.lit(name))
+    expr = expr.otherwise(F.lit(cases[-1][0]))
+    return pages.withColumn(col_name, expr)
+
+
+def deterministic_sample(pages: DataFrame, key: str = "url",
+                         fraction: float = 0.01) -> DataFrame:
+    """Reproducible uniform sample: keep rows whose md5(key) 4-hex-char
+    bucket falls under ``fraction`` — the scale-safe replacement for
+    ``df.sample`` (whose output changes with partitioning/seed plumbing).
+    """
+    bound = format(min(int(fraction * 65536), 65536), "04x")
+    return pages.filter(
+        F.substring(F.md5(F.col(key).cast("string")), 1, 4) < bound
+    )
