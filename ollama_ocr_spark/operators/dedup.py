@@ -28,6 +28,24 @@ from pyspark.sql import functions as F
 SHINGLE_K = 5  # words per shingle
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition CPU-bound small inputs up to the cluster's parallelism.
+
+    A small compressed parquet table (one file < maxPartitionBytes) scans
+    as ONE partition, so every expression-heavy stage over it — shingling,
+    signatures, fingerprints — runs single-threaded no matter how many
+    cores exist (measured: 3.8s → 2.2s for jaccard_pairs at sf0.1 on 32
+    cores). The shuffle this inserts moves only the small input. No-op
+    when the input already has >= defaultParallelism partitions (the 100 TB
+    case — a big scan must NOT be collapsed or re-shuffled here).
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dupes(df: DataFrame, key: str = "doc_id",
                 col: str = "text") -> DataFrame:
     """Group identical texts: (fingerprint, keeper, copies)."""
@@ -117,6 +135,7 @@ def jaccard_pairs(df: DataFrame, key: str = "doc_id", col: str = "text",
     Total: 1 source scan, 2 shuffles (postings groupBy, pair groupBy).
     """
     PACK = 1 << 22
+    df = ensure_parallelism(df)
     docs = df.select(F.col(key).alias("id"), _shingle_set(col, k).alias("shs"))
     exploded = docs.select(
         (
@@ -155,12 +174,15 @@ def minhash_signatures(df: DataFrame, key: str = "doc_id", col: str = "text",
     md5(j || '|' || shingle) — md5 keeps the oracle bit-identical.
 
     Entirely map-side: the shingle set is a per-row array, so each sig
-    element is ``array_min(transform(...))`` — ZERO shuffles (the previous
-    explode→distinct→groupBy plan shuffled the full shingle table twice).
+    element is ``array_min(transform(...))`` — no shuffle beyond the
+    small-input parallelism guard (the previous explode→distinct→groupBy
+    plan shuffled the full shingle table twice).
     Docs with no shingles produce no signature row (matches the grouped
     form and the oracle). Output: (key, sig array<string> len num_hashes).
     """
-    shs = df.select(F.col(key), _shingle_set(col, k).alias("shs")).filter(
+    shs = ensure_parallelism(df).select(
+        F.col(key), _shingle_set(col, k).alias("shs")
+    ).filter(
         F.size("shs") > 0
     )
     return shs.select(
@@ -247,7 +269,8 @@ def winnow_fingerprints(df: DataFrame, key: str = "doc_id",
         lambda i: F.array_min(F.slice(hashes, i, window)),
     )
     return (
-        df.select(F.col(key), F.explode(mins).alias("fingerprint"))
+        ensure_parallelism(df)
+        .select(F.col(key), F.explode(mins).alias("fingerprint"))
         .distinct()
     )
 
@@ -322,7 +345,7 @@ def simhash64(df: DataFrame, key: str = "doc_id", col: str = "text") -> DataFram
         F.lit(0).cast("bigint"),
         lambda x, y: x + y,
     )
-    return df.select(
+    return ensure_parallelism(df).select(
         F.col(key),
         sig.alias("simhash"),
     ).withColumn("bucket", F.shiftrightunsigned(F.col("simhash"), 48).cast("int"))

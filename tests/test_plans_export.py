@@ -49,11 +49,14 @@ def test_dedup_plans_minimize_shuffles(spark, documents_smoke):
         minhash_signatures,
     )
 
-    assert plan_report(minhash_signatures(documents_smoke)).n_exchanges == 0
-    # postings groupBy + pair groupBy only
-    assert plan_report(jaccard_pairs(documents_smoke)).n_exchanges == 2
-    # band-bucket groupBy + distinct only
-    assert plan_report(minhash_lsh_candidates(documents_smoke)).n_exchanges == 2
+    # +1 exchange each = ensure_parallelism's input repartition (this tiny
+    # input scans as one partition; the guard fans the CPU-heavy shingle
+    # stage out to all cores and is a no-op on well-partitioned inputs)
+    assert plan_report(minhash_signatures(documents_smoke)).n_exchanges == 1
+    # input guard + postings groupBy + pair groupBy only
+    assert plan_report(jaccard_pairs(documents_smoke)).n_exchanges == 3
+    # input guard + band-bucket groupBy + distinct only
+    assert plan_report(minhash_lsh_candidates(documents_smoke)).n_exchanges == 3
 
 
 def test_resume_anti_join_broadcasts_small_done_set(spark, documents_smoke):
