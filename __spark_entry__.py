@@ -280,6 +280,22 @@ def q_resume_anti_join(spark, sf_dir):
     return resume_anti_join(docs, done, key="doc_id").select("doc_id", "n_chars")
 
 
+def q_dedup_components(spark, sf_dir):
+    """Connected components over deterministic multi-hop edges (chains
+    doc_id→doc_id+1 for doc_id%10<2, long-range links doc_id→2*doc_id for
+    doc_id%97==0): every node must get the min reachable id as its cluster
+    label. Oracle = DuckDB recursive CTE transitive closure."""
+    from ollama_ocr_spark.operators.dedup import dedup_components
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    chain = docs.filter(did % 10 < 2).select(
+        did.alias("a"), (did + 1).alias("b"))
+    longr = docs.filter((did % 97 == 0) & (did > 0)).select(
+        did.alias("a"), (did * 2).alias("b"))
+    return dedup_components(chain.union(longr)).select("node", "label")
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic md5-bucket train/val/test assignment — engine-portable
     (no RNG/seed), so the oracle reproduces every row's split."""
@@ -690,6 +706,7 @@ _QUERIES = {
         "paragraph_dedup": q_paragraph_dedup,
         "line_filter": q_line_filter,
         "hash_split": q_hash_split,
+        "dedup_components": q_dedup_components,
         "deterministic_sample": q_deterministic_sample,
         "top_docs_by_chars": q_top_docs_by_chars,
         "report_cube": q_report_cube,
@@ -961,6 +978,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars FROM documents
             WHERE doc_id NOT IN (
               SELECT doc_id FROM documents WHERE doc_id % 7 = 0)
+        """,
+        "dedup_components": """
+            WITH RECURSIVE
+            base AS (
+              SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+              WHERE doc_id % 10 < 2
+              UNION ALL
+              SELECT doc_id AS a, 2 * doc_id AS b FROM documents
+              WHERE doc_id % 97 = 0 AND doc_id > 0),
+            edges AS (
+              SELECT a AS src, b AS dst FROM base
+              UNION
+              SELECT b AS src, a AS dst FROM base),
+            reach(node, r) AS (
+              SELECT src AS node, src AS r FROM edges
+              UNION
+              SELECT e.dst AS node, reach.r
+              FROM reach JOIN edges e ON reach.node = e.src)
+            SELECT node, min(r) AS label FROM reach GROUP BY node
         """,
         "hash_split": """
             SELECT doc_id,

@@ -398,3 +398,49 @@ def drop_duplicate_paragraphs(df: DataFrame, key: str = "doc_id",
     return rebuilt.join(n_in, key).select(
         key, col, "n_paras_in", "n_paras_kept"
     )
+
+
+def dedup_components(pairs: DataFrame, a: str = "a", b: str = "b",
+                     max_iter: int = 20) -> DataFrame:
+    """Connected components over candidate-pair edges → dedup clusters
+    (node, label) with label = min doc id reachable — the step after
+    LSH/SimHash candidate generation in every dedup pipeline: pick one
+    keeper per near-duplicate CLUSTER, not per pair.
+
+    Iterative min-label propagation (the simple alternating form of
+    large-star/small-star): each round joins labels to the symmetric edge
+    list, takes the min label seen per node, and stops when no label
+    changed. Rounds needed = graph diameter in the worst case; web dup
+    clusters are shallow (near-cliques), so 3-5 rounds typical. Each
+    round is one shuffle join + one groupBy of (node, label) longs —
+    ``localCheckpoint`` truncates the growing lineage so round N's plan
+    does not replay rounds 1..N-1.
+    """
+    edges = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        prop = (
+            sym.join(labels, sym.src == labels.node)
+            .select(F.col("dst").alias("node"), F.col("label"))
+        )
+        new_labels = (
+            prop.union(labels.select("node", "label"))
+            .groupBy("node").agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter("n.label != o.label")
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

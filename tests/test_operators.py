@@ -172,6 +172,18 @@ def test_repetition_stats(spark):
     assert plan_report(with_repetition_stats(df)).n_exchanges == 0
 
 
+def test_dedup_components_multi_hop(spark):
+    from ollama_ocr_spark.operators.dedup import dedup_components
+
+    # two components: chain 1-2-3-4 (diameter 3, needs >1 round) and 7-8
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 8)], ["a", "b"]
+    )
+    labels = {r["node"]: r["label"]
+              for r in dedup_components(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
+
+
 def test_drop_duplicate_paragraphs(spark):
     from ollama_ocr_spark.operators.dedup import drop_duplicate_paragraphs
 
