@@ -280,6 +280,21 @@ def q_resume_anti_join(spark, sf_dir):
     return resume_anti_join(docs, done, key="doc_id").select("doc_id", "n_chars")
 
 
+def q_normalize_embeddings(spark, sf_dir):
+    """Unit-norm embedding vectors (map-side; cosine becomes dot)."""
+    from ollama_ocr_spark.operators.similarity import normalize_embeddings
+
+    return normalize_embeddings(_emb(spark, sf_dir))
+
+
+def q_quantize_embeddings(spark, sf_dir):
+    """Symmetric int8 quantization + per-row dequant scale (4x ANN
+    shuffle/index size cut)."""
+    from ollama_ocr_spark.operators.similarity import quantize_embeddings
+
+    return quantize_embeddings(_emb(spark, sf_dir))
+
+
 def q_dedup_components(spark, sf_dir):
     """Connected components over deterministic multi-hop edges (chains
     doc_id→doc_id+1 for doc_id%10<2, long-range links doc_id→2*doc_id for
@@ -707,6 +722,8 @@ _QUERIES = {
         "line_filter": q_line_filter,
         "hash_split": q_hash_split,
         "dedup_components": q_dedup_components,
+        "normalize_embeddings": q_normalize_embeddings,
+        "quantize_embeddings": q_quantize_embeddings,
         "deterministic_sample": q_deterministic_sample,
         "top_docs_by_chars": q_top_docs_by_chars,
         "report_cube": q_report_cube,
@@ -978,6 +995,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars FROM documents
             WHERE doc_id NOT IN (
               SELECT doc_id FROM documents WHERE doc_id % 7 = 0)
+        """,
+        "normalize_embeddings": """
+            SELECT vec_id,
+                   list_transform(embedding, x -> round(x::DOUBLE /
+                     sqrt(list_sum(list_transform(embedding,
+                          y -> y::DOUBLE * y::DOUBLE))), 6)) AS unit,
+                   round(sqrt(list_sum(list_transform(embedding,
+                          y -> y::DOUBLE * y::DOUBLE))), 6) AS norm
+            FROM embeddings
+        """,
+        "quantize_embeddings": """
+            WITH m AS (
+              SELECT vec_id, embedding,
+                     CASE WHEN list_max(list_transform(embedding,
+                            x -> abs(x::DOUBLE))) = 0 THEN 1.0
+                          ELSE list_max(list_transform(embedding,
+                            x -> abs(x::DOUBLE))) END AS ma
+              FROM embeddings)
+            SELECT vec_id,
+                   list_transform(embedding,
+                     x -> round(x::DOUBLE * 127 / ma)::INT) AS qvec,
+                   round(ma / 127, 6) AS scale
+            FROM m
         """,
         "dedup_components": """
             WITH RECURSIVE

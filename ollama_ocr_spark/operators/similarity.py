@@ -227,3 +227,37 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def normalize_embeddings(df: DataFrame, key: str = "vec_id",
+                         vec: str = "embedding") -> DataFrame:
+    """Unit-normalize an embedding column (map-side array lambdas; makes
+    downstream cosine = plain dot product, halving ANN math). Components
+    round to 6 places so the DuckDB oracle (same left-to-right double
+    accumulation order) matches bit-for-bit."""
+    n = _norm(F.col(vec))
+    return df.select(
+        F.col(key),
+        F.transform(
+            F.col(vec), lambda x: F.round(x.cast("double") / n, 6)
+        ).alias("unit"),
+        F.round(n, 6).alias("norm"),
+    )
+
+
+def quantize_embeddings(df: DataFrame, key: str = "vec_id",
+                        vec: str = "embedding") -> DataFrame:
+    """Symmetric int8 quantization per vector: q = round(127 * x /
+    max_abs), plus the per-row scale to dequantize. 4x memory/bandwidth
+    cut for ANN shuffles and index storage — the standard serving trade.
+    Map-side only; oracle-mirrored arithmetic."""
+    v = F.col(vec)
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    safe = F.when(max_abs == 0, F.lit(1.0)).otherwise(max_abs)
+    return df.select(
+        F.col(key),
+        F.transform(
+            v, lambda x: F.round(x.cast("double") * 127 / safe).cast("int")
+        ).alias("qvec"),
+        F.round(safe / 127, 6).alias("scale"),
+    )
