@@ -67,7 +67,26 @@ def build_parser() -> argparse.ArgumentParser:
                    help="with --outdir: write summary.csv too")
     p.add_argument("--master", default=None,
                    help="Spark master (default: local[$SPARK_GRAFT_CPUS])")
+    p.add_argument("--page", type=int, default=None,
+                   help="with --url: print only this page of a multi-page "
+                        "document (ollama_cloud_ocr.py --page analog)")
+    p.add_argument("--show-timing", action="store_true",
+                   help="display performance timing metrics "
+                        "(ollama_local_ocr.py --show-timing analog)")
     return p
+
+
+def _page_slice(text: str, page: int) -> str | None:
+    """Pull one page's text out of the folded '--- Page N ---' document.
+    Documents without separators are treated as single-page."""
+    import re
+
+    tokens = re.split(r"(?:^|\n\n)--- Page (\d+) ---\n\n", text)
+    pages = {int(tokens[i]): tokens[i + 1]
+             for i in range(1, len(tokens) - 1, 2)}
+    if not pages:
+        return text if page == 1 else None
+    return pages.get(page)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -131,14 +150,46 @@ def main(argv: list[str] | None = None) -> int:
             print(f"no document for url: {args.url}", file=sys.stderr)
             return 1
         text = row["text"] or ""
+        if args.page is not None:
+            sliced = _page_slice(text, args.page)
+            if sliced is None:
+                print(f"no page {args.page} (document has "
+                      f"{row['pages']} page(s))", file=sys.stderr)
+                return 1
+            text = sliced
         preview = text[:PREVIEW_CHARS] + ("..." if len(text) > PREVIEW_CHARS else "")
         print(f"[{row['engine']}] {row['url']} "
               f"({row['chars']} chars, {row['pages']} page(s))")
         print(preview)
+        if args.show_timing:
+            print(f"\nPerformance timing:\n"
+                  f"  parse: {row['parse_us'] / 1e6:.3f}s")
     else:
         print(f"extracted {stats.docs_extracted} new / "
               f"{stats.docs_in} docs -> {results_tbl.root} "
               f"(snapshot {stats.snapshot_id})")
+
+    if args.show_timing and not args.url:
+        # reference prints a per-batch timing block
+        # (ollama_local_ocr.py:423-427); ours aggregates the lineage rows
+        # of this snapshot.
+        lin = metrics_tbl.read(spark)
+        if lin is not None:
+            snap = lin.filter(F.col("snapshot_id") == stats.snapshot_id)
+            agg = snap.agg(
+                F.sum("doc_count").alias("docs"),
+                F.sum("bytes_in").alias("bytes_in"),
+                F.sum("stage_secs.parse").alias("parse_secs"),
+            ).first()
+            docs = agg["docs"] or 0
+            print("\nPerformance timing:")
+            print(f"  wall: {stats.wall_secs:.2f}s"
+                  f"  parse-cpu: {(agg['parse_secs'] or 0):.2f}s"
+                  f"  bytes in: {(agg['bytes_in'] or 0) / 1e6:.1f} MB")
+            if docs and stats.wall_secs:
+                print(f"  throughput: {docs / stats.wall_secs:,.0f} docs/s"
+                      f"  avg parse: "
+                      f"{(agg['parse_secs'] or 0) / docs * 1e3:.2f} ms/doc")
 
     if args.outdir and results is not None:
         export_reference_outputs(results, args.outdir, write_csv=args.csv)

@@ -121,6 +121,21 @@ def test_cli_batch_and_single_url(spark, tmp_path, capsys):
     assert os.path.exists(os.path.join(outdir2, "OCR_article-0.txt"))
     assert not os.path.exists(os.path.join(outdir2, "summary.csv"))
 
+    # --page on a multi-page PDF (cloud-CLI --page analog): page text only
+    pdf_url = "https://h0.example.com/src7/playbook-7.pdf"
+    assert main(base + ["--url", pdf_url, "--page", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "--- Page" not in out.splitlines()[1]
+    assert main(base + ["--url", pdf_url, "--page", "99"]) == 1
+    capsys.readouterr()
+
+    # --show-timing prints the timing block in both modes
+    assert main(base + ["--url", pdf_url, "--show-timing"]) == 0
+    assert "Performance timing:" in capsys.readouterr().out
+    assert main(base + ["--show-timing"]) == 0
+    out = capsys.readouterr().out
+    assert "wall:" in out and "throughput:" not in out  # 0 new docs on resume
+
     # --mode dispatch (cloud-CLI analog): analyze on a single url
     assert main(base + ["--mode", "analyze",
                         "--url", "https://h0.example.com/src0/article-0.html"]) == 0
