@@ -894,6 +894,7 @@ def oracle_sql() -> dict[str, str]:
               CASE WHEN doc_id % 10 = 7 THEN 'PDF'
                    WHEN doc_id % 10 = 8 THEN 'Image'
                    WHEN doc_id % 10 = 9 THEN 'error'
+                   WHEN doc_id % 20 = 14 THEN 'Text'
                    ELSE 'HTML' END AS doc_type,
               count(*) AS n_docs
             FROM documents GROUP BY 1, 2
@@ -919,23 +920,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "analyze_metadata": """
             SELECT doc_id,
-                   (CASE doc_id % 10 WHEN 2 THEN 'table' WHEN 3 THEN 'list'
-                        WHEN 4 THEN 'memo' WHEN 5 THEN 'receipt'
-                        WHEN 6 THEN 'draft' ELSE 'article' END)
-                     || ' ' || doc_id AS title,
-                   'Example Site ' || (doc_id % 7) AS h1,
+                   CASE WHEN doc_id % 20 = 14 THEN ''
+                        ELSE (CASE doc_id % 10 WHEN 2 THEN 'table'
+                              WHEN 3 THEN 'list' WHEN 4 THEN 'memo'
+                              WHEN 5 THEN 'receipt' WHEN 6 THEN 'draft'
+                              ELSE 'article' END) || ' ' || doc_id
+                   END AS title,
+                   CASE WHEN doc_id % 20 = 14 THEN ''
+                        ELSE 'Example Site ' || (doc_id % 7) END AS h1,
                    doc_id % 10 <> 4 AS has_structure,
-                   CASE WHEN doc_id % 10 = 4 THEN 'plain'
+                   CASE WHEN doc_id % 20 = 14 THEN 'text'
+                        WHEN doc_id % 10 = 4 THEN 'plain'
                         ELSE 'structured' END AS doc_class
             FROM documents WHERE doc_id % 10 <= 6
         """,
         "multi_step": f"""
             WITH {_RENDER_CTES}
             SELECT doc_id, gtext AS text, length(gtext)::BIGINT AS chars,
-                   (CASE doc_id % 10 WHEN 2 THEN 'table' WHEN 3 THEN 'list'
-                        WHEN 4 THEN 'memo' WHEN 5 THEN 'receipt'
-                        WHEN 6 THEN 'draft' ELSE 'article' END)
-                     || ' ' || doc_id AS title,
+                   CASE WHEN doc_id % 20 = 14 THEN ''
+                        ELSE (CASE doc_id % 10 WHEN 2 THEN 'table'
+                              WHEN 3 THEN 'list' WHEN 4 THEN 'memo'
+                              WHEN 5 THEN 'receipt' WHEN 6 THEN 'draft'
+                              ELSE 'article' END) || ' ' || doc_id
+                   END AS title,
                    doc_id % 10 = 5 AS has_receipt,
                    CASE WHEN doc_id % 10 = 5
                         THEN ((doc_id % 1000) * 13 + 99)::BIGINT END AS total_cents

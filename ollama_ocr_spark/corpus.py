@@ -21,6 +21,7 @@ Archetype table (k = doc_id % 10), mirroring the 5 reference fixtures in
 | 3       | list       | HTML, <ul> of word items →        | printed (structure)   |
 |         |            | markdown "- item" golden          |                       |
 | 4       | memo       | HTML, plain <div> main, no markers| handwriting (fallback)|
+|         |            | doc_id%20==14: raw text/plain     | handwriting, Text     |
 | 5       | receipt    | HTML like 0..3, url keyword       | printed (keyword)     |
 | 6       | draft      | HTML like 0..3, url keyword       | handwriting (keyword) |
 | 7       | playbook   | PDF, 1 + doc_id%3 pages (.pdf)    | printed (keyword 'pdf')|
@@ -239,6 +240,11 @@ def build_payload(doc_id: int, text: str, lang: str) -> bytes | None:
         return build_image(doc_id)
     if k == 9:
         return None if doc_id % 20 == 9 else _JUNK
+    if k == 4 and doc_id % 20 == 14:
+        # plain-text capture (text/plain served under an .html url — web
+        # reality): the router must content-sniff it as UTF-8 text. Same
+        # identity golden as the memo HTML (text.strip()).
+        return text.encode("utf-8")
     return build_html(doc_id, text, lang)
 
 

@@ -173,6 +173,10 @@ def _multi_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch
                 ext = parse_html_blocks(payload)
                 text, title = ext.text, ext.title
                 rec = _first_receipt(ext)
+            elif kind == "text":
+                # plain-text capture: the text step succeeds, the
+                # structure-dependent steps are simply absent
+                text = payload.decode("utf-8", errors="replace").strip()
             else:
                 errors.append(f"text: {err or 'non-html payload'}")
             cols["url"].append(url)

@@ -94,9 +94,23 @@ def test_analyze_and_multistep_share_semantics(spark, documents_smoke):
     for u in html_urls:
         assert meta[u]["title"] == multi[u]["title"]
         assert multi[u]["has_receipt"] == ("receipt-" in u)
-    # memo archetype is the unstructured class
+    # memo archetype is the unstructured class; its doc_id%20==14 sub-slot
+    # carries raw text/plain payloads and classifies as 'text'
+    import re
+
+    def _did(u):
+        return int(re.search(r"-(\d+)\.", u).group(1))
+
     memos = [u for u in html_urls if "memo-" in u]
-    assert memos and all(meta[u]["doc_class"] == "plain" for u in memos)
+    assert memos
+    for u in memos:
+        expected = "text" if _did(u) % 20 == 14 else "plain"
+        assert meta[u]["doc_class"] == expected
+    assert any(_did(u) % 20 == 14 for u in memos)
+    # the text sub-slot still extracts its full text through the multi path
+    for u in memos:
+        if _did(u) % 20 == 14:
+            assert multi[u]["chars"] > 0 and multi[u]["step_errors"] is None
 
 
 from ollama_ocr_spark.functions.media import build_mp4 as _mp4_bytes

@@ -57,10 +57,12 @@ def test_route_and_type_distribution(spark, documents_smoke):
         (r["engine"], r["doc_type"]): r["n"]
         for r in results.groupBy("engine", "doc_type").agg(F.count("*").alias("n")).collect()
     }
-    # k=0..3,5 → printed HTML (250); k=4,6 → handwriting HTML (100);
+    # k=0..3,5 → printed HTML (250); k=4,6 → handwriting HTML (100, minus
+    # the 25 doc_id%20==14 text/plain sub-slot docs → handwriting Text);
     # k=7 → printed PDF (50); k=8 → handwriting Image (50); k=9 → error (50)
     assert dist[("printed", "HTML")] == 250
-    assert dist[("handwriting", "HTML")] == 100
+    assert dist[("handwriting", "HTML")] == 75
+    assert dist[("handwriting", "Text")] == 25
     assert dist[("printed", "PDF")] == 50
     assert dist[("handwriting", "Image")] == 50
     assert dist[("error", "error")] == 50
