@@ -280,6 +280,19 @@ def q_resume_anti_join(spark, sf_dir):
     return resume_anti_join(docs, done, key="doc_id").select("doc_id", "n_chars")
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Pretraining sequence packing: per-bucket greedy token-budget bins
+    (windowed running sum; global packing would be a one-partition window
+    and is deliberately not offered)."""
+    from ollama_ocr_spark.operators.textstats import (
+        pack_sequences, with_token_counts)
+
+    docs = with_token_counts(_docs(spark, sf_dir))
+    return pack_sequences(docs, budget=2048, buckets=8).select(
+        "doc_id", "bucket", "bin_id", "tokens"
+    )
+
+
 def q_normalize_embeddings(spark, sf_dir):
     """Unit-norm embedding vectors (map-side; cosine becomes dot)."""
     from ollama_ocr_spark.operators.similarity import normalize_embeddings
@@ -723,6 +736,7 @@ _QUERIES = {
         "hash_split": q_hash_split,
         "dedup_components": q_dedup_components,
         "normalize_embeddings": q_normalize_embeddings,
+        "pack_sequences": q_pack_sequences,
         "quantize_embeddings": q_quantize_embeddings,
         "deterministic_sample": q_deterministic_sample,
         "top_docs_by_chars": q_top_docs_by_chars,
@@ -1002,6 +1016,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars FROM documents
             WHERE doc_id NOT IN (
               SELECT doc_id FROM documents WHERE doc_id % 7 = 0)
+        """,
+        "pack_sequences": """
+            WITH t AS (
+              SELECT doc_id, doc_id % 8 AS bucket,
+                     len(string_split(text, ' '))::INT AS tokens
+              FROM documents)
+            SELECT doc_id, bucket,
+                   (floor((sum(tokens) OVER (PARTITION BY bucket
+                             ORDER BY doc_id) - tokens) / 2048))::INT
+                     AS bin_id,
+                   tokens
+            FROM t
         """,
         "normalize_embeddings": """
             SELECT vec_id,

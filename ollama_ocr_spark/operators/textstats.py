@@ -9,7 +9,7 @@ portable primitives (split/regexp/md5/round).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny deterministic stopword list; the synthetic corpus vocabulary contains
@@ -205,3 +205,32 @@ def with_line_filter(df: DataFrame, col: str = "text") -> DataFrame:
         .withColumn("n_lines_kept", F.size(kept))
         .withColumn("clean_text", F.array_join(kept, "\n"))
     )
+
+
+def pack_sequences(df: DataFrame, key: str = "doc_id",
+                   tokens_col: str = "n_ws_tokens", budget: int = 2048,
+                   buckets: int = 32) -> DataFrame:
+    """Sequence packing for pretraining batches: greedily bin documents
+    into fixed token budgets, so a training loader reads whole bins
+    instead of re-shuffling documents.
+
+    Scale shape: a GLOBAL greedy pack is a single-partition window (never
+    acceptable at 100 TB), so packing is per hash-bucket — documents land
+    in ``pmod(key, buckets)`` buckets (deterministic, oracle-portable for
+    numeric keys), each bucket packs independently with a windowed running
+    sum ordered by key, and ``bin_id = floor((cumsum - tokens) / budget)``
+    assigns each doc to the bin its predecessor total left open. Buckets
+    should be sized >= cluster parallelism; packing quality loss vs global
+    is negligible when each bucket holds thousands of docs.
+
+    Output: (key, bucket, bin_id, tokens).
+    """
+    b = F.pmod(F.col(key), F.lit(buckets))
+    w = Window.partitionBy("bucket").orderBy(key)
+    with_b = df.select(F.col(key), F.col(tokens_col).alias("tokens"),
+                       b.alias("bucket"))
+    cum = F.sum("tokens").over(w)
+    return with_b.withColumn(
+        "bin_id",
+        F.floor((cum - F.col("tokens")) / F.lit(budget)).cast("int"),
+    ).select(key, "bucket", "bin_id", "tokens")
