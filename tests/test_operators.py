@@ -239,3 +239,53 @@ def test_single_shuffle_extract_plan(spark, documents_smoke):
     )
     assert plan.count("Exchange") == 1
     assert "WindowGroupLimit" in plan
+
+
+def test_hash_split_total_disjoint_deterministic(spark):
+    from ollama_ocr_spark.operators.maintenance import hash_split
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    counts = {r["split"]: r["count"]
+              for r in hash_split(df, key="doc_id")
+              .groupBy("split").count().collect()}
+    assert sum(counts.values()) == 2000          # total: every row assigned
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.85 < counts["train"] / 2000 < 0.95  # ~0.9 within md5 noise
+    # determinism: identical assignment on re-evaluation
+    a = dict(hash_split(df, key="doc_id").select("doc_id", "split").collect())
+    b = dict(hash_split(df, key="doc_id").select("doc_id", "split").collect())
+    assert a == b
+
+
+def test_line_filter_idempotent(spark):
+    from ollama_ocr_spark.operators.textstats import with_line_filter
+
+    df = spark.createDataFrame(
+        [(1, "A good long sentence with many words here.\nshort\n"
+             "Please enable javascript now.\nAnother fine sentence "
+             "that clearly qualifies today!")],
+        ["doc_id", "text"],
+    )
+    once = with_line_filter(df).select(
+        "doc_id", F.col("clean_text").alias("text"))
+    twice = with_line_filter(once).first()
+    # every kept line passes the rules, so a second pass keeps everything
+    assert twice["n_lines"] == twice["n_lines_kept"] == 2
+    assert twice["clean_text"] == twice["text"]
+
+
+def test_pack_sequences_respects_budget(spark):
+    from ollama_ocr_spark.operators.textstats import pack_sequences
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id") * 37, F.lit(900)) + 1).alias("n_ws_tokens"),
+    )
+    packed = pack_sequences(df, budget=1000, buckets=4)
+    per_bin = packed.groupBy("bucket", "bin_id").agg(
+        F.sum("tokens").alias("total"), F.max("tokens").alias("biggest")
+    )
+    # greedy rule: all docs before the overflowing one fit the budget
+    bad = per_bin.filter(F.col("total") - F.col("biggest") >= 1000).count()
+    assert bad == 0
+    assert packed.count() == 500
