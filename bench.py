@@ -49,7 +49,24 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPL = int(os.environ.get("SPARK_GRAFT_BENCH_REPL", "80"))
 TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "4"))
 SMALL = int(os.environ.get("SPARK_GRAFT_BENCH_SMALL", "2"))
-PAGES_DIR = f"/tmp/bench_pages_{os.path.basename(SF_DIR)}_x{REPL}"
+def _corpus_tag() -> str:
+    """Fingerprint of the corpus-defining sources: the pages cache is a
+    pure function of (documents table, corpus code), so a corpus.py edit
+    must invalidate it — a stale cache silently benchmarks old semantics."""
+    import hashlib
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    h = hashlib.md5()
+    for rel in ("ollama_ocr_spark/corpus.py",
+                "ollama_ocr_spark/operators/extract.py"):
+        with open(os.path.join(root, rel), "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()[:8]
+
+
+PAGES_DIR = (
+    f"/tmp/bench_pages_{os.path.basename(SF_DIR)}_x{REPL}_{_corpus_tag()}"
+)
 
 HEADLINE = (
     "extract_text_roundtrip",
