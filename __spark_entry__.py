@@ -205,12 +205,16 @@ def q_media_metadata(spark, sf_dir):
 
 
 def q_image_features(spark, sf_dir):
-    """Feature-extraction plumbing (deterministic fake kernel; rows-only)."""
+    """Feature-extraction plumbing (deterministic fake kernel; rows-only).
+    The feature vector is serialized to a micro-unit CSV string so the
+    driver's sort_values canonicalization can handle the frame."""
     from ollama_ocr_spark.operators.media import image_features_stage
 
     pages = _latest_pages(spark, sf_dir)
-    return image_features_stage(
-        pages.filter(F.col("url").endswith(".jpg"))
+    out = image_features_stage(pages.filter(F.col("url").endswith(".jpg")))
+    return out.select(
+        "url", _micro_csv(F.col("feature")).alias("feature_csv"),
+        "feature_dim",
     )
 
 
@@ -293,19 +297,50 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+def _micro_csv(arr_col):
+    """array<double> → deterministic CSV of micro-units (×1e6 bigints).
+
+    The driver's canonicalizer ``sort_values``-es the result frame — list
+    cells are unhashable there, so array outputs must leave the query as
+    scalar strings. Integer micro-units dodge double→string formatting
+    differences between engines entirely."""
+    return F.array_join(
+        F.transform(
+            arr_col,
+            lambda x: F.round(x.cast("double") * 1000000).cast("bigint")
+            .cast("string"),
+        ),
+        ",",
+    )
+
+
 def q_normalize_embeddings(spark, sf_dir):
-    """Unit-norm embedding vectors (map-side; cosine becomes dot)."""
+    """Unit-norm embedding vectors (map-side; cosine becomes dot). The unit
+    vector is emitted as a micro-unit CSV string (components are already
+    round(x/norm, 6), so ×1e6 is integral) for driver-canonicalizer
+    compatibility."""
     from ollama_ocr_spark.operators.similarity import normalize_embeddings
 
-    return normalize_embeddings(_emb(spark, sf_dir))
+    out = normalize_embeddings(_emb(spark, sf_dir))
+    return out.select(
+        "vec_id", _micro_csv(F.col("unit")).alias("unit_u6"), "norm"
+    )
 
 
 def q_quantize_embeddings(spark, sf_dir):
     """Symmetric int8 quantization + per-row dequant scale (4x ANN
-    shuffle/index size cut)."""
+    shuffle/index size cut). The int8 vector leaves the query as a CSV
+    string (driver canonicalizer can't sort list cells)."""
     from ollama_ocr_spark.operators.similarity import quantize_embeddings
 
-    return quantize_embeddings(_emb(spark, sf_dir))
+    out = quantize_embeddings(_emb(spark, sf_dir))
+    return out.select(
+        "vec_id",
+        F.array_join(
+            F.transform(F.col("qvec"), lambda x: x.cast("string")), ","
+        ).alias("qvec_csv"),
+        "scale",
+    )
 
 
 def q_dedup_components(spark, sf_dir):
@@ -1031,9 +1066,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "normalize_embeddings": """
             SELECT vec_id,
-                   list_transform(embedding, x -> round(x::DOUBLE /
-                     sqrt(list_sum(list_transform(embedding,
-                          y -> y::DOUBLE * y::DOUBLE))), 6)) AS unit,
+                   array_to_string(list_transform(embedding, x ->
+                     (round(round(x::DOUBLE /
+                        sqrt(list_sum(list_transform(embedding,
+                             y -> y::DOUBLE * y::DOUBLE))), 6)
+                        * 1000000)::BIGINT)::VARCHAR), ',') AS unit_u6,
                    round(sqrt(list_sum(list_transform(embedding,
                           y -> y::DOUBLE * y::DOUBLE))), 6) AS norm
             FROM embeddings
@@ -1047,8 +1084,9 @@ def oracle_sql() -> dict[str, str]:
                             x -> abs(x::DOUBLE))) END AS ma
               FROM embeddings)
             SELECT vec_id,
-                   list_transform(embedding,
-                     x -> round(x::DOUBLE * 127 / ma)::INT) AS qvec,
+                   array_to_string(list_transform(embedding,
+                     x -> (round(x::DOUBLE * 127 / ma)::INT)::VARCHAR),
+                     ',') AS qvec_csv,
                    round(ma / 127, 6) AS scale
             FROM m
         """,

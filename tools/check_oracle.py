@@ -40,6 +40,18 @@ def frame_hash(df) -> tuple[int, list[str], str]:
     return len(rows), cols, digest
 
 
+def driver_canon_err(df) -> str | None:
+    """Replicate the DRIVER's canonicalization (pandas ``sort_values`` over
+    all columns, sorted by name). Array/list cells are unhashable there and
+    killed 3 round-1 rows while this checker's per-row stringify passed —
+    surface that failure class locally."""
+    try:
+        df[sorted(df.columns)].sort_values(by=sorted(df.columns))
+        return None
+    except Exception as exc:  # noqa: BLE001 — mirror driver behavior
+        return f"driver-canon {type(exc).__name__}: {exc}"
+
+
 def main() -> int:
     import duckdb
 
@@ -66,6 +78,11 @@ def main() -> int:
         t0 = time.monotonic()
         sdf = fn(spark, SF_DIR).toPandas()
         spark_secs = time.monotonic() - t0
+        canon_err = driver_canon_err(sdf)
+        if canon_err:
+            print(f"  {name:28s} FAIL {canon_err[:100]}")
+            failures.append((name, canon_err))
+            continue
         if name not in oracles:
             print(f"  {name:28s} rows-only: {len(sdf):6d} rows "
                   f"({spark_secs:5.1f}s)")
