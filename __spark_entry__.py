@@ -219,11 +219,18 @@ def q_image_features(spark, sf_dir):
 
 
 def q_template_mining(spark, sf_dir):
-    """Per-host template blocks via applyInPandas (rows-only: cross-doc
-    set logic, not expressible as portable SQL over the views)."""
+    """Per-host template blocks via applyInPandas over the HTML archetypes
+    (k <= 6). The oracle reconstructs each page's block inventory (chrome +
+    content) in SQL from the corpus mapping, mirrors the per-host url-order
+    sample cap, and recomputes support."""
+    from ollama_ocr_spark.operators.maintenance import doc_id_expr
     from ollama_ocr_spark.operators.templates import mine_templates
 
-    return mine_templates(_latest_pages(spark, sf_dir), min_support=0.5)
+    pages = _latest_pages(spark, sf_dir).filter(doc_id_expr() % 10 <= 6)
+    out = mine_templates(pages, min_support=0.5)
+    return out.select(
+        "host", "block", F.round("support", 4).alias("support"), "n_docs"
+    )
 
 
 def q_host_skew_counts(spark, sf_dir):
@@ -510,10 +517,11 @@ def q_winnow_fingerprints(spark, sf_dir):
 
 
 def q_simhash_buckets(spark, sf_dir):
-    """SimHash signatures (rows-only: xxhash64 is Spark-specific)."""
+    """SimHash signatures — md5-derived bit vectors, so the DuckDB oracle
+    reproduces every signature and blocking bucket bit-for-bit."""
     from ollama_ocr_spark.operators.dedup import simhash64
 
-    return simhash64(_docs(spark, sf_dir))
+    return simhash64(_docs(spark, sf_dir), hash_fn="md5")
 
 
 def q_token_counts(spark, sf_dir):
@@ -590,7 +598,8 @@ def q_ann_cosine_topk(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed ANN (rows-only: hyperplanes derive from xxhash64)."""
+    """LSH-bucketed ANN — hyperplane signs from md5 parity, so the DuckDB
+    oracle reproduces the bucket assignment and the in-bucket rerank."""
     from ollama_ocr_spark.operators.similarity import lsh_bucket_topk
 
     emb = _emb(spark, sf_dir)
@@ -894,6 +903,18 @@ _ANN_ORACLE = """
             SELECT query_id, neighbor_id, cosine, rnk::INT AS rnk
             FROM ranked WHERE rnk <= 5
         """
+
+
+def _lsh_sig_sql(v: str) -> str:
+    """DuckDB twin of similarity._rh_signature (md5-parity hyperplanes,
+    num_planes=6, dim=64): sign-bit bucket id for vector column ``v``."""
+    return f"""list_sum(list_transform(range(6), p ->
+      CASE WHEN list_sum(list_transform(range(64), i ->
+             {v}[(i + 1)::INT]::DOUBLE *
+             CASE WHEN (instr('0123456789abcdef',
+                    substr(md5(p::VARCHAR || '|' || i::VARCHAR), 32, 1)) - 1)
+                  % 2 = 1 THEN 1.0 ELSE -1.0 END)) > 0
+           THEN (1::BIGINT << p::INT) ELSE 0 END))"""
 
 
 from ollama_ocr_spark.operators.textstats import PII_EMAIL_RE as _PII_EMAIL
@@ -1455,6 +1476,112 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, sum(new_s)::BIGINT AS n_sessions
             FROM s GROUP BY 1
         """,
-        # rows-only (hash-function-specific, no portable SQL):
-        #   simhash_buckets, ann_lsh_topk
+        # SimHash: md5-hex bit extraction mirrors dedup._md5_word_hash —
+        # bit b of the 64-bit value = bit (b%4) of hex digit (16 - b//4).
+        "simhash_buckets": """
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(list_distinct(string_split(text, ' '))) AS word
+              FROM documents),
+            h AS (SELECT doc_id, md5(word) AS hx FROM w),
+            hb AS (SELECT doc_id, hx, unnest(range(64)) AS bit FROM h),
+            s AS (
+              SELECT doc_id, bit,
+                     sum(CASE WHEN (((instr('0123456789abcdef',
+                                substr(hx, (16 - bit // 4)::INT, 1)) - 1)
+                          >> (bit % 4)::INT) & 1) = 1
+                         THEN 1 ELSE -1 END) AS acc
+              FROM hb GROUP BY 1, 2),
+            sig AS (
+              SELECT doc_id,
+                     sum(CASE WHEN acc > 0 THEN
+                           CASE WHEN bit = 63 THEN -9223372036854775807 - 1
+                                ELSE (1::BIGINT << bit::INT) END
+                         ELSE 0 END)::BIGINT AS simhash,
+                     sum(CASE WHEN acc > 0 AND bit >= 48
+                           THEN (1::BIGINT << (bit - 48)::INT)
+                         ELSE 0 END)::INT AS bucket
+              FROM s GROUP BY 1)
+            SELECT doc_id, simhash, bucket FROM sig
+        """,
+        "ann_lsh_topk": f"""
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 10),
+            c AS (SELECT vec_id AS neighbor_id, embedding AS cv
+                  FROM embeddings WHERE vec_id >= 10),
+            qs AS (SELECT query_id, qv, {_lsh_sig_sql('qv')} AS sig FROM q),
+            cs AS (SELECT neighbor_id, cv, {_lsh_sig_sql('cv')} AS sig
+                   FROM c),
+            scored AS (
+              SELECT query_id, neighbor_id,
+                round(
+                  list_sum(list_transform(range(1, 1 + len(qv)),
+                           i -> qv[i]::DOUBLE * cv[i]::DOUBLE))
+                  / (sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE)))
+                     * sqrt(list_sum(list_transform(cv, x -> x::DOUBLE * x::DOUBLE)))),
+                  4) AS cosine
+              FROM qs JOIN cs ON qs.sig = cs.sig
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, cosine, rnk::INT AS rnk
+            FROM ranked WHERE rnk <= 5
+        """,
+        # Template mining: reconstruct each HTML page's block inventory
+        # (chrome + content, mirroring corpus.build_html and the
+        # htmltext block parser with the mining drop-set), apply the
+        # per-host url-order sample cap, recompute per-host support.
+        "template_mining": f"""
+            WITH {_RENDER_CTES},
+            f AS (
+              SELECT doc_id, text, {_HOST_CASE} AS host,
+                     'https://' || {_HOST_CASE} || '/' || source || '/' ||
+                     {_STEM_CASE} || '-' || doc_id || '.html' AS url
+              FROM documents WHERE doc_id % 10 <= 6),
+            samp AS (
+              SELECT doc_id, text, host FROM (
+                SELECT f.*, row_number() OVER (
+                  PARTITION BY host ORDER BY url) AS rn
+                FROM f) WHERE rn <= 100),
+            nh AS (SELECT host, count(*) AS n FROM samp GROUP BY 1),
+            allb AS (
+              SELECT host, doc_id, '# Example Site ' || (doc_id % 7) AS block
+              FROM samp WHERE doc_id % 20 <> 14
+              UNION ALL
+              SELECT host, doc_id, '- Section ' || g.i
+              FROM samp, (SELECT unnest(range(6)) AS i) g
+              WHERE doc_id % 20 <> 14
+              UNION ALL
+              SELECT host, doc_id,
+                     'Sponsored: one weird trick limited offer'
+              FROM samp WHERE doc_id % 20 <> 14 AND doc_id % 10 <> 4
+              UNION ALL
+              SELECT host, doc_id,
+                     'related story one related story two more'
+              FROM samp WHERE doc_id % 20 <> 14 AND doc_id % 10 <> 4
+              UNION ALL
+              SELECT host, doc_id, 'Terms Privacy © 2024 Example Corp'
+              FROM samp WHERE doc_id % 20 <> 14
+              UNION ALL
+              SELECT host, doc_id, text AS block FROM samp
+              WHERE doc_id % 10 IN (0, 1, 4, 5, 6)
+              UNION ALL
+              SELECT s.host, s.doc_id, r.gtext AS block
+              FROM samp s JOIN rendered r USING (doc_id)
+              WHERE s.doc_id % 10 = 2
+              UNION ALL
+              SELECT s.host, s.doc_id, '- ' || rp.item AS block
+              FROM samp s JOIN rp ON s.doc_id = rp.doc_id
+              WHERE s.doc_id % 10 = 3 AND rp.item <> ''),
+            blocks AS (SELECT DISTINCT host, doc_id, block FROM allb),
+            counted AS (
+              SELECT host, block, count(*) AS c FROM blocks GROUP BY 1, 2)
+            SELECT c.host, c.block, round(c.c * 1.0 / nh.n, 4) AS support,
+                   nh.n::INT AS n_docs
+            FROM counted c JOIN nh ON c.host = nh.host
+            WHERE c.c * 1.0 / nh.n >= 0.5
+        """,
     }

@@ -307,13 +307,26 @@ def embedding_near_dupes(df: DataFrame, key: str = "vec_id",
 _SIMHASH_POWS = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
 
 
-def simhash64(df: DataFrame, key: str = "doc_id", col: str = "text") -> DataFrame:
-    """64-bit SimHash over word features (xxhash64-derived bit vectors).
+def _md5_word_hash(w):
+    """64-bit word hash from the first 16 hex chars of md5 (big-endian) —
+    engine-portable, so a DuckDB oracle reproduces every bit. The 32-bit
+    halves go through ``conv`` (fits signed range) and reassemble with
+    shift/or — pure bit ops, safe under ANSI overflow checking."""
+    h = F.md5(w)
+    hi = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+    lo = F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
+def simhash64(df: DataFrame, key: str = "doc_id", col: str = "text",
+              hash_fn: str = "xxhash64") -> DataFrame:
+    """64-bit SimHash over word features.
 
     sig bit b = majority sign of sum over words of (+1 if bit b of
-    xxhash64(word) else -1). Rows-only checked (no SQL oracle — hash
-    function is Spark-specific). Output: (key, simhash bigint, bucket int —
-    top 16 bits for blocking).
+    hash(word) else -1). ``hash_fn="xxhash64"`` (default) is the cheap
+    production hash; ``hash_fn="md5"`` derives the 64 bits from the md5 hex
+    prefix so the DuckDB oracle reproduces signatures bit-for-bit.
+    Output: (key, simhash bigint, bucket int — top 16 bits for blocking).
 
     Single-traversal plan: ONE ``aggregate`` over the hash array with an
     ``array<int>[64]`` accumulator (``zip_with`` adds all 64 bit signs per
@@ -323,9 +336,10 @@ def simhash64(df: DataFrame, key: str = "doc_id", col: str = "text") -> DataFram
     two's-complement reconstruction, so the sign bit mask is Java long
     min, never an overflowing ``1<<63``).
     """
+    word_hash = F.xxhash64 if hash_fn == "xxhash64" else _md5_word_hash
     pows = F.array(*[F.lit(p).cast("bigint") for p in _SIMHASH_POWS])
     hashes = F.transform(
-        F.array_distinct(F.split(F.col(col), " ")), lambda w: F.xxhash64(w)
+        F.array_distinct(F.split(F.col(col), " ")), lambda w: word_hash(w)
     )
     acc = F.aggregate(
         hashes,

@@ -7,8 +7,9 @@
   over k·|Q| rows after partial top-k pushdown via AQE).
 - :func:`lsh_bucket_topk` — random-hyperplane LSH scale path: sign-bit
   signature buckets cut the candidate set; exactness traded for a bounded
-  candidate join. Hyperplanes are derived deterministically from xxhash64 so
-  results are stable across runs (rows-only check; hash is Spark-specific).
+  candidate join. Hyperplanes derive deterministically from md5 parity
+  (engine-portable: the DuckDB oracle reproduces buckets bit-for-bit), with
+  an xxhash64 variant for cheap production hashing.
 
 All arithmetic is double-precision native column math (zip_with/aggregate)
 — no Python UDF — so the DuckDB oracle reproduces it bit-for-bit before the
@@ -67,19 +68,38 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
-def _rh_signature(vec, num_planes: int, dim: int):
-    """Random-hyperplane sign signature; plane weights are ±1 derived from
-    xxhash64(plane, dim) — deterministic, no stored model."""
+def _rh_signature(vec, num_planes: int, dim: int, hash_fn: str = "md5"):
+    """Random-hyperplane sign signature; plane weights are ±1 derived
+    deterministically from a hash of (plane, dim-index) — no stored model.
+
+    ``hash_fn="md5"`` (default) takes the parity of the last hex digit of
+    ``md5("{p}|{i}")`` — engine-portable, so a DuckDB oracle reproduces the
+    buckets bit-for-bit. ``hash_fn="xxhash64"`` is the cheaper JVM hash for
+    production runs where oracle parity is not needed (the hyperplanes are
+    equally random either way)."""
     bits = []
     for p in range(num_planes):
+        if hash_fn == "md5":
+            def weight(i, p=p):
+                digit = F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{p}|"), i.cast("string"))),
+                        32, 1,
+                    ),
+                    16, 10,
+                ).cast("int")
+                return F.when(digit % 2 == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+        else:
+            def weight(i, p=p):
+                return F.when(
+                    F.xxhash64(F.lit(p), i).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0))
         proj = F.aggregate(
             F.zip_with(
                 vec,
                 F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda x, i: x.cast("double")
-                * F.when(
-                    F.xxhash64(F.lit(p), i).bitwiseAND(F.lit(1)) == 1, F.lit(1.0)
-                ).otherwise(F.lit(-1.0)),
+                lambda x, i: x.cast("double") * weight(i),
             ),
             F.lit(0.0),
             lambda acc, v: acc + v,
@@ -201,18 +221,21 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
 def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                     key: str = "vec_id", vec: str = "embedding",
-                    num_planes: int = 6, dim: int = 64) -> DataFrame:
+                    num_planes: int = 6, dim: int = 64,
+                    hash_fn: str = "md5") -> DataFrame:
     """ANN via random-hyperplane buckets: exact rerank inside the bucket.
 
     Recall < 1.0 by design; at 100 TB the bucket join replaces the full
-    cross-product with |corpus|/2^planes candidates per query.
+    cross-product with |corpus|/2^planes candidates per query. Hyperplane
+    weights derive from md5 parity by default (oracle-portable; see
+    :func:`_rh_signature`).
     """
     c = corpus.select(
         F.col(key).alias("neighbor_id"), F.col(vec).alias("cv")
-    ).withColumn("sig", _rh_signature(F.col("cv"), num_planes, dim))
+    ).withColumn("sig", _rh_signature(F.col("cv"), num_planes, dim, hash_fn))
     q = queries.select(
         F.col(key).alias("query_id"), F.col(vec).alias("qv")
-    ).withColumn("sig", _rh_signature(F.col("qv"), num_planes, dim))
+    ).withColumn("sig", _rh_signature(F.col("qv"), num_planes, dim, hash_fn))
 
     scored = (
         c.join(F.broadcast(q), "sig")

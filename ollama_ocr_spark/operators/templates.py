@@ -60,8 +60,11 @@ def mine_templates(pages: DataFrame, min_support: float = 0.5,
             )
             for block in set(ext.all_blocks):
                 counts[block] = counts.get(block, 0) + 1
+        # support is the RAW quotient — presentation rounding happens in
+        # engine expressions (Spark round == DuckDB round for positive
+        # values; Python's banker's rounding does not match either).
         rows = [
-            (host, block, round(c / n_docs, 4), n_docs)
+            (host, block, c / n_docs, n_docs)
             for block, c in counts.items()
             if c / n_docs >= min_support
         ]
