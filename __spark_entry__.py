@@ -640,10 +640,24 @@ def q_golden_compare(spark, sf_dir):
 
 
 def q_embedding_near_dupes(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs."""
+    """Embedding-cosine near-duplicate pairs (exact all-pairs — the
+    test-scale oracle for the bucketed scale path below)."""
     from ollama_ocr_spark.operators.dedup import embedding_near_dupes
 
     return embedding_near_dupes(_emb(spark, sf_dir), threshold=0.45)
+
+
+def q_embedding_near_dupes_lsh(spark, sf_dir):
+    """Scale path: LSH-banded near-dup pairs — equi-join on (band, sig)
+    buckets, exact rerank inside buckets, no nested-loop join anywhere
+    (plan-audited). Recall < 1 by design; the oracle mirrors the md5
+    hyperplane buckets so the result is still exactly reproducible."""
+    from ollama_ocr_spark.operators.dedup import embedding_near_dupes
+
+    return embedding_near_dupes(
+        _emb(spark, sf_dir), threshold=0.45, strategy="bucketed",
+        bands=8, planes_per_band=4,
+    )
 
 
 def q_tpch_shipping_revenue(spark, sf_dir):
@@ -802,6 +816,7 @@ _QUERIES = {
         "ann_ivf_topk": q_ann_ivf_topk,
         "golden_compare": q_golden_compare,
         "embedding_near_dupes": q_embedding_near_dupes,
+        "embedding_near_dupes_lsh": q_embedding_near_dupes_lsh,
         "tpch_shipping_revenue": q_tpch_shipping_revenue,
         "nation_revenue": q_nation_revenue,
         "events_daily": q_events_daily,
@@ -1416,6 +1431,37 @@ def oracle_sql() -> dict[str, str]:
                      / (sqrt(list_sum(list_transform(a.v, x -> x::DOUBLE * x::DOUBLE)))
                         * sqrt(list_sum(list_transform(b.v, x -> x::DOUBLE * x::DOUBLE)))),
                      4) >= 0.45
+        """,
+        "embedding_near_dupes_lsh": """
+            WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+            bands AS (SELECT unnest(range(8)) AS band),
+            sb AS (
+              SELECT id, v, band,
+                list_sum(list_transform(range(4), p ->
+                  CASE WHEN list_sum(list_transform(range(64), i ->
+                         v[(i + 1)::INT]::DOUBLE *
+                         CASE WHEN (instr('0123456789abcdef',
+                                substr(md5((band * 4 + p)::VARCHAR || '|' ||
+                                           i::VARCHAR), 32, 1)) - 1)
+                              % 2 = 1 THEN 1.0 ELSE -1.0 END)) > 0
+                       THEN (1::BIGINT << p::INT) ELSE 0 END)) AS sig
+              FROM e, bands),
+            cand AS (
+              SELECT DISTINCT l.id AS a, r.id AS b
+              FROM sb l JOIN sb r
+                ON l.band = r.band AND l.sig = r.sig AND l.id < r.id),
+            scored AS (
+              SELECT cand.a, cand.b,
+                round(
+                  list_sum(list_transform(range(1, 1 + len(ea.v)),
+                           i -> ea.v[i]::DOUBLE * eb.v[i]::DOUBLE))
+                  / (sqrt(list_sum(list_transform(ea.v, x -> x::DOUBLE * x::DOUBLE)))
+                     * sqrt(list_sum(list_transform(eb.v, x -> x::DOUBLE * x::DOUBLE)))),
+                  4) AS cosine
+              FROM cand
+              JOIN e ea ON ea.id = cand.a
+              JOIN e eb ON eb.id = cand.b)
+            SELECT a, b, cosine FROM scored WHERE cosine >= 0.45
         """,
         "tpch_shipping_revenue": """
             SELECT l.l_orderkey AS orderkey,

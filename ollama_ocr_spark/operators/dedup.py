@@ -277,27 +277,77 @@ def winnow_fingerprints(df: DataFrame, key: str = "doc_id",
 
 def embedding_near_dupes(df: DataFrame, key: str = "vec_id",
                          vec: str = "embedding",
-                         threshold: float = 0.95) -> DataFrame:
+                         threshold: float = 0.95,
+                         strategy: str = "exact",
+                         bands: int = 8, planes_per_band: int = 4,
+                         dim: int = 64) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
 
-    Test-scale exact form is the full self-join; the scale path reuses the
-    LSH bucketing from operators.similarity (bucket first, compare within
-    buckets). Double math + round(4) for oracle parity.
+    ``strategy="exact"`` is the all-pairs non-equi self-join — O(n²)
+    compares, the test-scale CORRECTNESS ORACLE only; never run it on a
+    full corpus.
+
+    ``strategy="bucketed"`` is the scale path: random-hyperplane LSH bands
+    (md5-parity hyperplanes, disjoint plane sets per band via
+    ``plane_offset``) produce ``bands`` signatures per vector; candidate
+    pairs share any (band, sig) bucket and are exact-reranked in place.
+    The self-join is a plain EQUI-join on (band, sig) — shuffle hash /
+    sort-merge, never BroadcastNestedLoop/cartesian (plan-audited in CI).
+    Cost: one shuffle of (bands × n) rows on the band key; per-bucket pair
+    expansion is bounded by 2^planes_per_band spreading. Recall < 1 by
+    design — raise ``bands`` (or lower ``planes_per_band``) for recall,
+    the reverse for cost. Hyperplane weights are md5-derived so a DuckDB
+    oracle reproduces bucket assignment bit-for-bit.
+
+    Double math + round(4) for oracle parity in both strategies.
     """
-    from .similarity import _dot, _norm  # shared exact kernels
+    from .similarity import _dot, _norm, _rh_signature  # shared kernels
+
+    def _cos(va, vb):
+        return F.round(_dot(va, vb) / (_norm(va) * _norm(vb)), 4)
+
+    if strategy == "bucketed":
+        base = df.select(F.col(key).alias("id"), F.col(vec).alias("v"))
+        band_sigs = F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                _rh_signature(F.col("v"), planes_per_band, dim,
+                              plane_offset=b * planes_per_band).alias("sig"),
+            )
+            for b in range(bands)
+        ])
+        buck = base.select(
+            "id", "v", F.explode(band_sigs).alias("bs")
+        ).select(
+            "id", "v",
+            F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"),
+        )
+        a = buck.alias("l")
+        b_ = buck.alias("r")
+        cand = (
+            a.join(
+                b_,
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.sig") == F.col("r.sig"))
+                & (F.col("l.id") < F.col("r.id")),
+            )
+            .select(
+                F.col("l.id").alias("a"), F.col("r.id").alias("b"),
+                F.col("l.v").alias("va"), F.col("r.v").alias("vb"),
+            )
+            .dropDuplicates(["a", "b"])
+        )
+        return (
+            cand.withColumn("cosine", _cos(F.col("va"), F.col("vb")))
+            .filter(F.col("cosine") >= threshold)
+            .select("a", "b", "cosine")
+        )
 
     a = df.select(F.col(key).alias("a"), F.col(vec).alias("va"))
     b = df.select(F.col(key).alias("b"), F.col(vec).alias("vb"))
     return (
         a.join(b, F.col("a") < F.col("b"))
-        .withColumn(
-            "cosine",
-            F.round(
-                _dot(F.col("va"), F.col("vb"))
-                / (_norm(F.col("va")) * _norm(F.col("vb"))),
-                4,
-            ),
-        )
+        .withColumn("cosine", _cos(F.col("va"), F.col("vb")))
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )

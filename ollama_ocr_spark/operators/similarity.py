@@ -68,7 +68,8 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
-def _rh_signature(vec, num_planes: int, dim: int, hash_fn: str = "md5"):
+def _rh_signature(vec, num_planes: int, dim: int, hash_fn: str = "md5",
+                  plane_offset: int = 0):
     """Random-hyperplane sign signature; plane weights are ±1 derived
     deterministically from a hash of (plane, dim-index) — no stored model.
 
@@ -76,14 +77,16 @@ def _rh_signature(vec, num_planes: int, dim: int, hash_fn: str = "md5"):
     ``md5("{p}|{i}")`` — engine-portable, so a DuckDB oracle reproduces the
     buckets bit-for-bit. ``hash_fn="xxhash64"`` is the cheaper JVM hash for
     production runs where oracle parity is not needed (the hyperplanes are
-    equally random either way)."""
+    equally random either way). ``plane_offset`` shifts the global plane
+    ids so multiple independent bands draw disjoint hyperplane sets."""
     bits = []
     for p in range(num_planes):
         if hash_fn == "md5":
             def weight(i, p=p):
                 digit = F.conv(
                     F.substring(
-                        F.md5(F.concat(F.lit(f"{p}|"), i.cast("string"))),
+                        F.md5(F.concat(F.lit(f"{p + plane_offset}|"),
+                                       i.cast("string"))),
                         32, 1,
                     ),
                     16, 10,
@@ -92,7 +95,8 @@ def _rh_signature(vec, num_planes: int, dim: int, hash_fn: str = "md5"):
         else:
             def weight(i, p=p):
                 return F.when(
-                    F.xxhash64(F.lit(p), i).bitwiseAND(F.lit(1)) == 1,
+                    F.xxhash64(F.lit(p + plane_offset), i)
+                    .bitwiseAND(F.lit(1)) == 1,
                     F.lit(1.0),
                 ).otherwise(F.lit(-1.0))
         proj = F.aggregate(

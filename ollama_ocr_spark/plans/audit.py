@@ -51,10 +51,19 @@ def plan_report(df: DataFrame) -> PlanReport:
 def audit_plan(df: DataFrame, max_exchanges: int | None = None,
                require_pushed_filter: str | None = None,
                require_broadcast: bool = False,
-               max_scan_columns: int | None = None) -> PlanReport:
-    """Assert plan invariants; raises AssertionError with the plan attached."""
+               max_scan_columns: int | None = None,
+               forbid_ops: list[str] | None = None) -> PlanReport:
+    """Assert plan invariants; raises AssertionError with the plan attached.
+
+    ``forbid_ops`` rejects physical operators by substring — e.g.
+    ``["BroadcastNestedLoopJoin", "CartesianProduct"]`` to assert a join
+    stayed an equi-join (the O(n²) plans that kill a 100× scale-up).
+    """
     report = plan_report(df)
     problems = []
+    for op in forbid_ops or []:
+        if op in report.raw:
+            problems.append(f"forbidden operator {op} present in plan")
     if max_exchanges is not None and report.n_exchanges > max_exchanges:
         problems.append(
             f"{report.n_exchanges} exchanges > allowed {max_exchanges}"

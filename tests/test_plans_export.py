@@ -59,6 +59,27 @@ def test_dedup_plans_minimize_shuffles(spark, documents_smoke):
     assert plan_report(minhash_lsh_candidates(documents_smoke)).n_exchanges == 3
 
 
+def test_embedding_near_dupes_bucketed_is_equijoin(spark):
+    """The LSH-bucketed scale path must never plan a nested-loop /
+    cartesian join (the exact strategy's O(n²) shape), and its candidate
+    pairs must exact-rerank to a subset of the exact result."""
+    from ollama_ocr_spark.operators.dedup import embedding_near_dupes
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bucketed = embedding_near_dupes(emb, threshold=0.45, strategy="bucketed")
+    audit_plan(
+        bucketed,
+        forbid_ops=["BroadcastNestedLoopJoin", "CartesianProduct"],
+    )
+    exact = embedding_near_dupes(emb, threshold=0.45)
+    got = {(r["a"], r["b"], r["cosine"]) for r in bucketed.collect()}
+    want = {(r["a"], r["b"], r["cosine"]) for r in exact.collect()}
+    assert got <= want, "bucketed rerank produced a pair the exact path lacks"
+    # the exact strategy, by contrast, IS a nested-loop plan (documented)
+    report = plan_report(exact)
+    assert "BroadcastNestedLoopJoin" in report.raw or "Cartesian" in report.raw
+
+
 def test_resume_anti_join_broadcasts_small_done_set(spark, documents_smoke):
     from ollama_ocr_spark.operators.maintenance import resume_anti_join
 
