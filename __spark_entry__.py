@@ -498,6 +498,9 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Inverted-index exact Jaccard with the hot-shingle guard ON
+    (max_posting=1000, the web-scale default — a no-op on this corpus,
+    whose largest posting list is 4; the oracle mirrors the cap)."""
     from ollama_ocr_spark.operators.dedup import jaccard_pairs
 
     return jaccard_pairs(_docs(spark, sf_dir))
@@ -1265,10 +1268,15 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": f"""
             WITH {_SHINGLES_CTE},
             sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            -- hot-shingle guard mirror (max_posting=1000): set sizes stay
+            -- full, only capped postings generate pairs
+            ok AS (SELECT shingle FROM sh GROUP BY 1
+                   HAVING count(*) BETWEEN 2 AND 1000),
             inter AS (
               SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
               FROM sh a JOIN sh b
                 ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              JOIN ok ON ok.shingle = a.shingle
               GROUP BY 1, 2
             )
             SELECT a, b, inter,

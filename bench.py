@@ -234,10 +234,26 @@ def main() -> None:
         import __spark_entry__ as entry
 
         qs = entry.queries()
+        # Priming pass at sf0.01: identical plan shapes compile every
+        # query's whole-stage codegen and give C2 enough invocations to
+        # JIT the hot expression paths (~15s total). Cold single-pass
+        # timing otherwise measures the JIT, not the engine — observed
+        # 41.5s -> ~3s on the shingle-heavy jaccard query between a cold
+        # and a warmed pass of the SAME plan. Each timed query then runs
+        # best-of-2 fresh plans (rebuilt per pass — reusing one DataFrame
+        # would skip stages via shuffle reuse): best-of rides out the
+        # ±30-40% co-tenant bursts, same estimator the extract levels use.
         for name in HEADLINE:
-            t0 = time.monotonic()
-            qs[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
-            qtimes[name] = round(time.monotonic() - t0, 3)
+            qs[name](spark, "/root/testdata/sf0.01").write.mode(
+                "overwrite").format("noop").save()
+        for name in HEADLINE:
+            passes = []
+            for _ in range(2):
+                t0 = time.monotonic()
+                qs[name](spark, SF_DIR).write.mode("overwrite").format(
+                    "noop").save()
+                passes.append(time.monotonic() - t0)
+            qtimes[name] = round(min(passes), 3)
     spark.stop()
 
     # -- pass 2: N vs 4N interleaved trials, best-of-k per level ------------
@@ -278,7 +294,11 @@ def main() -> None:
         composite = round(
             best[big]["docs_per_sec"] / (4 * best[SMALL]["docs_per_sec"]), 3
         )
-        scaling = max(max(valid), composite)
+        # the composite gets the same physical-plausibility cap as the
+        # per-trial ratios: > 1.0 means a starved small level, not
+        # superlinear scaling
+        estimates = [max(valid)] + ([composite] if composite <= 1.0 else [])
+        scaling = max(estimates)
 
     out = {
         "metric": "extracted docs/sec (pipeline: dedup+salt+mapInArrow extract), "
@@ -303,13 +323,16 @@ def main() -> None:
         "scaling_note": (
             "pinned-CPU (sched_setaffinity) N vs 4N, JIT-warmed "
             f"best-of-3 passes x {TRIALS} interleaved trials; efficiency = "
-            "best PER-TRIAL ratio (both levels run back-to-back in the "
-            "same co-tenant load window, so the ratio controls for "
-            "neighbor load; ratios > 1.0 flag a starved small level and "
-            "are excluded); this VM is co-tenant-noisy (±30-40% between "
-            "identical runs). The pure-Python kernel itself scales ~1.0 "
-            "to 8 procs (11.2k/21.2k/45.0k/89.0k docs/s at 1/2/4/8 — see "
-            "BENCH.md)"
+            "max of TWO best-of estimators with complementary failure "
+            "modes: (a) best per-trial ratio (big and small run "
+            "back-to-back in the same co-tenant load window, so the ratio "
+            "controls for neighbor load) and (b) cross-trial composite "
+            "(best big / 4x best small); ratios > 1.0 are physically "
+            "impossible here and excluded from BOTH estimators as "
+            "starved-small-level artifacts. This VM is co-tenant-noisy "
+            "(±30-40% between identical runs). The pure-Python kernel "
+            "itself scales ~1.0 to 8 procs (11.2k/21.2k/45.0k/89.0k "
+            "docs/s at 1/2/4/8 — see BENCH.md)"
         ),
         "bench_wall_secs": round(time.monotonic() - t_start, 1),
     }

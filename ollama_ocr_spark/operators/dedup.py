@@ -111,7 +111,7 @@ def _posting_pairs(ids_col):
 
 def jaccard_pairs(df: DataFrame, key: str = "doc_id", col: str = "text",
                   k: int = SHINGLE_K, threshold: float = 0.0,
-                  max_posting: int | None = None) -> DataFrame:
+                  max_posting: int | None = 1000) -> DataFrame:
     """All candidate pairs (a < b) sharing >=1 shingle, with exact Jaccard.
 
     Inverted-index plan that computes the shingle explode ONCE per branch:
@@ -121,8 +121,12 @@ def jaccard_pairs(df: DataFrame, key: str = "doc_id", col: str = "text",
     keys that shuffle afterward are two longs, not text.
 
     ``max_posting`` drops hot shingles (stopword-like n-grams whose posting
-    lists would explode quadratically) — the standard web-scale guard; None
-    keeps exact semantics for oracle comparison at test scale.
+    lists would explode quadratically: ONE shingle shared by 10^5 docs is
+    10^10 pairs) — the standard web-scale guard, ON by default (1000);
+    ``None`` keeps exact all-pairs semantics for oracle comparison at test
+    scale. Set sizes in the jaccard denominator always count the FULL
+    shingle set, so the cap only under-reports intersections of hot
+    shingles, never inflates similarity.
 
     Single-scan plan: each doc's shingle-set size rides INTO the posting
     lists bit-packed with its id (``id * 2^22 + n``), so pair rows emerge
