@@ -147,6 +147,37 @@ def q_structured_receipts(spark, sf_dir):
     )
 
 
+def q_structured_forms(spark, sf_dir):
+    """T8 structured mode, --data-type form (reference
+    `ollama_cloud_ocr.py:406-409`): field-name/value extraction from the
+    table-archetype pages' Form JSON-LD."""
+    from ollama_ocr_spark.operators.maintenance import doc_id_expr
+    from ollama_ocr_spark.operators.modes import structured_stage
+
+    return (
+        structured_stage(_latest_pages(spark, sf_dir), data_type="form")
+        .filter(F.col("error").isNull())
+        .withColumn("doc_id", doc_id_expr())
+        .select("doc_id", "form_name", "n_fields", "contact_email")
+    )
+
+
+def q_structured_price_tags(spark, sf_dir):
+    """T8 structured mode, --data-type price_tag (reference
+    `ollama_cloud_ocr.py:410-413`): product_name/price/sku from the
+    list-archetype pages' PriceTag JSON-LD."""
+    from ollama_ocr_spark.operators.maintenance import doc_id_expr
+    from ollama_ocr_spark.operators.modes import structured_stage
+
+    return (
+        structured_stage(_latest_pages(spark, sf_dir),
+                         data_type="price_tag")
+        .filter(F.col("error").isNull())
+        .withColumn("doc_id", doc_id_expr())
+        .select("doc_id", "product_name", "price_cents", "sku")
+    )
+
+
 def q_analyze_metadata(spark, sf_dir):
     """T9 analyze mode: title/h1/structure metadata per HTML document."""
     from ollama_ocr_spark.operators.maintenance import doc_id_expr
@@ -780,6 +811,8 @@ _QUERIES = {
         "extract_route_counts": q_extract_route_counts,
         "extract_error_rows": q_extract_error_rows,
         "structured_receipts": q_structured_receipts,
+        "structured_forms": q_structured_forms,
+        "structured_price_tags": q_structured_price_tags,
         "analyze_metadata": q_analyze_metadata,
         "multi_step": q_multi_step,
         "image_metadata": q_image_metadata,
@@ -1005,6 +1038,20 @@ def oracle_sql() -> dict[str, str]:
                    ((doc_id % 1000) * 13 + 99)::BIGINT AS total_cents,
                    (1 + doc_id % 4)::INT AS n_items
             FROM documents WHERE doc_id % 10 = 5
+        """,
+        "structured_forms": """
+            SELECT doc_id,
+                   'Form ' || (doc_id % 5) AS form_name,
+                   (2 + doc_id % 6)::INT AS n_fields,
+                   'user' || (doc_id % 100) || '@example.org' AS contact_email
+            FROM documents WHERE doc_id % 10 = 2
+        """,
+        "structured_price_tags": """
+            SELECT doc_id,
+                   'Product ' || (doc_id % 11) AS product_name,
+                   ((doc_id % 500) * 7 + 49)::BIGINT AS price_cents,
+                   'SKU-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS sku
+            FROM documents WHERE doc_id % 10 = 3
         """,
         "analyze_metadata": """
             SELECT doc_id,

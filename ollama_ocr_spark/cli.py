@@ -59,6 +59,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "extract=main text; structured=receipt fields; "
                         "analyze=document metadata; multi=one-parse "
                         "multi-step")
+    p.add_argument("--data-type",
+                   choices=["receipt", "form", "price_tag"],
+                   default="receipt",
+                   help="field schema for --mode structured "
+                        "(ollama_cloud_ocr.py --data-type analog)")
     p.add_argument("--workdir", default="ocr_run",
                    help="icetbl results/metrics tables root (resume anchor)")
     p.add_argument("--outdir", default=None,
@@ -110,13 +115,18 @@ def main(argv: list[str] | None = None) -> int:
         # parameterized analysis stage, commit to its own icetbl table.
         from .operators import modes as _modes
 
-        stage = {
-            "structured": _modes.structured_stage,
-            "analyze": _modes.analyze_stage,
-            "multi": _modes.multi_step_stage,
-        }[args.mode]
+        if args.mode == "structured":
+            def stage(p):  # noqa: E306
+                return _modes.structured_stage(p, data_type=args.data_type)
+            tbl_name = f"{args.mode}_{args.data_type}"
+        else:
+            stage = {
+                "analyze": _modes.analyze_stage,
+                "multi": _modes.multi_step_stage,
+            }[args.mode]
+            tbl_name = args.mode
         out = stage(pages)
-        tbl = IceTable(os.path.join(args.workdir, args.mode))
+        tbl = IceTable(os.path.join(args.workdir, tbl_name))
         sid = tbl.append(out)
         if args.url:
             row = tbl.read(spark).filter(F.col("url") == args.url).first()

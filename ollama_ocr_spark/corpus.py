@@ -158,6 +158,50 @@ def receipt_fields(doc_id: int) -> dict:
     }
 
 
+def form_fields(doc_id: int) -> dict:
+    """Structured form fields (reference `--data-type form`,
+    `ollama_cloud_ocr.py:406-409`: "field names and values") — pure fn of
+    doc_id, mirrored in the SQL oracle."""
+    return {
+        "form_name": f"Form {doc_id % 5}",
+        "n_fields": 2 + doc_id % 6,
+        "contact_email": f"user{doc_id % 100}@example.org",
+    }
+
+
+def price_tag_fields(doc_id: int) -> dict:
+    """Structured price-tag fields (reference `--data-type price_tag`,
+    `ollama_cloud_ocr.py:410-413`: product_name, price, sku) — pure fn of
+    doc_id, integer cents, mirrored in the SQL oracle."""
+    return {
+        "product_name": f"Product {doc_id % 11}",
+        "price_cents": (doc_id % 500) * 7 + 49,
+        "sku": f"SKU-{doc_id % 10000:04d}",
+    }
+
+
+def structured_ldjson(doc_id: int) -> str:
+    """schema.org-style JSON-LD block for the structured archetypes:
+    k=5 receipt (reference default), k=2 form (tables ARE form-like),
+    k=3 price_tag (list pages as product listings). Lives inside a
+    ``<head>`` script, which the text extractor DROPS — byte-exact text
+    goldens are untouched while every ``--data-type`` has real microdata."""
+    k = doc_id % 10
+    if k == 5:
+        obj = {"@type": "Receipt", **receipt_fields(doc_id)}
+    elif k == 2:
+        obj = {"@type": "Form", **form_fields(doc_id)}
+    elif k == 3:
+        obj = {"@type": "PriceTag", **price_tag_fields(doc_id)}
+    else:
+        return ""
+    return (
+        '<script type="application/ld+json">'
+        + json.dumps(obj, separators=(",", ":"))
+        + "</script>"
+    )
+
+
 def build_html(doc_id: int, text: str, lang: str) -> bytes:
     """HTML page with boilerplate chrome around the exact document text."""
     k = doc_id % 10
@@ -191,18 +235,11 @@ def build_html(doc_id: int, text: str, lang: str) -> bytes:
             f"<body>{header}{body}{footer}</body></html>"
         )
     else:
-        # Receipt pages carry schema.org-style JSON-LD structured data —
-        # inside <script>, which the text extractor DROPS, so the byte-exact
-        # text round-trip is untouched while the structured-extraction mode
-        # (T8) has real microdata to parse.
-        ldjson = (
-            '<script type="application/ld+json">'
-            + json.dumps({"@type": "Receipt", **receipt_fields(doc_id)},
-                         separators=(",", ":"))
-            + "</script>"
-            if k == 5
-            else ""
-        )
+        # Structured pages carry schema.org-style JSON-LD (receipt/form/
+        # price_tag per archetype) — inside <script>, which the text
+        # extractor DROPS, so the byte-exact text round-trip is untouched
+        # while the structured-extraction mode (T8) has real microdata.
+        ldjson = structured_ldjson(doc_id)
         if k == 2:
             # table archetype: word chunks as 2-cell rows
             rows = []

@@ -32,63 +32,88 @@ from ..functions.router import sniff_payload
 _TS = pa.timestamp("us", tz="UTC")
 
 
-def _first_receipt(ext) -> dict | None:
+def _first_typed(ext, ld_type: str) -> dict | None:
     for raw in ext.ldjson:
         try:
             obj = json.loads(raw)
         except ValueError:
             continue
-        if isinstance(obj, dict) and obj.get("@type") == "Receipt":
+        if isinstance(obj, dict) and obj.get("@type") == ld_type:
             return obj
     return None
 
 
-_STRUCTURED_SCHEMA = pa.schema(
-    [
-        ("url", pa.string()),
+_first_receipt = lambda ext: _first_typed(ext, "Receipt")  # noqa: E731
+
+
+# Per --data-type field schemas (reference `ollama_cloud_ocr.py:401-414`,
+# CLI choices `:694-695`): JSON-LD @type to match + typed output columns.
+_STRUCTURED_TYPES = {
+    "receipt": ("Receipt", [
         ("store_name", pa.string()),
         ("date", pa.string()),
         ("total_cents", pa.int64()),
         ("n_items", pa.int32()),
-        ("error", pa.string()),
-    ]
-)
+    ]),
+    "form": ("Form", [
+        ("form_name", pa.string()),
+        ("n_fields", pa.int32()),
+        ("contact_email", pa.string()),
+    ]),
+    "price_tag": ("PriceTag", [
+        ("product_name", pa.string()),
+        ("price_cents", pa.int64()),
+        ("sku", pa.string()),
+    ]),
+}
+
+_PA_DDL = {pa.string(): "string", pa.int64(): "bigint", pa.int32(): "int"}
 
 
-def _structured_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-    for rb in batches:
-        urls = rb.column(rb.schema.get_field_index("url")).to_pylist()
-        payloads = rb.column(rb.schema.get_field_index("html")).to_pylist()
-        cols = {f.name: [] for f in _STRUCTURED_SCHEMA}
-        for url, payload in zip(urls, payloads):
-            kind, _err = sniff_payload(payload)
-            rec = None
-            err = None
-            if kind == "html":
-                rec = _first_receipt(parse_html_blocks(payload))
-                if rec is None:
-                    err = "no structured data found"
-            else:
-                err = "unsupported payload for structured mode"
-            cols["url"].append(url)
-            cols["store_name"].append(rec.get("store_name") if rec else None)
-            cols["date"].append(rec.get("date") if rec else None)
-            cols["total_cents"].append(rec.get("total_cents") if rec else None)
-            cols["n_items"].append(rec.get("n_items") if rec else None)
-            cols["error"].append(err)
-        yield pa.RecordBatch.from_arrays(
-            [pa.array(cols[f.name], type=f.type) for f in _STRUCTURED_SCHEMA],
-            schema=_STRUCTURED_SCHEMA,
-        )
-
-
-def structured_stage(pages: DataFrame) -> DataFrame:
-    """Extract schema.org Receipt fields from JSON-LD blocks."""
-    return pages.select("url", "html").mapInArrow(
-        _structured_batches,
-        "url string, store_name string, date string, total_cents bigint, "
-        "n_items int, error string",
+def structured_stage(pages: DataFrame,
+                     data_type: str = "receipt") -> DataFrame:
+    """Extract schema.org JSON-LD fields for one ``data_type``
+    (receipt/form/price_tag — the reference's ``--data-type`` table,
+    `ollama_cloud_ocr.py:401-414`). Pages without that type yield an
+    error row ('no structured data found'), mirroring the reference's
+    unparseable-response path."""
+    if data_type not in _STRUCTURED_TYPES:
+        raise ValueError(f"Unsupported data type: {data_type}")
+    ld_type, fields = _STRUCTURED_TYPES[data_type]
+    schema = pa.schema(
+        [("url", pa.string()), *fields, ("error", pa.string())]
     )
+
+    def batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in it:
+            urls = rb.column(rb.schema.get_field_index("url")).to_pylist()
+            payloads = rb.column(rb.schema.get_field_index("html")).to_pylist()
+            cols: dict[str, list] = {f.name: [] for f in schema}
+            for url, payload in zip(urls, payloads):
+                kind, _err = sniff_payload(payload)
+                rec = None
+                err = None
+                if kind == "html":
+                    rec = _first_typed(parse_html_blocks(payload), ld_type)
+                    if rec is None:
+                        err = "no structured data found"
+                else:
+                    err = "unsupported payload for structured mode"
+                cols["url"].append(url)
+                for name, _t in fields:
+                    cols[name].append(rec.get(name) if rec else None)
+                cols["error"].append(err)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[f.name], type=f.type) for f in schema],
+                schema=schema,
+            )
+
+    ddl = ", ".join(
+        ["url string"]
+        + [f"{name} {_PA_DDL[t]}" for name, t in fields]
+        + ["error string"]
+    )
+    return pages.select("url", "html").mapInArrow(batches, ddl)
 
 
 _ANALYZE_SCHEMA = pa.schema(

@@ -85,6 +85,35 @@ def test_structured_stage_fields(spark, documents_smoke):
         assert r["n_items"] == expected["n_items"]
 
 
+def test_structured_stage_form_and_price_tag(spark, documents_smoke):
+    from ollama_ocr_spark.corpus import form_fields, price_tag_fields
+
+    pages = _pages(documents_smoke)
+    forms = structured_stage(pages, data_type="form").filter(
+        "error IS NULL").collect()
+    assert len(forms) == 50  # k=2 table archetype carries Form JSON-LD
+    for r in forms:
+        doc_id = int(r["url"].rsplit("-", 1)[1].split(".")[0])
+        expected = form_fields(doc_id)
+        assert r["form_name"] == expected["form_name"]
+        assert r["n_fields"] == expected["n_fields"]
+        assert r["contact_email"] == expected["contact_email"]
+
+    tags = structured_stage(pages, data_type="price_tag").filter(
+        "error IS NULL").collect()
+    assert len(tags) == 50  # k=3 list archetype carries PriceTag JSON-LD
+    for r in tags:
+        doc_id = int(r["url"].rsplit("-", 1)[1].split(".")[0])
+        expected = price_tag_fields(doc_id)
+        assert r["product_name"] == expected["product_name"]
+        assert r["price_cents"] == expected["price_cents"]
+        assert r["sku"] == expected["sku"]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="Unsupported data type"):
+        structured_stage(pages, data_type="invoice")
+
+
 def test_analyze_and_multistep_share_semantics(spark, documents_smoke):
     pages = _pages(documents_smoke)
     meta = {r["url"]: r for r in analyze_stage(pages).collect()}
