@@ -108,6 +108,18 @@ def q_extract_pdf_fold(spark, sf_dir):
     )
 
 
+def q_extract_handwriting(spark, sf_dir):
+    """T7 handwriting transcription: the handwriting-routed HTML classes
+    (k=4 memo via structure heuristic, k=6 draft via url keyword) must
+    reproduce the source layout byte-for-byte — newlines and indentation
+    preserved, never whitespace-collapsed."""
+    return (
+        _extracted(spark, sf_dir)
+        .filter((F.col("doc_id") % 10).isin(4, 6))
+        .select("doc_id", "text", "chars", "engine")
+    )
+
+
 def q_extract_route_counts(spark, sf_dir):
     """Routing decision table: engine × doc_type counts over the corpus."""
     return (
@@ -807,6 +819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _QUERIES = {
         "extract_text_roundtrip": q_extract_text_roundtrip,
+        "extract_handwriting": q_extract_handwriting,
         "extract_pdf_fold": q_extract_pdf_fold,
         "extract_route_counts": q_extract_route_counts,
         "extract_error_rows": q_extract_error_rows,
@@ -912,6 +925,30 @@ rendered AS (
 gold AS (
   SELECT d.doc_id, coalesce(r.gtext, d.text) AS gtext
   FROM documents d LEFT JOIN rendered r USING (doc_id)
+),
+mw AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE doc_id % 10 = 4 AND doc_id % 20 <> 14
+),
+mc AS (
+  SELECT doc_id, unnest(range(0, (len(w) + 5) // 6)) AS i, w FROM mw
+),
+ml AS (
+  SELECT doc_id, i,
+         coalesce(array_to_string(w[6*i+1 : 6*i+6], ' '), '') AS line
+  FROM mc
+),
+memo AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN i = 0 THEN line ELSE '  ' || line END,
+                    chr(10) ORDER BY i) AS mtext
+  FROM ml GROUP BY doc_id
+),
+gold_ext AS (
+  -- EXTRACTION golden: the handwriting class preserves the memo layout
+  -- (corpus.memo_layout); collapsed-text modes (multi_step) keep `gold`
+  SELECT g.doc_id, coalesce(m.mtext, g.gtext) AS gtext
+  FROM gold g LEFT JOIN memo m USING (doc_id)
 )
 """
 _EXT_CASE = (
@@ -978,7 +1015,13 @@ def oracle_sql() -> dict[str, str]:
         "extract_text_roundtrip": f"""
             WITH {_RENDER_CTES}
             SELECT doc_id, gtext AS text, length(gtext)::BIGINT AS chars
-            FROM gold WHERE doc_id % 10 <= 6
+            FROM gold_ext WHERE doc_id % 10 <= 6
+        """,
+        "extract_handwriting": f"""
+            WITH {_RENDER_CTES}
+            SELECT doc_id, gtext AS text, length(gtext)::BIGINT AS chars,
+                   'handwriting' AS engine
+            FROM gold_ext WHERE doc_id % 10 IN (4, 6)
         """,
         "extract_pdf_fold": """
             WITH pdf AS (

@@ -146,6 +146,25 @@ def list_markdown(text: str) -> str:
     return "\n\n".join("- " + it for it in items if it).strip()
 
 
+MEMO_LINE_WORDS = 6
+
+
+def memo_layout(text: str) -> str:
+    """Handwriting-archetype formatting for the k=4 memo page (reference T7:
+    transcription preserves layout): lines of MEMO_LINE_WORDS words,
+    continuation lines indented two spaces. Whitespace-collapsing this
+    yields exactly ``text`` back — so the printed path and every
+    collapsed-text mode (multi_step, analyze) are unaffected, while the
+    handwriting transcription must reproduce it byte-for-byte. Mirrored in
+    `__spark_entry__` oracle SQL and maintenance.golden_text_expr."""
+    words = text.split(" ")
+    lines = [
+        " ".join(words[i:i + MEMO_LINE_WORDS])
+        for i in range(0, len(words), MEMO_LINE_WORDS)
+    ]
+    return "\n".join(lines[:1] + ["  " + ln for ln in lines[1:]])
+
+
 def receipt_fields(doc_id: int) -> dict:
     """Structured receipt fields (reference T8 / `ollama_cloud_ocr.py:403`
     schema family) as a pure function of doc_id — mirrored in the SQL
@@ -227,8 +246,14 @@ def build_html(doc_id: int, text: str, lang: str) -> bytes:
         '<a href="/r2">related story two</a> <a href="/r3">more</a></div>'
     )
     if k == 4:
-        # memo: no structure markers, few blocks → heuristic → handwriting
-        body = f'<div id="content"><p>{esc}</p></div>'
+        # memo: no structure markers, few blocks → heuristic → handwriting;
+        # body carries the preserved layout (newlines + indent) that the
+        # handwriting transcription must keep and the printed path would
+        # collapse
+        body = (
+            f'<div id="content"><p>{_html.escape(memo_layout(text))}</p>'
+            "</div>"
+        )
         page = (
             f'<!DOCTYPE html><html lang="{lang}"><head><meta charset="utf-8">'
             f"<title>memo {doc_id}</title></head>"
@@ -297,6 +322,10 @@ def golden_text(doc_id: int, text: str) -> str:
         return table_markdown(text)
     if k == 3:
         return list_markdown(text)
+    if k == 4 and doc_id % 20 != 14:
+        # HTML memo → handwriting transcription preserves the layout;
+        # the %20==14 text/plain sub-slot stays the raw text identity
+        return memo_layout(text).strip()
     return text.strip()
 
 

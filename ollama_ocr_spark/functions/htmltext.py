@@ -81,6 +81,13 @@ class HtmlExtraction:
     text: str
     has_structure: bool
     n_blocks: int
+    # Format-preserving render of the SAME kept blocks (reference T7,
+    # `ollama_cloud_ocr.py:310-379` "maintain original formatting"):
+    # intra-block whitespace/newlines kept verbatim instead of collapsed —
+    # the extraction used for the handwriting-routed class. Computed in
+    # the same pass (block keep/drop decisions are shared; only the
+    # rendering differs).
+    text_pre: str = ""
     # metadata captured in the SAME parse pass (the reference's
     # "encode once, run N analysis steps" optimization —
     # `ollama_cloud_ocr.py:541-599`): never re-parse per mode.
@@ -468,6 +475,7 @@ def parse_html_blocks(
         return text
 
     kept: list[str] = []
+    kept_pre: list[str] = []
     for raw, chars, link_chars, prefix in parser.blocks:
         text = _render(raw, prefix)
         if not text:
@@ -475,7 +483,17 @@ def parse_html_blocks(
         density = (link_chars / chars) if chars else 0.0
         if density <= LINK_DENSITY_MAX:
             kept.append(text)
+            # same keep decision, format-preserving render: raw text
+            # verbatim (tables are pre-rendered lines either way),
+            # markdown prefixes still attach
+            if prefix is _TABLE_BLOCK:
+                kept_pre.append(raw)
+            elif prefix:
+                kept_pre.append(str(prefix) + raw)
+            else:
+                kept_pre.append(raw)
     joined = "\n\n".join(kept).strip()
+    joined_pre = "\n\n".join(kept_pre).strip()
     all_blocks: tuple[str, ...] = ()
     if collect_blocks:
         all_blocks = tuple(
@@ -489,6 +507,7 @@ def parse_html_blocks(
     return HtmlExtraction(
         all_blocks=all_blocks,
         text=joined,
+        text_pre=joined_pre,
         has_structure=has_structure,
         n_blocks=parser.block_count,
         title=_collapse_ws("".join(parser.title_parts)),

@@ -162,7 +162,16 @@ def extract_document(url: str, payload: bytes | None) -> ExtractResult:
     engine = kw_engine or (
         ENGINE_PRINTED if extraction.has_structure else ENGINE_HANDWRITING
     )
+    # T7 (`ollama_cloud_ocr.py:310-379`): the handwriting class is a
+    # TRANSCRIPTION — "maintain original formatting" — so it takes the
+    # format-preserving render (intra-block whitespace verbatim) of the
+    # same kept blocks; printed keeps the whitespace-collapsed render.
+    # Both renders come from the ONE parse pass.
+    text = (
+        extraction.text_pre if engine == ENGINE_HANDWRITING
+        else extraction.text
+    )
     return ExtractResult(
-        engine=engine, text=extraction.text, chars=len(extraction.text),
+        engine=engine, text=text, chars=len(text),
         pages=1, doc_type=TYPE_HTML, error=None,
     )

@@ -95,9 +95,29 @@ def golden_text_expr(doc_id_col: str = "doc_id", text_col: str = "text"):
     list_render = F.array_join(
         F.transform(items, lambda it: F.concat(F.lit("- "), it)), "\n\n"
     )
+    # k=4 HTML memo → handwriting transcription layout (corpus.memo_layout:
+    # 6-word lines, 2-space continuation indent); the %20==14 text/plain
+    # sub-slot keeps the raw-text identity golden
+    nlines = F.ceil(F.size(words) / F.lit(6)).cast("int")
+    idx6 = F.when(
+        nlines >= 1, F.sequence(F.lit(0), nlines - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    memo_render = F.array_join(
+        F.transform(
+            idx6,
+            lambda i: F.when(
+                i == 0, F.array_join(F.slice(words, 1, 6), " ")
+            ).otherwise(
+                F.concat(F.lit("  "),
+                         F.array_join(F.slice(words, i * 6 + 1, 6), " "))
+            ),
+        ),
+        "\n",
+    )
     return (
         F.when(did % 10 == 2, table_render)
         .when(did % 10 == 3, list_render)
+        .when((did % 10 == 4) & (did % 20 != 14), memo_render)
         .otherwise(F.col(text_col))
     )
 

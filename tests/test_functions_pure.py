@@ -225,6 +225,24 @@ def test_error_row_contract():
 
 # ------------------------------------------------------- corpus golden ----
 
+def test_handwriting_transcription_preserves_layout():
+    """T7: the handwriting route keeps source formatting byte-for-byte
+    (newlines + indent), while the printed-style collapsed render of the
+    SAME page flattens back to the original text."""
+    from ollama_ocr_spark.corpus import memo_layout
+    from ollama_ocr_spark.functions.router import extract_document
+
+    text = " ".join(f"w{i}" for i in range(20))
+    payload = build_payload(24, text, "en")  # doc 24: k=4 HTML memo
+    r = extract_document(url_for(24, "web"), payload)
+    assert r.engine == "handwriting"
+    assert r.text == memo_layout(text)
+    assert "\n  " in r.text  # layout actually present, not collapsed
+    ext = parse_html_blocks(payload)
+    assert ext.text == text  # whitespace-collapsed render is the identity
+    assert ext.text_pre == memo_layout(text)
+
+
 def test_corpus_roundtrip_byte_identical_sf001():
     """Every synthesized payload must extract back to the independent golden."""
     con = duckdb.connect()
