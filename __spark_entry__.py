@@ -1147,7 +1147,7 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN doc_id % 2 = 0
                               THEN (1 + doc_id % 5)::DOUBLE
                               ELSE (1 + doc_id % 10) / 2.0 END, 4) AS dur_secs,
-                   (CASE WHEN doc_id % 2 = 0 THEN 44 ELSE 56 END)::BIGINT
+                   (CASE WHEN doc_id % 2 = 0 THEN 44 ELSE 60 END)::BIGINT
                      AS hdr_bytes
             FROM documents
         """,

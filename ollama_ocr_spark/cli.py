@@ -113,7 +113,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.mode != "extract":
         # cloud-CLI mode dispatch (ollama_cloud_ocr.py:744-788): run the
         # parameterized analysis stage, commit to its own icetbl table.
+        # Same resume contract as the extract path: latest-capture dedup,
+        # then anti-join urls already committed — a re-run processes (and
+        # appends) nothing new instead of duplicating every row.
         from .operators import modes as _modes
+        from .operators.maintenance import latest_capture, resume_anti_join
 
         if args.mode == "structured":
             def stage(p):  # noqa: E306
@@ -125,8 +129,12 @@ def main(argv: list[str] | None = None) -> int:
                 "multi": _modes.multi_step_stage,
             }[args.mode]
             tbl_name = args.mode
-        out = stage(pages)
         tbl = IceTable(os.path.join(args.workdir, tbl_name))
+        todo = latest_capture(pages)
+        done = tbl.read(spark)
+        if done is not None:
+            todo = resume_anti_join(todo, done)
+        out = stage(todo)
         sid = tbl.append(out)
         if args.url:
             row = tbl.read(spark).filter(F.col("url") == args.url).first()

@@ -110,18 +110,31 @@ def mp4_metadata(data: bytes) -> tuple[str, float] | None:
         if size < 8:
             break
         if data[pos + 4:pos + 8] == b"moov":
+            # Walk moov's CHILD boxes by size headers (a raw find(b"mvhd")
+            # can match the 4-byte sequence inside unrelated nested box
+            # data — udta strings, codec blobs — and read garbage).
             moov = data[pos + 8:pos + size]
-            i = moov.find(b"mvhd")
-            if i >= 0 and len(moov) >= i + 24:
-                version = moov[i + 4]
-                if version == 1:
-                    timescale = int.from_bytes(moov[i + 24:i + 28], "big")
-                    duration = int.from_bytes(moov[i + 28:i + 36], "big")
-                else:
-                    timescale = int.from_bytes(moov[i + 16:i + 20], "big")
-                    duration = int.from_bytes(moov[i + 20:i + 24], "big")
-                if timescale:
-                    return brand, round(duration / timescale, 4)
+            j = 0
+            while j + 8 <= len(moov):
+                bsize = int.from_bytes(moov[j:j + 4], "big")
+                if bsize < 8:
+                    break
+                if moov[j + 4:j + 8] == b"mvhd":
+                    body = moov[j + 8:j + bsize]
+                    # v0: ver/flags(4) ctime(4) mtime(4) ts(4) dur(4)
+                    # v1: ver/flags(4) ctime(8) mtime(8) ts(4) dur(8)
+                    if body and body[0] == 1 and len(body) >= 32:
+                        timescale = int.from_bytes(body[20:24], "big")
+                        duration = int.from_bytes(body[24:32], "big")
+                    elif body and body[0] == 0 and len(body) >= 20:
+                        timescale = int.from_bytes(body[12:16], "big")
+                        duration = int.from_bytes(body[16:20], "big")
+                    else:
+                        break
+                    if timescale:
+                        return brand, round(duration / timescale, 4)
+                    break
+                j += bsize
             return brand, 0.0
         pos += size
     return brand, 0.0
@@ -148,17 +161,18 @@ def build_wav(channels: int = 2, rate: int = 44100, seconds: int = 2) -> bytes:
 
 def build_mp4(timescale: int = 600, duration: int = 1500,
               brand: bytes = b"isom") -> bytes:
-    """Header-only ISO-BMFF fixture (``ftyp`` + ``moov``/``mvhd`` v0):
+    """Header-only ISO-BMFF fixture (``ftyp`` + ``moov`` containing a
+    well-formed ``mvhd`` v0 child box with its own size header):
     :func:`mp4_metadata` reads back (brand, duration / timescale)."""
     body = b"ftyp" + brand + (0).to_bytes(4, "big") + brand + b"iso2"
     ftyp = (4 + len(body)).to_bytes(4, "big") + body
-    mvhd = (
-        b"mvhd" + bytes([0]) + b"\x00\x00\x00"      # version 0 + flags
+    mvhd_body = (
+        bytes([0]) + b"\x00\x00\x00"                 # version 0 + flags
         + (0).to_bytes(4, "big") * 2                 # ctime, mtime
         + timescale.to_bytes(4, "big") + duration.to_bytes(4, "big")
     )
-    moov = b"moov" + mvhd
-    moov = (4 + len(moov)).to_bytes(4, "big") + moov
+    mvhd = (8 + len(mvhd_body)).to_bytes(4, "big") + b"mvhd" + mvhd_body
+    moov = (8 + len(mvhd)).to_bytes(4, "big") + b"moov" + mvhd
     return ftyp + moov
 
 

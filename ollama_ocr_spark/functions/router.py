@@ -77,7 +77,17 @@ def sniff_payload(data: bytes | None) -> tuple[str | None, str | None]:
         return "html", None
     probe = data[:4096]
     if len(data) > 4096:
-        probe = probe[:-3]  # don't split a multibyte char at the window edge
+        # Don't split a multibyte char at the window edge: strip trailing
+        # UTF-8 continuation bytes (0b10xxxxxx) plus at most one lead byte.
+        # (A fixed-width trim can itself cut a sequence straddling the new
+        # boundary — e.g. a 4-byte char at 4090-4093 loses its last byte —
+        # misrouting valid >4KB non-ASCII text to an error row.)
+        cut = len(probe)
+        while cut > 0 and len(probe) - cut < 3 and probe[cut - 1] & 0xC0 == 0x80:
+            cut -= 1
+        if cut > 0 and probe[cut - 1] >= 0xC0:
+            cut -= 1
+        probe = probe[:cut]
     if not any(b in _TEXT_FORBIDDEN for b in probe):
         try:
             probe.decode("utf-8")

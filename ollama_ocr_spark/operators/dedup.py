@@ -492,6 +492,7 @@ def dedup_components(pairs: DataFrame, a: str = "a", b: str = "b",
         sym.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
     )
+    changed = 0
     for _ in range(max_iter):
         prop = (
             sym.join(labels, sym.src == labels.node)
@@ -511,4 +512,16 @@ def dedup_components(pairs: DataFrame, a: str = "a", b: str = "b",
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # Propagation moves one hop per round: a component with diameter >
+        # max_iter (plausible for chained near-dup candidates at web scale)
+        # would otherwise return silently-wrong labels.
+        import warnings
+
+        warnings.warn(
+            f"dedup_components: min-label propagation NOT converged after "
+            f"{max_iter} rounds ({changed} labels still changing) — "
+            f"cluster labels are incomplete; raise max_iter",
+            stacklevel=2,
+        )
     return labels

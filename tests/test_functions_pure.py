@@ -225,6 +225,23 @@ def test_error_row_contract():
 
 # ------------------------------------------------------- corpus golden ----
 
+def test_sniff_large_utf8_text_not_misrouted():
+    """>4KB non-ASCII text must not be misrouted by the probe-window trim:
+    the old fixed 3-byte trim could cut a 4-byte char ending just inside
+    the window, failing the UTF-8 check on valid text."""
+    from ollama_ocr_spark.functions.router import sniff_payload
+
+    # 4-byte char at offsets 4090-4093 (inside the window, inside the old
+    # fixed trim's cut zone)
+    payload = b"a" * 4090 + "\U0001f600".encode() + b"b" * 200
+    assert sniff_payload(payload) == ("text", None)
+    # char straddling the 4096 window edge itself
+    payload2 = b"a" * 4094 + "\U0001f600".encode() + b"b" * 100
+    assert sniff_payload(payload2) == ("text", None)
+    # binary payloads keep their error contract
+    assert sniff_payload(b"\x00" * 5000)[0] is None
+
+
 def test_handwriting_transcription_preserves_layout():
     """T7: the handwriting route keeps source formatting byte-for-byte
     (newlines + indent), while the printed-style collapsed render of the

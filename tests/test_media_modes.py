@@ -142,6 +142,24 @@ def test_analyze_and_multistep_share_semantics(spark, documents_smoke):
             assert multi[u]["chars"] > 0 and multi[u]["step_errors"] is None
 
 
+def test_mp4_mvhd_not_fooled_by_embedded_tag_bytes():
+    """The moov scan walks child boxes by size header — the 4-byte
+    sequence 'mvhd' occurring inside an unrelated child's DATA (udta
+    strings, codec blobs) must not be parsed as the movie header."""
+    from ollama_ocr_spark.functions.media import build_mp4, mp4_metadata
+
+    base = build_mp4(timescale=600, duration=1200)
+    ftyp, moov = base[:24], base[24:]
+    mvhd_box = moov[8:]  # the real, well-formed child
+    junk_body = b"ABmvhd" + b"\x00\x00\x02\x58" * 6  # decoy tag + numbers
+    junk_box = (8 + len(junk_body)).to_bytes(4, "big") + b"free" + junk_body
+    children = junk_box + mvhd_box
+    new_moov = (8 + len(children)).to_bytes(4, "big") + b"moov" + children
+    assert mp4_metadata(ftyp + new_moov) == ("isom", 2.0)
+    # and the plain fixture still reads back exactly
+    assert mp4_metadata(base) == ("isom", 2.0)
+
+
 from ollama_ocr_spark.functions.media import build_mp4 as _mp4_bytes
 from ollama_ocr_spark.functions.media import build_wav as _wav_bytes
 
