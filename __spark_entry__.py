@@ -493,6 +493,41 @@ def q_pii_scrub(spark, sf_dir):
              "pii_free")
 
 
+def q_resume_anti_join_bloom(spark, sf_dir):
+    """Late-resume bloom prefilter (N2 at scale): a broadcast occupied-
+    bucket set routes definitely-new rows around the shuffle; only the
+    bloom-positive sliver takes the exact anti-join. Output rows are
+    identical to the exact strategy by construction — same oracle."""
+    from ollama_ocr_spark.operators.maintenance import resume_anti_join
+
+    docs = _docs(spark, sf_dir)
+    done = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    return resume_anti_join(
+        docs, done, key="doc_id", strategy="bloom"
+    ).select("doc_id", "n_chars")
+
+
+def q_extract_text_plain(spark, sf_dir):
+    """Text archetype end-to-end: text/plain captures served under .html
+    urls (web reality) are content-sniffed, routed Text/handwriting, and
+    extract as the raw-text identity."""
+    return (
+        _extracted(spark, sf_dir)
+        .filter(F.col("doc_id") % 20 == 14)
+        .select("doc_id", "text", "chars", "engine", "doc_type")
+    )
+
+
+def q_politeness_waves(spark, sf_dir):
+    """Per-host politeness scheduling: deterministic wave assignment
+    capping each host at 16 docs per wave (url order)."""
+    from ollama_ocr_spark.operators.maintenance import (
+        doc_id_expr, politeness_waves)
+
+    out = politeness_waves(_latest_pages(spark, sf_dir), per_host_burst=16)
+    return out.select(doc_id_expr().alias("doc_id"), "wave")
+
+
 def q_latest_capture_semi(spark, sf_dir):
     """Semi-join latest-capture strategy (N3 alternative plan): light-column
     winners aggregate + left-semi join — payload rows never shuffle or sort.
@@ -836,6 +871,9 @@ _QUERIES = {
         "corpus_cardinality": q_corpus_cardinality,
         "latest_event_per_user": q_latest_event_per_user,
         "resume_anti_join": q_resume_anti_join,
+        "resume_anti_join_bloom": q_resume_anti_join_bloom,
+        "extract_text_plain": q_extract_text_plain,
+        "politeness_waves": q_politeness_waves,
         "latest_capture_semi": q_latest_capture_semi,
         "pii_scrub": q_pii_scrub,
         "paragraph_dedup": q_paragraph_dedup,
@@ -1328,6 +1366,28 @@ def oracle_sql() -> dict[str, str]:
                     AND len(regexp_extract_all(t, '{_PII_PHONE}')) = 0)
                      AS pii_free
             FROM base
+        """,
+        "resume_anti_join_bloom": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE doc_id NOT IN (
+              SELECT doc_id FROM documents WHERE doc_id % 7 = 0)
+        """,
+        "extract_text_plain": """
+            SELECT doc_id, text, length(text)::BIGINT AS chars,
+                   'handwriting' AS engine, 'Text' AS doc_type
+            FROM documents WHERE doc_id % 20 = 14
+        """,
+        "politeness_waves": f"""
+            WITH u AS (
+              SELECT doc_id, {_HOST_CASE} AS host,
+                     'https://' || {_HOST_CASE} || '/' || source || '/' ||
+                     {_STEM_CASE} || '-' || doc_id || {_EXT_CASE} AS url
+              FROM documents
+            )
+            SELECT doc_id,
+                   ((row_number() OVER (PARTITION BY host ORDER BY url) - 1)
+                    // 16)::INT AS wave
+            FROM u
         """,
         "latest_capture_semi": """
             SELECT doc_id,

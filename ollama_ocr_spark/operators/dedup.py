@@ -39,6 +39,8 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     when the input already has >= defaultParallelism partitions (the 100 TB
     case — a big scan must NOT be collapsed or re-shuffled here).
     """
+    if df.isStreaming:
+        return df  # micro-batch sizing is the trigger's job, not ours
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:
@@ -205,15 +207,13 @@ def minhash_signatures(df: DataFrame, key: str = "doc_id", col: str = "text",
     )
 
 
-def minhash_lsh_candidates(df: DataFrame, key: str = "doc_id",
-                           col: str = "text", k: int = SHINGLE_K,
-                           num_hashes: int = 8, bands: int = 4) -> DataFrame:
-    """Candidate near-dup pairs via LSH banding: docs sharing any band bucket.
-
-    Output: distinct (a, b) with a < b.
+def band_buckets(sigs: DataFrame, key: str = "doc_id",
+                 num_hashes: int = 8, bands: int = 4) -> DataFrame:
+    """(key, band, bucket) rows from MinHash signature rows — the LSH
+    banding step, factored out so the batch candidate generator and the
+    incremental (streaming) pipeline share one definition. Map-side only.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, key, col, k, num_hashes)
     band_cols = []
     for b in range(bands):
         parts = [
@@ -223,9 +223,20 @@ def minhash_lsh_candidates(df: DataFrame, key: str = "doc_id",
             F.struct(F.lit(b).alias("band"),
                      F.md5(F.concat(*parts)).alias("bucket"))
         )
-    buckets = sigs.select(
+    return sigs.select(
         key, F.explode(F.array(*band_cols)).alias("bb")
     ).select(key, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def minhash_lsh_candidates(df: DataFrame, key: str = "doc_id",
+                           col: str = "text", k: int = SHINGLE_K,
+                           num_hashes: int = 8, bands: int = 4) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding: docs sharing any band bucket.
+
+    Output: distinct (a, b) with a < b.
+    """
+    sigs = minhash_signatures(df, key, col, k, num_hashes)
+    buckets = band_buckets(sigs, key, num_hashes, bands)
 
     # Pair generation inside each bucket's posting list (one shuffle on the
     # band key) instead of a bucket×bucket self-join that would recompute

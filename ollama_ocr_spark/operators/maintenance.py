@@ -169,14 +169,70 @@ def latest_capture(pages: DataFrame, key: str = "url",
 
 
 def resume_anti_join(pages: DataFrame, done: DataFrame,
-                     key: str = "url") -> DataFrame:
+                     key: str = "url", strategy: str = "exact",
+                     bloom_bits: int = 1 << 23) -> DataFrame:
     """Drop documents already present in the committed results snapshot (N2).
 
-    ``left_anti`` lets Catalyst pick broadcast-anti when the done-set is
-    small (early resumes) and shuffle-anti when it is not (late resumes) —
-    exactly the plan flexibility a hand-rolled filter would lose.
+    ``strategy="exact"`` (default): plain ``left_anti`` — Catalyst picks
+    broadcast-anti when the done-set is small (early resumes) and
+    shuffle-anti when it is not, exactly the plan flexibility a
+    hand-rolled filter would lose.
+
+    ``strategy="bloom"``: the LATE-resume shape, where the done-set
+    exceeds broadcast range but the full payload must not shuffle. A
+    materialized one-hash bloom filter — the DISTINCT occupied buckets of
+    ``xxhash64(key) % bloom_bits`` — broadcasts in place of the done-set
+    (ints, ~8 bytes/occupied bucket; 10^6 done urls → <8 MB at the
+    default 2^23 bits). Rows whose bucket is unoccupied are DEFINITELY
+    not done and pass through with no shuffle at all; only the
+    bloom-positive sliver (false-positive rate ≈ n_done/bloom_bits plus
+    the true dones) takes the exact anti-join shuffle. Size ``bloom_bits``
+    ≈ 16× the done-count for a ~6% maybe-fraction. Result rows are
+    IDENTICAL to the exact strategy by construction (the bloom only
+    routes; membership is still decided exactly) — pytest asserts it.
     """
-    return pages.join(done.select(key).distinct(), key, "left_anti")
+    done_keys = done.select(key).distinct()
+    if strategy == "bloom":
+        bucket = F.pmod(F.xxhash64(F.col(key)), F.lit(bloom_bits))
+        occupied = F.broadcast(
+            done_keys.select(bucket.alias("__bb")).distinct()
+        )
+        tagged = pages.withColumn("__pb", bucket)
+        definite = tagged.join(
+            occupied, tagged["__pb"] == occupied["__bb"], "left_anti"
+        ).drop("__pb")
+        maybe = tagged.join(
+            occupied, tagged["__pb"] == occupied["__bb"], "left_semi"
+        ).drop("__pb")
+        survivors = maybe.join(done_keys, key, "left_anti")
+        return definite.unionByName(survivors)
+    return pages.join(done_keys, key, "left_anti")
+
+
+def politeness_waves(pages: DataFrame, per_host_burst: int = 16,
+                     key: str = "url") -> DataFrame:
+    """Per-host politeness-aware scheduling (crawl/recrawl hygiene): assign
+    every document a ``wave`` such that one host contributes at most
+    ``per_host_burst`` documents per wave — wave w is the w-th burst of
+    that host in deterministic url order.
+
+    Downstream either iterates waves (strict politeness: process wave w,
+    wait, process w+1) or repartitions on (wave, host) so the mega-host's
+    work spreads across the job's lifetime instead of hammering one origin
+    (or one parser cache) all at once. One window over (host, url) — the
+    same shuffle shape as latest-capture; at 100 TB the window runs on
+    (host, url) pairs only if callers project first.
+    """
+    w = Window.partitionBy("__host").orderBy(key)
+    return (
+        pages.withColumn("__host", host_expr(key))
+        .withColumn(
+            "wave",
+            F.floor((F.row_number().over(w) - 1) / per_host_burst)
+            .cast("int"),
+        )
+        .drop("__host")
+    )
 
 
 def balance_by_url(pages: DataFrame, num_partitions: int) -> DataFrame:

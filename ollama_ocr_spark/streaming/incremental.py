@@ -52,6 +52,75 @@ def incremental_extract(
     )
 
 
+def incremental_minhash(
+    spark: SparkSession,
+    pages_dir: str,
+    sig_tbl: IceTable,
+    cand_tbl: IceTable,
+    checkpoint_dir: str,
+    key: str = "url",
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> None:
+    """Incremental MinHash near-dup detection over a capture stream.
+
+    Signatures are pure map-side expressions (``minhash_signatures``), so
+    they stream with no state store at all; the cross-document part —
+    which documents share an LSH band bucket — runs per micro-batch in
+    ``foreachBatch``: the NEW batch's band buckets join against the
+    accumulated signature table's buckets, so each arriving document is
+    compared exactly once against everything seen so far (new×all, which
+    includes new×new). Already-emitted pairs are anti-joined away, making
+    the candidate table append-only exactly-once across resumes.
+
+    At scale the accumulated-signature side is a bucket-partitioned table
+    (band, bucket) so the per-batch join prunes to touched buckets; the
+    state Spark itself holds is just the file-source checkpoint. Drains
+    the backlog then stops (``availableNow``), like
+    :func:`incremental_extract`.
+
+    Batch-equivalence (pytest-checked): after draining any split of the
+    input into micro-batches, the union of emitted candidate pairs equals
+    ``minhash_lsh_candidates`` over the full corpus.
+    """
+    from ..operators.dedup import band_buckets, minhash_signatures
+
+    pages = spark.readStream.schema(PAGES_SCHEMA).parquet(pages_dir)
+    extracted = extract_stage(pages).select(key, "text")
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        new_sigs = minhash_signatures(batch_df, key=key, col="text")
+        new_b = band_buckets(new_sigs, key=key, num_hashes=num_hashes,
+                             bands=bands)
+        prior = sig_tbl.read(spark)
+        all_b = new_b if prior is None else band_buckets(
+            prior, key=key, num_hashes=num_hashes, bands=bands
+        ).unionByName(new_b)
+        nk, ak = F.col(f"n.{key}"), F.col(f"a.{key}")
+        cand = (
+            new_b.alias("n")
+            .join(all_b.alias("a"), ["band", "bucket"])
+            .filter(nk != ak)
+            .select(F.least(nk, ak).alias("a"), F.greatest(nk, ak).alias("b"))
+            .distinct()
+        )
+        existing = cand_tbl.read(spark)
+        if existing is not None:
+            cand = cand.join(
+                existing.select("a", "b"), ["a", "b"], "left_anti"
+            )
+        cand_tbl.append(cand)
+        sig_tbl.append(new_sigs)
+
+    (
+        extracted.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def session_window_agg(events: DataFrame, gap: str = "30 minutes",
                        watermark: str = "2 hours") -> DataFrame:
     """Gap sessionization via Spark's built-in ``session_window`` — the

@@ -59,6 +59,35 @@ def test_dedup_plans_minimize_shuffles(spark, documents_smoke):
     assert plan_report(minhash_lsh_candidates(documents_smoke)).n_exchanges == 3
 
 
+def test_resume_anti_join_bloom_matches_exact(spark, documents_smoke):
+    """The bloom prefilter only ROUTES rows — membership stays exact, so
+    the result must equal the plain anti-join even when bloom_bits is
+    tiny and nearly every row collides into the maybe-branch."""
+    from ollama_ocr_spark.operators.maintenance import resume_anti_join
+
+    done = documents_smoke.filter("doc_id % 3 = 0").select("doc_id")
+    want = sorted(
+        r["doc_id"]
+        for r in resume_anti_join(documents_smoke, done, key="doc_id")
+        .select("doc_id").collect()
+    )
+    for bits in (1 << 23, 64):  # roomy and collision-heavy
+        got = sorted(
+            r["doc_id"]
+            for r in resume_anti_join(
+                documents_smoke, done, key="doc_id",
+                strategy="bloom", bloom_bits=bits,
+            ).select("doc_id").collect()
+        )
+        assert got == want, f"bloom_bits={bits}"
+    report = plan_report(
+        resume_anti_join(documents_smoke, done, key="doc_id",
+                         strategy="bloom")
+    )
+    # the occupied-bucket set broadcasts to both branches
+    assert report.n_broadcasts >= 2
+
+
 def test_embedding_near_dupes_bucketed_is_equijoin(spark):
     """The LSH-bucketed scale path must never plan a nested-loop /
     cartesian join (the exact strategy's O(n²) shape), and its candidate

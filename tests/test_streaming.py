@@ -35,6 +35,43 @@ def test_incremental_extract_drains_and_resumes(spark, documents_smoke, tmp_path
     assert results.read(spark).count() == n2
 
 
+def test_incremental_minhash_matches_batch(spark, documents_smoke, tmp_path):
+    """Draining the corpus in two micro-batch runs must emit exactly the
+    batch minhash_lsh_candidates pair set, with no duplicate pairs across
+    batches (new×all bucket join + emitted-pair anti-join)."""
+    from ollama_ocr_spark.operators.dedup import minhash_lsh_candidates
+    from ollama_ocr_spark.operators.extract import extract_stage
+    from ollama_ocr_spark.streaming.incremental import incremental_minhash
+
+    pages_dir = str(tmp_path / "pages")
+    ckpt = str(tmp_path / "ckpt")
+    sigs = IceTable(str(tmp_path / "sigs"))
+    cands = IceTable(str(tmp_path / "cands"))
+
+    from ollama_ocr_spark.operators.maintenance import latest_capture
+
+    docs = documents_smoke.filter("doc_id < 200")
+    latest_capture(synthesize_stage(docs.filter("doc_id < 120"))).write.mode(
+        "append").parquet(pages_dir)
+    incremental_minhash(spark, pages_dir, sigs, cands, ckpt)
+    latest_capture(synthesize_stage(docs.filter("doc_id >= 120"))).write.mode(
+        "append").parquet(pages_dir)
+    incremental_minhash(spark, pages_dir, sigs, cands, ckpt)
+
+    got_rows = cands.read(spark).collect()
+    got = {(r["a"], r["b"]) for r in got_rows}
+    assert len(got) == len(got_rows), "duplicate pairs emitted"
+
+    batch_text = extract_stage(
+        latest_capture(synthesize_stage(docs))
+    ).select("url", "text")
+    want = {
+        (r["a"], r["b"])
+        for r in minhash_lsh_candidates(batch_text, key="url").collect()
+    }
+    assert got == want
+
+
 def test_watermarked_session_stream(spark, tmp_path):
     """session_window + watermark over a stream: sessions finalize (append
     mode) only once the watermark passes their end; events later than the
