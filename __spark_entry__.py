@@ -613,6 +613,14 @@ def q_token_counts(spark, sf_dir):
     )
 
 
+def q_vocab_topk(spark, sf_dir):
+    """Vocabulary build: top-100 corpus tokens by frequency (deterministic
+    token tiebreak); tokens shuffle with map-side partial counts."""
+    from ollama_ocr_spark.operators.textstats import vocab_topk
+
+    return vocab_topk(_docs(spark, sf_dir), k=100)
+
+
 def q_quality_scores(spark, sf_dir):
     from ollama_ocr_spark.operators.textstats import with_quality_score
 
@@ -893,6 +901,7 @@ _QUERIES = {
         "winnow_fingerprints": q_winnow_fingerprints,
         "simhash_buckets": q_simhash_buckets,
         "token_counts": q_token_counts,
+        "vocab_topk": q_vocab_topk,
         "quality_scores": q_quality_scores,
         "repetition_stats": q_repetition_stats,
         "url_normalize": q_url_normalize,
@@ -1481,6 +1490,14 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(lower(text), '[a-z0-9]+'))::INT
                      AS n_re_tokens
             FROM documents
+        """,
+        "vocab_topk": """
+            WITH t AS (
+              SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                AS token
+              FROM documents)
+            SELECT token, count(*) AS n FROM t
+            GROUP BY token ORDER BY n DESC, token LIMIT 100
         """,
         "quality_scores": """
             WITH q AS (

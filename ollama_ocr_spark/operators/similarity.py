@@ -223,6 +223,82 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def ivf_write_index(corpus: DataFrame, path: str, key: str = "vec_id",
+                    vec: str = "embedding", n_centroids: int = 16,
+                    dim: int = 64) -> None:
+    """Materialize an IVF index on disk: corpus vectors written as parquet
+    PARTITIONED BY their centroid cell, plus the tiny codebook alongside.
+
+    This is the at-rest layout the :func:`ivf_topk` docstring promises:
+    probing n_probe cells becomes Hive-style partition pruning — the scan
+    touches n_probe directories out of n_centroids and never opens the
+    rest. Build cost: one corpus pass for the codebook refinement + one
+    assign + one partitioned write.
+    """
+    cents = _centroids(corpus, key, vec, n_centroids, dim)
+    assigned = _assign(
+        corpus.select(F.col(key), F.col(vec)),
+        cents.select("cluster", F.col("centroid").alias("cvec")),
+        key, vec, "cvec",
+    )
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(
+        f"{path}/data"
+    )
+    cents.write.mode("overwrite").parquet(f"{path}/codebook")
+
+
+def ivf_topk_indexed(spark, path: str, queries: DataFrame, k: int = 5,
+                     key: str = "vec_id", vec: str = "embedding",
+                     n_probe: int = 4) -> DataFrame:
+    """ANN top-k over a materialized IVF index (:func:`ivf_write_index`).
+
+    The probed cell set is collected to the driver (it is |queries| ×
+    n_probe ints — queries are small by definition, like the broadcast in
+    :func:`cosine_topk`) and applied as a STATIC ``isin`` filter on the
+    partition column, so Parquet partition pruning eliminates unprobed
+    cells at planning time (plan-audited: the scan's partition count drops
+    to the probed cells).
+    """
+    cents = spark.read.parquet(f"{path}/codebook")
+    q = queries.select(F.col(key).alias("query_id"), F.col(vec).alias("qv"))
+    q_scored = q.crossJoin(
+        F.broadcast(cents.select("cluster", F.col("centroid").alias("cvec")))
+    ).withColumn(
+        "__sim", _dot(F.col("qv"), F.col("cvec"))
+        / (_norm(F.col("qv")) * _norm(F.col("cvec")) + F.lit(1e-12))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("cluster").asc()
+    )
+    q_probes = (
+        q_scored.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", "qv", "cluster")
+    )
+    probe_cells = sorted(
+        {r["cluster"] for r in q_probes.select("cluster").distinct().collect()}
+    )
+    data = (
+        spark.read.parquet(f"{path}/data")
+        .filter(F.col("cluster").isin(probe_cells))
+        .select(F.col(key).alias("neighbor_id"), F.col(vec).alias("cv"),
+                "cluster")
+    )
+    scored = data.join(F.broadcast(q_probes), "cluster").withColumn(
+        "cosine",
+        F.round(_dot(F.col("qv"), F.col("cv"))
+                / (_norm(F.col("qv")) * _norm(F.col("cv"))), 4),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                     key: str = "vec_id", vec: str = "embedding",
                     num_planes: int = 6, dim: int = 64,

@@ -35,6 +35,30 @@ def with_token_counts(df: DataFrame, col: str = "text") -> DataFrame:
     )
 
 
+def vocab_topk(df: DataFrame, col: str = "text", k: int = 1000) -> DataFrame:
+    """Corpus vocabulary build: token → frequency, top-k by count with a
+    deterministic token tiebreak — the tokenizer-training precursor every
+    pretraining pipeline runs (same ``TOKEN_RE`` pre-tokenizer as
+    :func:`with_token_counts`).
+
+    Scale shape: explode → groupBy(token) gets map-side partial
+    aggregation, so only (token, partial-count) pairs shuffle — never
+    documents; the global top-k is a single-partition sort of the
+    (bounded, ≪ corpus) distinct-token counts. Output: (token, n).
+    """
+    tokens = df.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(col)), F.lit(TOKEN_RE), 0)
+        ).alias("token")
+    )
+    return (
+        tokens.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(k)
+    )
+
+
 def with_quality_score(df: DataFrame, col: str = "text") -> DataFrame:
     """Deterministic quality features: length, word count, mean word length,
     stopword ratio, and a composite score. (Gopher/C4-style filters use the

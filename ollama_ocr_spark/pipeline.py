@@ -123,7 +123,11 @@ def run_extract(
     finally:
         results.unpersist()
 
-    docs_in = deduped.count()
+    # docs_in = unique documents in the input. Counting `deduped` would
+    # RE-EXECUTE the payload repartition + dedup window (a second full
+    # pass over the corpus, just for a stat); the distinct-url count is
+    # the same number from a column-pruned scan that never touches html.
+    docs_in = pages.select("url").distinct().count()
     return RunStats(
         docs_in=docs_in,
         docs_extracted=docs_extracted,

@@ -20,6 +20,7 @@ class PlanReport:
     n_exchanges: int
     n_broadcasts: int
     pushed_filters: list[str]
+    partition_filters: list[str]
     read_schemas: list[str]
     has_wholestage_codegen: bool
     raw: str
@@ -33,6 +34,7 @@ def plan_report(df: DataFrame) -> PlanReport:
         )
     )
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", formatted)
+    partition = re.findall(r"PartitionFilters: \[([^\]]*)\]", formatted)
     schemas = re.findall(r"ReadSchema: (\S+)", formatted)
     return PlanReport(
         n_exchanges=plan.count("Exchange"),
@@ -40,6 +42,7 @@ def plan_report(df: DataFrame) -> PlanReport:
         + plan.count("BroadcastHashJoin")
         + plan.count("BroadcastNestedLoopJoin"),
         pushed_filters=[p for p in pushed if p.strip()],
+        partition_filters=[p for p in partition if p.strip()],
         read_schemas=schemas,
         # the one-line plan renders codegen stages as "*(n) Op"; the tree
         # mode spells out "WholeStageCodegen" — accept either

@@ -59,6 +59,37 @@ def test_dedup_plans_minimize_shuffles(spark, documents_smoke):
     assert plan_report(minhash_lsh_candidates(documents_smoke)).n_exchanges == 3
 
 
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    """The materialized IVF index is partitioned by centroid cell; probing
+    must read ONLY the probed cells' directories (partition pruning) and
+    return exactly what the in-memory ivf_topk computes."""
+    from ollama_ocr_spark.operators.similarity import (
+        ivf_topk, ivf_topk_indexed, ivf_write_index)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.filter("vec_id >= 10")
+    queries = emb.filter("vec_id = 0")  # one query → ≤ n_probe cells
+    path = str(tmp_path / "ivf")
+    ivf_write_index(corpus, path, n_centroids=8)
+
+    got_df = ivf_topk_indexed(spark, path, queries, k=5, n_probe=2)
+    got = {(r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+           for r in got_df.collect()}
+    want = {(r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+            for r in ivf_topk(corpus, queries, k=5, n_centroids=8,
+                              n_probe=2).collect()}
+    assert got == want
+
+    # partition pruning is visible as a static PartitionFilter on the
+    # cluster column (DataFrame.inputFiles() ignores pushed filters, so
+    # the plan is the reliable witness)
+    report = plan_report(got_df)
+    assert any(
+        "cluster" in p and ("IN" in p or "in(" in p.lower())
+        for p in report.partition_filters
+    ), f"no cluster partition filter: {report.partition_filters}"
+
+
 def test_resume_anti_join_bloom_matches_exact(spark, documents_smoke):
     """The bloom prefilter only ROUTES rows — membership stays exact, so
     the result must equal the plain anti-join even when bloom_bits is
