@@ -613,6 +613,24 @@ def q_token_counts(spark, sf_dir):
     )
 
 
+_DUP_TEXT = ("the quick brown fox jumps over the lazy dog again and "
+             "again tonight")
+
+
+def q_curation_verdict(spark, sf_dir):
+    """End-to-end curation verdict (dup-keeper + quality + repetition
+    gates, first failing reason). Every doc_id % 11 == 7 document gets the
+    same injected text so the duplicate branch is exercised: min doc_id
+    keeps, the rest drop as 'duplicate'."""
+    from ollama_ocr_spark.operators.textstats import curation_verdict
+
+    docs = _docs(spark, sf_dir)
+    t = F.when(F.col("doc_id") % 11 == 7, F.lit(_DUP_TEXT)).otherwise(
+        F.col("text")
+    )
+    return curation_verdict(docs.select("doc_id", t.alias("text")))
+
+
 def q_vocab_topk(spark, sf_dir):
     """Vocabulary build: top-100 corpus tokens by frequency (deterministic
     token tiebreak); tokens shuffle with map-side partial counts."""
@@ -901,6 +919,7 @@ _QUERIES = {
         "winnow_fingerprints": q_winnow_fingerprints,
         "simhash_buckets": q_simhash_buckets,
         "token_counts": q_token_counts,
+        "curation_verdict": q_curation_verdict,
         "vocab_topk": q_vocab_topk,
         "quality_scores": q_quality_scores,
         "repetition_stats": q_repetition_stats,
@@ -1490,6 +1509,64 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(lower(text), '[a-z0-9]+'))::INT
                      AS n_re_tokens
             FROM documents
+        """,
+        "curation_verdict": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 11 = 7 THEN '{_DUP_TEXT}'
+                          ELSE text END AS text
+              FROM documents),
+            keep AS (
+              SELECT md5(text) AS fp, min(doc_id) AS keeper
+              FROM base GROUP BY 1),
+            w AS (SELECT doc_id, text, string_split(text, ' ') AS w
+                  FROM base),
+            q AS (
+              SELECT doc_id, w,
+                     len(w) AS n_words,
+                     round((length(text) - (len(w) - 1)) * 1.0 / len(w), 4)
+                       AS mean_wl,
+                     round(len(list_filter(w, x -> x IN
+                           ('the','a','of','to','and','in','is')))
+                           * 1.0 / len(w), 4) AS stop_ratio
+              FROM w),
+            counts AS (
+              SELECT doc_id, count(*) AS c
+              FROM (SELECT doc_id, unnest(w) AS word FROM w)
+              GROUP BY doc_id, word),
+            top AS (SELECT doc_id, max(c) AS topc FROM counts GROUP BY 1),
+            kg AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) >= 5
+                          THEN list_transform(range(1, len(w) - 3),
+                               i -> array_to_string(w[i : i + 4], ' '))
+                          ELSE [] END AS gs
+              FROM w),
+            flags AS (
+              SELECT q.doc_id,
+                     (q.n_words >= 10 AND q.mean_wl >= 2.0
+                      AND q.mean_wl <= 12.0 AND q.stop_ratio >= 0.01)
+                       AS quality_ok,
+                     (round(len(list_distinct(q.w)) * 1.0 / q.n_words, 4)
+                        >= 0.2
+                      AND round(t.topc * 1.0 / q.n_words, 4) <= 0.3
+                      AND (CASE WHEN len(k.gs) > 0
+                           THEN round(1 - len(list_distinct(k.gs)) * 1.0
+                                      / len(k.gs), 4)
+                           ELSE 0.0 END) <= 0.6) AS repetition_ok
+              FROM q
+              JOIN top t ON t.doc_id = q.doc_id
+              JOIN kg k ON k.doc_id = q.doc_id),
+            verdict AS (
+              SELECT b.doc_id,
+                     CASE WHEN b.doc_id <> kk.keeper THEN 'duplicate'
+                          WHEN NOT f.quality_ok THEN 'quality'
+                          WHEN NOT f.repetition_ok THEN 'repetition'
+                          ELSE 'ok' END AS reason
+              FROM base b
+              JOIN keep kk ON md5(b.text) = kk.fp
+              JOIN flags f ON f.doc_id = b.doc_id)
+            SELECT doc_id, reason, reason = 'ok' AS keep FROM verdict
         """,
         "vocab_topk": """
             WITH t AS (

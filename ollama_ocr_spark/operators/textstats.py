@@ -166,6 +166,39 @@ def with_fingerprint(df: DataFrame, col: str = "text") -> DataFrame:
 # backrefs) so the Spark expressions and the DuckDB oracle scrub byte-
 # identically. Scrub order matters and is part of the contract:
 # emails first (they contain dots/digits), then IPv4, then phones.
+def curation_verdict(df: DataFrame, key: str = "doc_id",
+                     col: str = "text") -> DataFrame:
+    """End-to-end curation verdict per document — the final keep/drop
+    stage of a training-data pipeline, with the FIRST failing reason:
+
+    1. ``duplicate``  — not the exact-dup keeper (min key per md5(text)),
+    2. ``quality``    — fails the :func:`with_quality_score` gate,
+    3. ``repetition`` — fails the :func:`with_repetition_stats` gate,
+    4. ``ok``         — kept.
+
+    Scale shape: the only shuffle is the keeper aggregate on the 128-bit
+    text digest (map-side partial agg; digests, never text) + its join
+    back on the digest; the quality/repetition gates are pure map-side
+    array expressions. Output: (key, reason, keep).
+    """
+    scored = with_repetition_stats(with_quality_score(df, col), col)
+    keepers = df.groupBy(F.md5(F.col(col)).alias("__fp")).agg(
+        F.min(F.col(key)).alias("__keeper")
+    )
+    out = scored.withColumn("__fp", F.md5(F.col(col))).join(keepers, "__fp")
+    reason = (
+        F.when(F.col(key) != F.col("__keeper"), F.lit("duplicate"))
+        .when(~F.col("quality_ok"), F.lit("quality"))
+        .when(~F.col("repetition_ok"), F.lit("repetition"))
+        .otherwise(F.lit("ok"))
+    )
+    return out.select(
+        F.col(key),
+        reason.alias("reason"),
+        (reason == "ok").alias("keep"),
+    )
+
+
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PII_PHONE_RE = r"\+\d{1,3}[- ]\d{3}[- ]\d{3}[- ]\d{4}"
