@@ -675,6 +675,27 @@ def q_repetition_stats(spark, sf_dir):
     )
 
 
+def q_lang_segments(spark, sf_dir):
+    """Per-paragraph language segmentation: every doc_id % 3 == 0 document
+    gets an appended non-English paragraph, so mixed-language docs exist
+    and the dominant-language stats must spot them."""
+    from ollama_ocr_spark.operators.textstats import with_lang_segments
+
+    did = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.lit("\n\nlorem ipsum dolor sit amet consectetur "
+                  "adipiscing elit"),
+        ).otherwise(F.lit("")),
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", t.alias("text"))
+    return with_lang_segments(docs).select(
+        "doc_id", "n_paras", "dominant_lang", "dominant_frac", "mixed"
+    )
+
+
 def q_langid_confusion(spark, sf_dir):
     from ollama_ocr_spark.operators.textstats import with_langid
 
@@ -925,6 +946,7 @@ _QUERIES = {
         "repetition_stats": q_repetition_stats,
         "url_normalize": q_url_normalize,
         "langid_confusion": q_langid_confusion,
+        "lang_segments": q_lang_segments,
         "fingerprints": q_fingerprints,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1653,6 +1675,37 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'en' ELSE 'und' END AS pred_lang,
                    count(*) AS n_docs
             FROM documents GROUP BY 1, 2
+        """,
+        "lang_segments": """
+            WITH inp AS (
+              SELECT doc_id,
+                     text || CASE WHEN doc_id % 3 = 0
+                       THEN chr(10) || chr(10) ||
+                            'lorem ipsum dolor sit amet consectetur ' ||
+                            'adipiscing elit'
+                       ELSE '' END AS t
+              FROM documents),
+            p AS (
+              SELECT doc_id,
+                     unnest(string_split(t, chr(10) || chr(10))) AS para
+              FROM inp),
+            pr AS (
+              SELECT doc_id,
+                     CASE WHEN len(list_filter(string_split(para, ' '),
+                               w -> w IN ('the','a','and','of'))) > 0
+                          THEN 'en' ELSE 'und' END AS pl
+              FROM p),
+            agg AS (
+              SELECT doc_id, count(*) AS n,
+                     sum(CASE WHEN pl = 'en' THEN 1 ELSE 0 END) AS n_en
+              FROM pr GROUP BY 1)
+            SELECT doc_id, n::INT AS n_paras,
+                   CASE WHEN n_en >= n - n_en THEN 'en' ELSE 'und' END
+                     AS dominant_lang,
+                   round(greatest(n_en, n - n_en) * 1.0 / n, 4)
+                     AS dominant_frac,
+                   (n_en > 0 AND n_en < n) AS mixed
+            FROM agg
         """,
         "fingerprints": """
             SELECT doc_id, md5(text) AS fingerprint,

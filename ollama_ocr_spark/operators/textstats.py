@@ -155,6 +155,50 @@ def with_langid(df: DataFrame, col: str = "text") -> DataFrame:
     )
 
 
+def with_lang_segments(df: DataFrame, col: str = "text",
+                       sep: str = "\n\n") -> DataFrame:
+    """Per-paragraph language segmentation: web documents are routinely
+    mixed-language (chrome in one language, content in another), and
+    corpus pipelines decide keep/split at paragraph granularity. Runs the
+    :func:`with_langid` marker heuristic per paragraph, then aggregates:
+
+    - ``n_paras``        — paragraph count,
+    - ``dominant_lang``  — majority predicted language (ties → 'en'),
+    - ``dominant_frac``  — its share of paragraphs (round 4),
+    - ``mixed``          — both languages present.
+
+    Pure map-side array lambdas — segmentation never explodes rows or
+    shuffles; swap the marker vote for fastText per paragraph in
+    production, the aggregation shape is unchanged.
+    """
+    paras = F.split(F.col(col), sep)
+    preds = F.transform(
+        paras,
+        lambda p: F.when(
+            F.size(
+                F.filter(
+                    F.split(p, " "),
+                    lambda w: w.isin("the", "a", "and", "of"),
+                )
+            ) > 0,
+            F.lit("en"),
+        ).otherwise(F.lit("und")),
+    )
+    n = F.size(paras)
+    n_en = F.size(F.filter(preds, lambda x: x == "en"))
+    return (
+        df.withColumn("n_paras", n)
+        .withColumn(
+            "dominant_lang",
+            F.when(n_en >= n - n_en, F.lit("en")).otherwise(F.lit("und")),
+        )
+        .withColumn(
+            "dominant_frac", F.round(F.greatest(n_en, n - n_en) / n, 4)
+        )
+        .withColumn("mixed", (n_en > 0) & (n_en < n))
+    )
+
+
 def with_fingerprint(df: DataFrame, col: str = "text") -> DataFrame:
     """Stable 128-bit content fingerprint (md5) + 64-bit prefix bucket."""
     return df.withColumn("fingerprint", F.md5(F.col(col))).withColumn(
