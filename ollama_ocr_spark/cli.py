@@ -78,7 +78,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--show-timing", action="store_true",
                    help="display performance timing metrics "
                         "(ollama_local_ocr.py --show-timing analog)")
+    p.add_argument("--stream", action="store_true",
+                   help="with --url: emit the extracted text in chunks as "
+                        "it prints (ollama_cloud_ocr.py --stream analog — "
+                        "the reference folds streamed response chunks; "
+                        "extraction itself is batch either way)")
     return p
+
+
+def _stream_print(text: str, chunk: int = 64) -> None:
+    """Chunked console emit — the reference's flush-per-chunk streaming
+    print (`ollama_cloud_ocr.py:210-215,748`)."""
+    for i in range(0, len(text), chunk):
+        print(text[i:i + chunk], end="", flush=True)
+    print()
 
 
 def _page_slice(text: str, page: int) -> str | None:
@@ -178,7 +191,10 @@ def main(argv: list[str] | None = None) -> int:
         preview = text[:PREVIEW_CHARS] + ("..." if len(text) > PREVIEW_CHARS else "")
         print(f"[{row['engine']}] {row['url']} "
               f"({row['chars']} chars, {row['pages']} page(s))")
-        print(preview)
+        if args.stream:
+            _stream_print(text)
+        else:
+            print(preview)
         if args.show_timing:
             print(f"\nPerformance timing:\n"
                   f"  parse: {row['parse_us'] / 1e6:.3f}s")
