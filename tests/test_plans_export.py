@@ -59,6 +59,23 @@ def test_dedup_plans_minimize_shuffles(spark, documents_smoke):
     assert plan_report(minhash_lsh_candidates(documents_smoke)).n_exchanges == 3
 
 
+def test_vocab_and_curation_plan_shapes(spark, documents_smoke):
+    """vocab_topk: token counts get map-side partial aggregation (two
+    HashAggregate levels) so only (token, partial-count) shuffles;
+    curation_verdict: the digest keeper agg is the same two-level shape
+    and the whole verdict needs at most 3 exchanges (keeper agg + join +
+    guard)."""
+    from ollama_ocr_spark.operators.textstats import (
+        curation_verdict, vocab_topk)
+
+    vocab = plan_report(vocab_topk(documents_smoke, k=10))
+    assert vocab.raw.count("HashAggregate") >= 2
+
+    verdict = plan_report(curation_verdict(documents_smoke))
+    assert verdict.raw.count("HashAggregate") >= 2
+    assert verdict.n_exchanges <= 4
+
+
 def test_ivf_index_partition_pruning(spark, tmp_path):
     """The materialized IVF index is partitioned by centroid cell; probing
     must read ONLY the probed cells' directories (partition pruning) and

@@ -67,3 +67,41 @@ def test_plain_text_extraction_idempotent(text):
     first = extract_html_main_text(f"<p>{text}</p>".encode())
     again = extract_html_main_text(f"<p>{first}</p>".encode())
     assert again == first
+
+
+@given(st.lists(st.text(alphabet="abcdef", min_size=1, max_size=8),
+                min_size=1, max_size=60))
+@settings(max_examples=60, deadline=None)
+def test_memo_layout_collapse_is_identity(words):
+    """The printed path's whitespace collapse must invert the handwriting
+    layout exactly — the invariant that keeps every collapsed-text mode
+    byte-stable while the transcription mode preserves formatting."""
+    from ollama_ocr_spark.corpus import memo_layout
+
+    text = " ".join(words)
+    laid_out = memo_layout(text)
+    assert " ".join(laid_out.split()) == text
+    # and the transcription roundtrips through the HTML memo page
+    import html as _h
+
+    page = f"<div><p>{_h.escape(laid_out)}</p></div>".encode()
+    ext = parse_html_blocks(page)
+    assert ext.text_pre == laid_out
+    assert ext.text == text
+
+
+@given(st.text(
+    alphabet=st.characters(codec="utf-8", exclude_characters="\x00<",
+                           exclude_categories=("Cs", "Cc")),
+    min_size=1, max_size=300,
+))
+@settings(max_examples=60, deadline=None)
+def test_sniff_accepts_valid_utf8_text_any_size(prefix):
+    """Valid UTF-8 plain text must sniff as 'text' regardless of where
+    multibyte sequences fall relative to the 4KB probe window."""
+    from ollama_ocr_spark.functions.router import sniff_payload
+
+    # place the generated text right at the window edge
+    payload = b"a" * (4096 - 150) + prefix.encode() + b" tail" * 50
+    kind, err = sniff_payload(payload)
+    assert kind == "text", (err, prefix[-8:])
