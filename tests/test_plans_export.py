@@ -59,6 +59,40 @@ def test_dedup_plans_minimize_shuffles(spark, documents_smoke):
     assert plan_report(minhash_lsh_candidates(documents_smoke)).n_exchanges == 3
 
 
+def test_bucketed_tables_join_without_shuffle(spark, documents_smoke):
+    """Two tables bucketed on the same key join with ZERO exchanges —
+    the co-location layout for a corpus repeatedly joined on its key."""
+    from pyspark.sql import functions as F
+
+    from ollama_ocr_spark.operators.maintenance import write_bucketed
+
+    left = documents_smoke.select("doc_id", "n_chars")
+    right = documents_smoke.select("doc_id", "lang")
+    write_bucketed(left, "bkt_left", "doc_id", num_buckets=8)
+    write_bucketed(right, "bkt_right", "doc_id", num_buckets=8)
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable auto-broadcast so the plan must rely on bucket
+        # co-location (at real scale neither side broadcasts anyway)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = (
+            spark.table("bkt_left")
+            .join(spark.table("bkt_right"), "doc_id")
+            .groupBy("lang")
+            .agg(F.sum("n_chars").alias("chars"))
+        )
+        report = plan_report(joined)
+        # the join itself is shuffle-free; the only shuffle allowed is
+        # the final groupBy("lang") aggregation
+        assert report.raw.count("Exchange hashpartitioning") <= 1, report.raw
+        assert "SortMergeJoin" in report.raw
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
 def test_vocab_and_curation_plan_shapes(spark, documents_smoke):
     """vocab_topk: token counts get map-side partial aggregation (two
     HashAggregate levels) so only (token, partial-count) shuffles;
