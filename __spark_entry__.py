@@ -130,7 +130,8 @@ def q_extract_route_counts(spark, sf_dir):
 
 
 def q_extract_error_rows(spark, sf_dir):
-    """Error-row contract: (engine='error', 0 chars, 0 pages) + image stubs."""
+    """Error-row contract: (engine='error', 0 chars, 0 pages) for junk/null
+    payloads + the image rows (comment-text extraction, never errors)."""
     return (
         _extracted(spark, sf_dir)
         .filter(F.col("doc_id") % 10 >= 8)
@@ -505,6 +506,17 @@ def q_resume_anti_join_bloom(spark, sf_dir):
     return resume_anti_join(
         docs, done, key="doc_id", strategy="bloom"
     ).select("doc_id", "n_chars")
+
+
+def q_extract_image_text(spark, sf_dir):
+    """Image-branch extraction (T3): text embedded in JPEG COM / PNG tEXt
+    chunks is parsed back byte-identically — the in-sandbox OCR analog
+    (production swaps the comment parser for a real OCR kernel)."""
+    return (
+        _extracted(spark, sf_dir)
+        .filter(F.col("doc_id") % 10 == 8)
+        .select("doc_id", "text", "chars", "engine", "doc_type")
+    )
 
 
 def q_extract_text_plain(spark, sf_dir):
@@ -919,6 +931,7 @@ _QUERIES = {
         "latest_event_per_user": q_latest_event_per_user,
         "resume_anti_join": q_resume_anti_join,
         "resume_anti_join_bloom": q_resume_anti_join_bloom,
+        "extract_image_text": q_extract_image_text,
         "extract_text_plain": q_extract_text_plain,
         "politeness_waves": q_politeness_waves,
         "latest_capture_semi": q_latest_capture_semi,
@@ -1154,7 +1167,8 @@ def oracle_sql() -> dict[str, str]:
         "extract_error_rows": """
             SELECT doc_id,
               CASE WHEN doc_id % 10 = 8 THEN 'handwriting' ELSE 'error' END AS engine,
-              0::BIGINT AS chars,
+              (CASE WHEN doc_id % 10 = 8 THEN length(text)
+                    ELSE 0 END)::BIGINT AS chars,
               (CASE WHEN doc_id % 10 = 8 THEN 1 ELSE 0 END)::INT AS pages,
               CASE WHEN doc_id % 10 = 8 THEN 'Image' ELSE 'error' END AS doc_type,
               CASE WHEN doc_id % 10 = 8 THEN NULL
@@ -1426,6 +1440,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, text, length(text)::BIGINT AS chars,
                    'handwriting' AS engine, 'Text' AS doc_type
             FROM documents WHERE doc_id % 20 = 14
+        """,
+        "extract_image_text": """
+            SELECT doc_id, text, length(text)::BIGINT AS chars,
+                   'handwriting' AS engine, 'Image' AS doc_type
+            FROM documents WHERE doc_id % 10 = 8
         """,
         "politeness_waves": f"""
             WITH u AS (

@@ -25,7 +25,7 @@ Archetype table (k = doc_id % 10), mirroring the 5 reference fixtures in
 | 5       | receipt    | HTML like 0..3, url keyword       | printed (keyword)     |
 | 6       | draft      | HTML like 0..3, url keyword       | handwriting (keyword) |
 | 7       | playbook   | PDF, 1 + doc_id%3 pages (.pdf)    | printed (keyword 'pdf')|
-| 8       | scan       | JPEG magic blob (.jpg)            | handwriting, text=''  |
+| 8       | scan       | JPEG/PNG (.jpg), text in COM/tEXt | handwriting, text     |
 | 9       | page       | doc_id%20==9 → NULL payload;      | error row             |
 |         |            | doc_id%20==19 → junk bytes        |                       |
 
@@ -66,24 +66,35 @@ def image_dims(doc_id: int) -> tuple[int, int]:
     return 100 + doc_id % 400, 80 + doc_id % 300
 
 
-def build_image(doc_id: int) -> bytes:
+def build_image(doc_id: int, text: str = "") -> bytes:
     """Minimal-but-real image headers: JPEG with an SOF0 frame header for
     even-k20 docs, PNG with an IHDR chunk otherwise — so the media pipeline
-    can extract true dimensions without any decoder library."""
+    can extract true dimensions without any decoder library.
+
+    The document's text rides in a JPEG COM segment / PNG ``tEXt``
+    (Description) chunk — the in-sandbox stand-in for visual text: the
+    extraction pipeline's image branch parses it back
+    (functions.media.image_comment_text), exercising routing + byte-exact
+    goldens end-to-end; a production deployment swaps that kernel for a
+    real OCR engine."""
     w, h = image_dims(doc_id)
+    payload = text.encode("utf-8")
     if doc_id % 20 == 8:
-        # SOI + SOF0(len=17, precision=8, height, width, 3 components)
+        com = b"\xff\xfe" + (len(payload) + 2).to_bytes(2, "big") + payload
+        # SOI + COM + SOF0(len=17, precision=8, height, width, 3 components)
         sof = (
             b"\xff\xc0\x00\x11\x08"
             + h.to_bytes(2, "big") + w.to_bytes(2, "big")
             + b"\x03\x01\x11\x00\x02\x11\x01\x03\x11\x01"
         )
-        return b"\xff\xd8" + sof + b"synthetic-scan" + b"\xff\xd9"
+        return b"\xff\xd8" + com + sof + b"synthetic-scan" + b"\xff\xd9"
     ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + b"\x08\x02\x00\x00\x00"
+    textb = b"Description\x00" + payload
     return (
         b"\x89PNG\r\n\x1a\n"
         + len(ihdr).to_bytes(4, "big") + b"IHDR" + ihdr
         + b"\x00" * 4  # crc placeholder (parser does not verify)
+        + len(textb).to_bytes(4, "big") + b"tEXt" + textb + b"\x00" * 4
     )
 
 
@@ -299,7 +310,7 @@ def build_payload(doc_id: int, text: str, lang: str) -> bytes | None:
         return write_pdf(pdf_page_texts(text, n_pdf_pages(doc_id)),
                          compress=doc_id % 2 == 0)
     if k == 8:
-        return build_image(doc_id)
+        return build_image(doc_id, text)
     if k == 9:
         return None if doc_id % 20 == 9 else _JUNK
     if k == 4 and doc_id % 20 == 14:
@@ -314,7 +325,11 @@ def golden_text(doc_id: int, text: str) -> str:
     """Expected extracted text — computed from generation parameters only,
     never by running the extractor (independent golden, FIXTURES.md §2)."""
     k = doc_id % 10
-    if k in (8, 9):
+    if k == 8:
+        # image text rides in the COM/tEXt comment chunk (build_image) and
+        # the image branch extracts it — the OCR-output analog
+        return text.strip()
+    if k == 9:
         return ""
     if k == 7:
         return fold_pages(pdf_page_texts(text, n_pdf_pages(doc_id)))

