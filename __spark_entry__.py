@@ -574,6 +574,44 @@ def q_report_cube(spark, sf_dir):
     return cube_report(_docs(spark, sf_dir), ["lang", "source"], "n_chars")
 
 
+def q_quantile_report(spark, sf_dir):
+    """Per-lang exact p50/p90/p99 of document size (Spark percentile ==
+    DuckDB quantile_cont; at scale swap approx_percentile with this as
+    its oracle)."""
+    from ollama_ocr_spark.operators.reports import quantile_report
+
+    return quantile_report(_docs(spark, sf_dir), "lang", "n_chars")
+
+
+def q_as_of_join(spark, sf_dir):
+    """AS-OF temporal join: every event picks up the latest snapshot row
+    (events with event_id % 5 == 0, deduped per (user, ts)) at or before
+    its timestamp. Spark composition = union + one key-window carry (no
+    non-equi join, no nested loop); the oracle uses DuckDB's NATIVE
+    ASOF LEFT JOIN — two independent formulations, one result."""
+    from pyspark.sql import Window
+
+    from ollama_ocr_spark.operators.reports import as_of_join
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    right = (
+        e.filter(F.col("event_id") % 5 == 0)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "ts", F.col("value").alias("snap_value"))
+    )
+    left = e.select("user_id", "event_id", "ts", "event_type")
+    out = as_of_join(left, right, key="user_id", ts="ts",
+                     value_cols=["snap_value"])
+    return out.select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("ts_us"),
+        "event_type",
+        F.round("snap_value", 4).alias("snap_value"),
+    )
+
+
 def q_lang_summary(spark, sf_dir):
     """Per-group batch summary (A4 analog)."""
     from ollama_ocr_spark.operators.reports import summary_stats
@@ -946,6 +984,8 @@ _QUERIES = {
         "deterministic_sample": q_deterministic_sample,
         "top_docs_by_chars": q_top_docs_by_chars,
         "report_cube": q_report_cube,
+        "quantile_report": q_quantile_report,
+        "as_of_join": q_as_of_join,
         "lang_summary": q_lang_summary,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1473,6 +1513,26 @@ def oracle_sql() -> dict[str, str]:
                    sum(n_chars)::BIGINT AS sum_value,
                    round(avg(n_chars), 4) AS avg_value
             FROM documents GROUP BY CUBE (lang, source)
+        """,
+        "quantile_report": """
+            SELECT lang, count(*) AS n_docs,
+                   round(quantile_cont(n_chars, 0.5), 4) AS p50,
+                   round(quantile_cont(n_chars, 0.9), 4) AS p90,
+                   round(quantile_cont(n_chars, 0.99), 4) AS p99
+            FROM documents GROUP BY lang
+        """,
+        "as_of_join": """
+            WITH r0 AS (
+              SELECT user_id, ts, value,
+                     row_number() OVER (PARTITION BY user_id, ts
+                                        ORDER BY event_id DESC) AS rn
+              FROM events WHERE event_id % 5 = 0),
+            r AS (SELECT user_id, ts, value FROM r0 WHERE rn = 1),
+            l AS (SELECT user_id, event_id, ts, event_type FROM events)
+            SELECT l.user_id, l.event_id, epoch_us(l.ts) AS ts_us,
+                   l.event_type, round(r.value, 4) AS snap_value
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "lang_summary": """
             SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_value,

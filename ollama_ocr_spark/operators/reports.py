@@ -40,6 +40,70 @@ def cube_report(df: DataFrame, dims: list[str], value_col: str) -> DataFrame:
     )
 
 
+def quantile_report(df: DataFrame, group_col: str, value_col: str,
+                    quantiles: tuple = (0.5, 0.9, 0.99)) -> DataFrame:
+    """Per-group exact continuous quantiles (p50/p90/p99 by default) —
+    the distribution view every corpus report needs beside averages.
+
+    Uses Spark's exact interpolated ``percentile`` (== DuckDB
+    ``quantile_cont``, oracle-checkable). At 100 TB swap in
+    ``approx_percentile`` (t-digest sketch, one pass, mergeable) — the
+    exact form here doubles as its correctness oracle, same pattern as
+    :func:`cardinality_report`.
+    """
+    aggs = [F.count("*").alias("n_docs")]
+    for q in quantiles:
+        aggs.append(
+            F.round(F.expr(f"percentile({value_col}, {q})"), 4)
+            .alias(f"p{int(q * 100)}")
+        )
+    return df.groupBy(group_col).agg(*aggs)
+
+
+def as_of_join(left: DataFrame, right: DataFrame, key: str, ts: str,
+               value_cols: list[str]) -> DataFrame:
+    """AS-OF join: attach to every left row the latest right row with
+    ``right.ts <= left.ts`` per key — the temporal lookup (prices,
+    profile snapshots, config versions at event time) that Spark has no
+    built-in operator for.
+
+    Spark-first composition instead of a non-equi range join (which would
+    plan as a nested loop): tag and UNION both sides, one window over
+    (key → ts asc, right-rows-first-on-ties), and carry the most recent
+    right values forward with ``last(..., ignorenulls)``. One shuffle on
+    the key, no join at all — survives any scale the window does.
+    Ties (right.ts == left.ts) count as "already effective", matching
+    DuckDB's ASOF JOIN semantics (the oracle uses the native operator).
+    """
+    from pyspark.sql import Window
+
+    lt = left.select(
+        "*", F.lit(0).alias("__r"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}")
+          for c in value_cols],
+    )
+    rt = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in (key, ts)],
+        F.col(key), F.col(ts), F.lit(1).alias("__r"),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+    ).select(*lt.columns)  # align column order
+    unioned = lt.unionByName(rt)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("__r").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[F.last(f"__v_{c}", ignorenulls=True).over(w).alias(c)
+          for c in value_cols],
+    )
+    return carried.filter(F.col("__r") == 0).drop(
+        "__r", *[f"__v_{c}" for c in value_cols]
+    )
+
+
 def summary_stats(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     """Per-group batch summary (A4): count/total/avg — the Spark analog of
     the reference's batch summary (`ollama_local_ocr.py:397-427`)."""

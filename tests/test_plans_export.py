@@ -59,6 +59,27 @@ def test_dedup_plans_minimize_shuffles(spark, documents_smoke):
     assert plan_report(minhash_lsh_candidates(documents_smoke)).n_exchanges == 3
 
 
+def test_as_of_join_is_joinless(spark):
+    """The as-of composition must contain NO join operator (a non-equi
+    range join would plan as a nested loop): union + one key-window."""
+    from pyspark.sql import functions as F
+
+    from ollama_ocr_spark.operators.reports import as_of_join
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    right = e.filter("event_id % 5 = 0").select(
+        "user_id", "ts", F.col("value").alias("snap_value"))
+    left = e.select("user_id", "event_id", "ts", "event_type")
+    out = as_of_join(left, right, key="user_id", ts="ts",
+                     value_cols=["snap_value"])
+    report = plan_report(out)
+    assert "Join" not in report.raw, report.raw
+    assert report.n_exchanges <= 2  # two scans feed one key shuffle
+    # semantic spot-check: a snapshot applies at and after its own ts
+    rows = out.filter("snap_value IS NOT NULL").count()
+    assert rows > 0
+
+
 def test_bucketed_tables_join_without_shuffle(spark, documents_smoke):
     """Two tables bucketed on the same key join with ZERO exchanges —
     the co-location layout for a corpus repeatedly joined on its key."""
