@@ -612,6 +612,29 @@ def q_as_of_join(spark, sf_dir):
     )
 
 
+def q_range_join_binned(spark, sf_dir):
+    """Interval containment via the binned EQUI-join scale path: docs fall
+    into deterministic size-class intervals [i*150, (i+1)*150) for
+    i in 0..19. The oracle is a plain BETWEEN join."""
+    from ollama_ocr_spark.operators.reports import range_join
+
+    intervals = spark.range(20).select(
+        F.concat(F.lit("c"), F.col("id")).alias("size_class"),
+        (F.col("id") * 150).alias("lo"),
+        ((F.col("id") + 1) * 150).alias("hi"),
+    )
+    facts = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    out = range_join(facts, intervals, "n_chars", strategy="binned")
+    return out.select("doc_id", "n_chars", "size_class")
+
+
+def q_time_rollup(spark, sf_dir):
+    """Hypertable-style hour+day continuous-aggregate rollup over events."""
+    from ollama_ocr_spark.operators.reports import time_rollup
+
+    return time_rollup(_events(spark, sf_dir))
+
+
 def q_lang_summary(spark, sf_dir):
     """Per-group batch summary (A4 analog)."""
     from ollama_ocr_spark.operators.reports import summary_stats
@@ -986,6 +1009,8 @@ _QUERIES = {
         "report_cube": q_report_cube,
         "quantile_report": q_quantile_report,
         "as_of_join": q_as_of_join,
+        "range_join_binned": q_range_join_binned,
+        "time_rollup": q_time_rollup,
         "lang_summary": q_lang_summary,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1513,6 +1538,28 @@ def oracle_sql() -> dict[str, str]:
                    sum(n_chars)::BIGINT AS sum_value,
                    round(avg(n_chars), 4) AS avg_value
             FROM documents GROUP BY CUBE (lang, source)
+        """,
+        "range_join_binned": """
+            WITH iv AS (
+              SELECT 'c' || i AS size_class, i * 150 AS lo,
+                     (i + 1) * 150 AS hi
+              FROM (SELECT unnest(range(20)) AS i))
+            SELECT d.doc_id, d.n_chars, iv.size_class
+            FROM documents d JOIN iv
+              ON d.n_chars >= iv.lo AND d.n_chars < iv.hi
+        """,
+        "time_rollup": """
+            SELECT 'hour' AS grain,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                     AS bucket,
+                   event_type, count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 2, 3
+            UNION ALL
+            SELECT 'day', strftime(date_trunc('day', ts),
+                                   '%Y-%m-%d %H:%M:%S'),
+                   event_type, count(*), round(sum(value), 2)
+            FROM events GROUP BY 2, 3
         """,
         "quantile_report": """
             SELECT lang, count(*) AS n_docs,

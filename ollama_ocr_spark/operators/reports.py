@@ -104,6 +104,81 @@ def as_of_join(left: DataFrame, right: DataFrame, key: str, ts: str,
     )
 
 
+def range_join(facts: DataFrame, intervals: DataFrame, value_col: str,
+               lo: str = "lo", hi: str = "hi",
+               strategy: str = "broadcast",
+               bin_width: int = 256) -> DataFrame:
+    """Interval join: attach every interval row whose ``[lo, hi)`` contains
+    ``facts.value_col`` (another operator Spark has no primitive for).
+
+    ``strategy="broadcast"``: non-equi broadcast join — right for the
+    common case of a SMALL interval dimension (size classes, SLA tiers);
+    the nested-loop is over a broadcast table of dozens of rows.
+
+    ``strategy="binned"`` (scale path, when intervals are numerous):
+    quantize — each interval explodes into the fixed-width bins it
+    covers, facts compute their bin, and the join becomes an EQUI-join
+    on the bin plus a residual containment filter. Plans as shuffle/
+    broadcast HASH join, never a nested loop over a big side
+    (plan-audited); cost = |intervals| × avg-span/bin_width extra rows
+    on the small side. Results identical to broadcast by construction.
+    """
+    v = F.col(value_col)
+    if strategy == "binned":
+        bins = intervals.select(
+            "*",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo) / bin_width),
+                    F.floor((F.col(hi) - 1) / bin_width),
+                )
+            ).alias("__bin"),
+        )
+        tagged = facts.withColumn("__bin", F.floor(v / bin_width))
+        return (
+            tagged.join(bins, "__bin")
+            .filter((v >= F.col(lo)) & (v < F.col(hi)))
+            .drop("__bin")
+        )
+    return facts.join(
+        F.broadcast(intervals), (v >= F.col(lo)) & (v < F.col(hi))
+    )
+
+
+def time_rollup(events: DataFrame, ts: str = "ts",
+                granularities: tuple = ("hour", "day"),
+                dims: tuple = ("event_type",),
+                value_col: str = "value") -> DataFrame:
+    """Hypertable-style multi-granularity rollup (the continuous-aggregate
+    pattern): one aggregate per time grain, unioned with a ``grain`` tag —
+    dashboards read the coarse grain, drill-downs the fine one.
+
+    Each grain is an independent groupBy with map-side partial agg; at
+    scale the fine grain materializes incrementally (see
+    streaming.windowed_event_counts) and coarser grains roll up FROM the
+    fine aggregate rather than the raw events. Bucket is emitted as a
+    formatted string for engine-portable comparison.
+    """
+    outs = []
+    for g in granularities:
+        outs.append(
+            events.groupBy(
+                F.lit(g).alias("grain"),
+                F.date_format(
+                    F.date_trunc(g, F.col(ts)), "yyyy-MM-dd HH:mm:ss"
+                ).alias("bucket"),
+                *dims,
+            ).agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum(value_col), 2).alias("sum_value"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def summary_stats(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     """Per-group batch summary (A4): count/total/avg — the Spark analog of
     the reference's batch summary (`ollama_local_ocr.py:397-427`)."""

@@ -59,6 +59,38 @@ def test_dedup_plans_minimize_shuffles(spark, documents_smoke):
     assert plan_report(minhash_lsh_candidates(documents_smoke)).n_exchanges == 3
 
 
+def test_range_join_binned_matches_broadcast_and_is_equijoin(spark,
+                                                             documents_smoke):
+    """The binned quantized range join must equal the broadcast non-equi
+    form row-for-row and plan as a HASH join (no nested loop over the
+    fact side) — including intervals that straddle bin boundaries."""
+    from pyspark.sql import functions as F
+
+    from ollama_ocr_spark.operators.reports import range_join
+
+    intervals = spark.range(12).select(
+        F.concat(F.lit("c"), F.col("id")).alias("label"),
+        (F.col("id") * 130 + 7).alias("lo"),      # deliberately bin-
+        ((F.col("id") + 1) * 130 + 7).alias("hi"),  # boundary-straddling
+    )
+    facts = documents_smoke.select("doc_id", "n_chars")
+
+    def rows(strategy):
+        return sorted(
+            (r["doc_id"], r["label"])
+            for r in range_join(facts, intervals, "n_chars",
+                                strategy=strategy).collect()
+        )
+
+    got = rows("binned")
+    assert got == rows("broadcast")
+    assert got, "no docs matched any interval"
+    report = plan_report(
+        range_join(facts, intervals, "n_chars", strategy="binned")
+    )
+    assert "BroadcastNestedLoopJoin" not in report.raw
+
+
 def test_as_of_join_is_joinless(spark):
     """The as-of composition must contain NO join operator (a non-equi
     range join would plan as a nested loop): union + one key-window."""
