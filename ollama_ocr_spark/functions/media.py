@@ -232,6 +232,16 @@ def decode_image(data: bytes):  # pragma: no cover - by design
     )
 
 
+def resize_image(data: bytes, width: int, height: int):  # pragma: no cover
+    """Resize an image payload. STUB: no codec library in-sandbox — the
+    Spark-side plumbing for pixel ops (schema, Arrow batching, partition
+    amortization) is exercised by image_features_stage; swap this in for
+    its kernel with PIL/opencv in production."""
+    raise MediaDecodeUnavailable(
+        "image resize requires PIL/opencv; not available in this environment"
+    )
+
+
 def sample_frames(data: bytes, every_n: int = 30):  # pragma: no cover
     """Sample frames from a video payload. STUB: no ffmpeg in-sandbox."""
     raise MediaDecodeUnavailable(

@@ -40,8 +40,12 @@ def test_header_dimension_parsers():
 
 
 def test_decode_stubs_raise_clearly():
+    from ollama_ocr_spark.functions.media import resize_image
+
     with pytest.raises(MediaDecodeUnavailable):
         decode_image(build_image(8))
+    with pytest.raises(MediaDecodeUnavailable):
+        resize_image(build_image(8), 64, 64)
     with pytest.raises(MediaDecodeUnavailable):
         sample_frames(b"\x00\x00\x00\x18ftypmp42")
 
