@@ -85,6 +85,19 @@ HEADLINE = (
     "sessionize",
 )
 
+# Round-2 operators, timed the same way but reported SEPARATELY
+# (queries_r2) so the headline suite total stays comparable across rounds.
+EXTRA = (
+    "embedding_near_dupes_lsh",
+    "curation_verdict",
+    "as_of_join",
+    "range_join_binned",
+    "time_rollup",
+    "vocab_topk",
+    "extract_handwriting",
+    "resume_anti_join_bloom",
+)
+
 
 def _session(cores: int):
     from ollama_ocr_spark.session import get_spark
@@ -254,6 +267,15 @@ def main() -> None:
                     "noop").save()
                 passes.append(time.monotonic() - t0)
             qtimes[name] = round(min(passes), 3)
+    qtimes_r2: dict[str, float] = {}
+    if not os.environ.get("SPARK_GRAFT_BENCH_SKIP_QUERIES"):
+        for name in EXTRA:
+            qs[name](spark, "/root/testdata/sf0.001").write.mode(
+                "overwrite").format("noop").save()  # prime
+            t0 = time.monotonic()
+            qs[name](spark, SF_DIR).write.mode("overwrite").format(
+                "noop").save()
+            qtimes_r2[name] = round(time.monotonic() - t0, 3)
     spark.stop()
 
     # -- pass 2: N vs 4N interleaved trials, best-of-k per level ------------
@@ -306,6 +328,7 @@ def main() -> None:
         "value": round(sum(qtimes.values()) + ext_full["secs"], 3),
         "unit": "sec",
         "queries": {**qtimes, "extract_pipeline": ext_full["secs"]},
+        "queries_r2": qtimes_r2,
         "sf": SF_DIR,
         "pages_rows": n_pages,
         "extract": {

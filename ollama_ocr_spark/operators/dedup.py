@@ -322,6 +322,12 @@ def embedding_near_dupes(df: DataFrame, key: str = "vec_id",
         return F.round(_dot(va, vb) / (_norm(va) * _norm(vb)), 4)
 
     if strategy == "bucketed":
+        # Posting-list shape (same as minhash_lsh_candidates): signatures
+        # computed ONCE, candidate pairs generated inside each (band, sig)
+        # bucket as ID-ONLY rows, deduped as two longs, and only the
+        # surviving distinct pairs join the vectors back for the exact
+        # rerank — the heavy array<double> payload never rides through
+        # the pair expansion or the distinct.
         base = df.select(F.col(key).alias("id"), F.col(vec).alias("v"))
         band_sigs = F.array(*[
             F.struct(
@@ -332,28 +338,33 @@ def embedding_near_dupes(df: DataFrame, key: str = "vec_id",
             for b in range(bands)
         ])
         buck = base.select(
-            "id", "v", F.explode(band_sigs).alias("bs")
+            "id", F.explode(band_sigs).alias("bs")
         ).select(
-            "id", "v",
-            F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"),
+            "id", F.col("bs.band").alias("band"),
+            F.col("bs.sig").alias("sig"),
         )
-        a = buck.alias("l")
-        b_ = buck.alias("r")
+        postings = (
+            buck.groupBy("band", "sig")
+            .agg(F.collect_list("id").alias("ids"))
+            .filter(F.size("ids") >= 2)
+        )
+        # few-but-fat rows: AQE coalesces the bucket aggregate to a handful
+        # of partitions, serializing the quadratic in-bucket pair explode —
+        # spread the (tiny) posting rows across the cluster first
+        postings = postings.repartition(
+            df.sparkSession.sparkContext.defaultParallelism
+        )
         cand = (
-            a.join(
-                b_,
-                (F.col("l.band") == F.col("r.band"))
-                & (F.col("l.sig") == F.col("r.sig"))
-                & (F.col("l.id") < F.col("r.id")),
-            )
-            .select(
-                F.col("l.id").alias("a"), F.col("r.id").alias("b"),
-                F.col("l.v").alias("va"), F.col("r.v").alias("vb"),
-            )
-            .dropDuplicates(["a", "b"])
+            postings
+            .select(F.explode(_posting_pairs(F.col("ids"))).alias("p"))
+            .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .distinct()
         )
+        va = df.select(F.col(key).alias("a"), F.col(vec).alias("va"))
+        vb = df.select(F.col(key).alias("b"), F.col(vec).alias("vb"))
         return (
-            cand.withColumn("cosine", _cos(F.col("va"), F.col("vb")))
+            cand.join(va, "a").join(vb, "b")
+            .withColumn("cosine", _cos(F.col("va"), F.col("vb")))
             .filter(F.col("cosine") >= threshold)
             .select("a", "b", "cosine")
         )

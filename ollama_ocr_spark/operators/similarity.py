@@ -68,30 +68,46 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def _md5_plane_weights(plane: int, dim: int) -> list[float]:
+    """±1 weights for one hyperplane: parity of the LAST hex digit of
+    ``md5("{plane}|{i}")`` per dimension — hashlib md5 is bit-identical to
+    Spark's and DuckDB's md5, so the DuckDB oracle recomputes the same
+    weights in SQL while Spark gets them as LITERALS."""
+    import hashlib
+
+    return [
+        1.0
+        if int(hashlib.md5(f"{plane}|{i}".encode()).hexdigest()[31], 16) % 2
+        else -1.0
+        for i in range(dim)
+    ]
+
+
 def _rh_signature(vec, num_planes: int, dim: int, hash_fn: str = "md5",
                   plane_offset: int = 0):
     """Random-hyperplane sign signature; plane weights are ±1 derived
     deterministically from a hash of (plane, dim-index) — no stored model.
 
-    ``hash_fn="md5"`` (default) takes the parity of the last hex digit of
-    ``md5("{p}|{i}")`` — engine-portable, so a DuckDB oracle reproduces the
-    buckets bit-for-bit. ``hash_fn="xxhash64"`` is the cheaper JVM hash for
-    production runs where oracle parity is not needed (the hyperplanes are
-    equally random either way). ``plane_offset`` shifts the global plane
-    ids so multiple independent bands draw disjoint hyperplane sets."""
+    ``hash_fn="md5"`` (default): weights are PRECOMPUTED driver-side from
+    hashlib md5 and emitted as literal arrays — the hyperplanes are model
+    constants, so evaluating 2048 md5 calls per ROW inside the plan (the
+    previous form) was pure waste; measured 16.3s → sub-second on the
+    sf0.1 near-dup query. The DuckDB oracle recomputes the identical
+    weights with SQL md5 (same function, same bits).
+    ``hash_fn="xxhash64"`` keeps the in-plan JVM hash variant.
+    ``plane_offset`` shifts global plane ids so multiple bands draw
+    disjoint hyperplane sets."""
     bits = []
     for p in range(num_planes):
         if hash_fn == "md5":
-            def weight(i, p=p):
-                digit = F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.lit(f"{p + plane_offset}|"),
-                                       i.cast("string"))),
-                        32, 1,
-                    ),
-                    16, 10,
-                ).cast("int")
-                return F.when(digit % 2 == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+            weights = F.array(*[
+                F.lit(w) for w in _md5_plane_weights(p + plane_offset, dim)
+            ])
+            proj = F.aggregate(
+                F.zip_with(vec, weights, lambda x, w: x.cast("double") * w),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
         else:
             def weight(i, p=p):
                 return F.when(
@@ -99,15 +115,15 @@ def _rh_signature(vec, num_planes: int, dim: int, hash_fn: str = "md5",
                     .bitwiseAND(F.lit(1)) == 1,
                     F.lit(1.0),
                 ).otherwise(F.lit(-1.0))
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda x, i: x.cast("double") * weight(i),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+            proj = F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda x, i: x.cast("double") * weight(i),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
         bits.append(F.when(proj > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2 ** p))
     sig = bits[0]
     for b in bits[1:]:
