@@ -249,15 +249,20 @@ def q_media_metadata(spark, sf_dir):
 
 
 def q_image_features(spark, sf_dir):
-    """Feature-extraction plumbing (deterministic fake kernel; rows-only).
-    The feature vector is serialized to a micro-unit CSV string so the
-    driver's sort_values canonicalization can handle the frame."""
+    """REAL byte-level image feature vectors (dims/aspect/size/text-density/
+    char-class histogram/format flag — operators.media.image_features),
+    fully oracled: every component is a ratio of integers the DuckDB oracle
+    recomputes from the corpus mapping, float32-cast on both sides. The
+    vector is serialized to a micro-unit CSV string so the driver's
+    sort_values canonicalization can handle the frame."""
+    from ollama_ocr_spark.operators.maintenance import doc_id_expr
     from ollama_ocr_spark.operators.media import image_features_stage
 
     pages = _latest_pages(spark, sf_dir)
     out = image_features_stage(pages.filter(F.col("url").endswith(".jpg")))
     return out.select(
-        "url", _micro_csv(F.col("feature")).alias("feature_csv"),
+        doc_id_expr().alias("doc_id"),
+        _micro_csv(F.col("feature")).alias("feature_csv"),
         "feature_dim",
     )
 
@@ -845,7 +850,9 @@ def q_embedding_near_dupes(spark, sf_dir):
     test-scale oracle for the bucketed scale path below)."""
     from ollama_ocr_spark.operators.dedup import embedding_near_dupes
 
-    return embedding_near_dupes(_emb(spark, sf_dir), threshold=0.45)
+    return embedding_near_dupes(
+        _emb(spark, sf_dir), threshold=0.45, strategy="exact"
+    )
 
 
 def q_embedding_near_dupes_lsh(spark, sf_dir):
@@ -1318,7 +1325,43 @@ def oracle_sql() -> dict[str, str]:
                      AS hdr_bytes
             FROM documents
         """,
-        # image_features: rows-only (deterministic fake embedding kernel)
+        "image_features": """
+            WITH t AS (
+              SELECT doc_id,
+                     (100 + doc_id % 400)::DOUBLE AS w,
+                     (80 + doc_id % 300)::DOUBLE AS h,
+                     octet_length(encode(text))::DOUBLE AS tb,
+                     length(text) AS nc,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                       ::DOUBLE AS na,
+                     length(regexp_replace(text, '[^0-9]', '', 'g'))
+                       ::DOUBLE AS nd,
+                     (doc_id % 20 = 8) AS is_jpeg
+              FROM documents WHERE doc_id % 10 = 8
+            ), f AS (
+              -- payload size is header overhead + comment bytes:
+              -- JPEG = SOI+COM hdr+SOF+entropy stub+EOI = 41; PNG = 57
+              SELECT doc_id,
+                     CASE WHEN is_jpeg THEN 41 + tb ELSE 57 + tb END AS nb,
+                     w, h, tb, nc, na, nd, is_jpeg
+              FROM t
+            )
+            SELECT doc_id,
+                   array_to_string([
+                     round(((w / 1024.0)::FLOAT)::DOUBLE * 1000000)::BIGINT,
+                     round(((h / 1024.0)::FLOAT)::DOUBLE * 1000000)::BIGINT,
+                     round(((w / h)::FLOAT)::DOUBLE * 1000000)::BIGINT,
+                     round(((nb / 4096.0)::FLOAT)::DOUBLE * 1000000)::BIGINT,
+                     round(((tb / nb)::FLOAT)::DOUBLE * 1000000)::BIGINT,
+                     round(((na / greatest(1, nc))::FLOAT)::DOUBLE
+                           * 1000000)::BIGINT,
+                     round(((nd / greatest(1, nc))::FLOAT)::DOUBLE
+                           * 1000000)::BIGINT,
+                     CASE WHEN is_jpeg THEN 1000000 ELSE 0 END
+                   ], ',') AS feature_csv,
+                   8 AS feature_dim
+            FROM f
+        """,
         "host_skew_counts": f"""
             SELECT {_HOST_CASE} AS host, count(*) AS n_docs
             FROM documents GROUP BY 1
@@ -1553,12 +1596,13 @@ def oracle_sql() -> dict[str, str]:
                    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
                      AS bucket,
                    event_type, count(*) AS n_events,
-                   round(sum(value), 2) AS sum_value
+                   round(sum(value::DECIMAL(18,4))::DOUBLE, 2) AS sum_value
             FROM events GROUP BY 2, 3
             UNION ALL
             SELECT 'day', strftime(date_trunc('day', ts),
                                    '%Y-%m-%d %H:%M:%S'),
-                   event_type, count(*), round(sum(value), 2)
+                   event_type, count(*),
+                   round(sum(value::DECIMAL(18,4))::DOUBLE, 2)
             FROM events GROUP BY 2, 3
         """,
         "quantile_report": """

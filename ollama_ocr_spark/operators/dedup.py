@@ -293,14 +293,17 @@ def winnow_fingerprints(df: DataFrame, key: str = "doc_id",
 def embedding_near_dupes(df: DataFrame, key: str = "vec_id",
                          vec: str = "embedding",
                          threshold: float = 0.95,
-                         strategy: str = "exact",
+                         strategy: str = "bucketed",
                          bands: int = 8, planes_per_band: int = 4,
                          dim: int = 64) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
 
+    The DEFAULT is the bucketed scale path — a bare call never plans the
+    O(n²) nested-loop (plan-audited in CI).
+
     ``strategy="exact"`` is the all-pairs non-equi self-join — O(n²)
     compares, the test-scale CORRECTNESS ORACLE only; never run it on a
-    full corpus.
+    full corpus. Opt in explicitly.
 
     ``strategy="bucketed"`` is the scale path: random-hyperplane LSH bands
     (md5-parity hyperplanes, disjoint plane sets per band via

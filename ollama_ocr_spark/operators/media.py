@@ -11,7 +11,6 @@ kernel, not the plumbing.
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -131,30 +130,56 @@ def media_metadata_stage(pages: DataFrame) -> DataFrame:
     return pages.select("url", "html").mapInPandas(kernel, MEDIA_META_SCHEMA)
 
 
-def image_features_stage(pages: DataFrame) -> DataFrame:
-    """Feature extraction plumbing with a DETERMINISTIC FAKE kernel.
+def image_features(payload: bytes | None) -> list[float]:
+    """REAL deterministic 8-dim feature vector from the image bytes —
+    classical header/byte-level features, no learned encoder:
 
-    The fake maps payload bytes → an 8-dim unit-norm vector derived from
-    sha256 (stable across runs/machines). In production, replace the inner
-    ``_fake_embed`` with a real vision encoder over ``decode_image`` — the
-    batch shape, schema (array<float>), and partition amortization carry
-    over unchanged.
+    ``[width/1024, height/1024, aspect (w/h), bytes/4096,
+       comment_bytes/bytes, alpha_ratio, digit_ratio, is_jpeg]``
+
+    Dimensions come from the actual JPEG SOF / PNG IHDR parse, the textual
+    payload from the COM/tEXt segment walk, size from the raw bytes. All
+    components are ratios of integers (IEEE-exact doubles), so a DuckDB
+    oracle reproduces every bit from the corpus mapping. Non-image or
+    empty payloads yield the zero vector. A production vision encoder
+    swaps this kernel; the Arrow batching / schema / partition
+    amortization in :func:`image_features_stage` carry over unchanged.
+    Reference analog: the feature-extraction step of `ocr_router.py:38-46`.
     """
+    if not payload:
+        return [0.0] * FEATURE_DIM
+    fmt, w, h = image_metadata(payload)
+    if fmt is None or not w or not h:
+        return [0.0] * FEATURE_DIM
+    from ..functions.media import image_comment_text
 
-    def _fake_embed(payload: bytes | None) -> list[float]:
-        if not payload:
-            return [0.0] * FEATURE_DIM
-        digest = hashlib.sha256(payload).digest()
-        raw = [
-            int.from_bytes(digest[4 * i : 4 * i + 4], "big") / 2**32
-            for i in range(FEATURE_DIM)
-        ]
-        norm = sum(x * x for x in raw) ** 0.5 or 1.0
-        return [x / norm for x in raw]
+    text = image_comment_text(payload)
+    nbytes = len(payload)
+    tbytes = len(text.encode("utf-8"))
+    nchars = len(text)
+    nalpha = sum(1 for c in text if "a" <= c <= "z" or "A" <= c <= "Z")
+    ndigit = sum(1 for c in text if "0" <= c <= "9")
+    return [
+        w / 1024.0,
+        h / 1024.0,
+        w / h,
+        nbytes / 4096.0,
+        tbytes / nbytes,
+        nalpha / max(1, nchars),
+        ndigit / max(1, nchars),
+        1.0 if fmt == "jpeg" else 0.0,
+    ]
+
+
+def image_features_stage(pages: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the opaque ``binary`` column:
+    one ``mapInPandas`` wave, column-pruned to (url, html), parser state
+    amortized per batch. The kernel (:func:`image_features`) is a real
+    byte-level extractor with a bit-exact DuckDB oracle."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_fake_embed(p) for p in pdf["html"]]
+            feats = [image_features(p) for p in pdf["html"]]
             yield pd.DataFrame(
                 {
                     "url": pdf["url"],

@@ -70,23 +70,27 @@ def as_of_join(left: DataFrame, right: DataFrame, key: str, ts: str,
     Spark-first composition instead of a non-equi range join (which would
     plan as a nested loop): tag and UNION both sides, one window over
     (key → ts asc, right-rows-first-on-ties), and carry the most recent
-    right values forward with ``last(..., ignorenulls)``. One shuffle on
-    the key, no join at all — survives any scale the window does.
-    Ties (right.ts == left.ts) count as "already effective", matching
-    DuckDB's ASOF JOIN semantics (the oracle uses the native operator).
+    right ROW forward with ``last(..., ignorenulls)`` over a row-present
+    struct — so a snapshot whose value column is legitimately NULL still
+    wins (yielding NULL, not an older value), matching DuckDB ASOF JOIN.
+    One shuffle on the key, no join at all — survives any scale the
+    window does. Ties (right.ts == left.ts) count as "already effective".
     """
     from pyspark.sql import Window
+    from pyspark.sql.types import StructField, StructType
 
+    row_type = StructType(
+        [StructField(c, right.schema[c].dataType) for c in value_cols]
+    )
     lt = left.select(
         "*", F.lit(0).alias("__r"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}")
-          for c in value_cols],
+        F.lit(None).cast(row_type).alias("__vrow"),
     )
     rt = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left.columns if c not in (key, ts)],
         F.col(key), F.col(ts), F.lit(1).alias("__r"),
-        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("__vrow"),
     ).select(*lt.columns)  # align column order
     unioned = lt.unionByName(rt)
     w = (
@@ -95,12 +99,11 @@ def as_of_join(left: DataFrame, right: DataFrame, key: str, ts: str,
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
-        "*",
-        *[F.last(f"__v_{c}", ignorenulls=True).over(w).alias(c)
-          for c in value_cols],
+        "*", F.last("__vrow", ignorenulls=True).over(w).alias("__carry")
     )
-    return carried.filter(F.col("__r") == 0).drop(
-        "__r", *[f"__v_{c}" for c in value_cols]
+    return carried.filter(F.col("__r") == 0).select(
+        *[c for c in left.columns],
+        *[F.col(f"__carry.{c}").alias(c) for c in value_cols],
     )
 
 
@@ -125,13 +128,20 @@ def range_join(facts: DataFrame, intervals: DataFrame, value_col: str,
     """
     v = F.col(value_col)
     if strategy == "binned":
+        # Guard hi <= lo: F.sequence(a, b) with b < a yields a DESCENDING
+        # array (documented gotcha), which would explode spurious bin rows
+        # for degenerate intervals — emit no bins instead (matches the
+        # broadcast strategy: no fact satisfies lo <= v < hi when hi <= lo).
         bins = intervals.select(
             "*",
             F.explode(
-                F.sequence(
-                    F.floor(F.col(lo) / bin_width),
-                    F.floor((F.col(hi) - 1) / bin_width),
-                )
+                F.when(
+                    F.col(hi) > F.col(lo),
+                    F.sequence(
+                        F.floor(F.col(lo) / bin_width),
+                        F.floor((F.col(hi) - 1) / bin_width),
+                    ),
+                ).otherwise(F.array().cast("array<bigint>"))
             ).alias("__bin"),
         )
         tagged = facts.withColumn("__bin", F.floor(v / bin_width))
@@ -170,7 +180,13 @@ def time_rollup(events: DataFrame, ts: str = "ts",
                 *dims,
             ).agg(
                 F.count("*").alias("n_events"),
-                F.round(F.sum(value_col), 2).alias("sum_value"),
+                # DECIMAL(18,4) makes the sum order-insensitive — raw
+                # double sums can differ between engines by accumulation
+                # order and flip the rounded digit (CLAUDE.md gotcha).
+                F.round(
+                    F.sum(F.col(value_col).cast("decimal(18,4)"))
+                    .cast("double"), 2
+                ).alias("sum_value"),
             )
         )
     out = outs[0]

@@ -110,6 +110,13 @@ def incremental_minhash(
                 existing.select("a", "b"), ["a", "b"], "left_anti"
             )
         cand_tbl.append(cand)
+        # Same idempotency guard for the signature table: on a batch retry
+        # after a successful append but before the checkpoint commits, an
+        # unguarded append would duplicate signature rows.
+        if prior is not None:
+            new_sigs = new_sigs.join(
+                prior.select(key), [key], "left_anti"
+            )
         sig_tbl.append(new_sigs)
 
     (

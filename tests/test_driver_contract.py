@@ -15,8 +15,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __spark_entry__ as entry
 
 # rows-only queries must be a deliberate, named set — anything else
-# missing an oracle is an accident
-ROWS_ONLY_ALLOWED = {"image_features"}
+# missing an oracle is an accident. EMPTY since round 3: every query
+# (image_features included) now has a full rows+schema+hash oracle.
+ROWS_ONLY_ALLOWED: set[str] = set()
 
 
 def test_every_query_has_oracle_or_is_whitelisted():

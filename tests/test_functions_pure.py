@@ -223,6 +223,38 @@ def test_error_row_contract():
     assert r.error == "empty payload"
 
 
+def test_image_ocr_kernel_swap_seam():
+    """The pixel-OCR production swap (`ocr_router.py:76-86` Tesseract path)
+    is a one-function drop-in: registering a fake 'pixel OCR' kernel
+    changes ONLY the image-branch text — routing, page/char accounting,
+    and the default kernel's restore all hold."""
+    from ollama_ocr_spark.corpus import build_image
+    from ollama_ocr_spark.functions.router import (
+        OCR_KERNELS, register_ocr_kernel)
+
+    payload = build_image(8, "golden comment text")
+    url = "https://h/scan-8.jpg"
+    before = extract_document(url, payload)
+    assert (before.doc_type, before.text) == ("Image", "golden comment text")
+
+    default = OCR_KERNELS["image"]
+    try:
+        register_ocr_kernel(
+            "image", lambda p: f"PIXEL-OCR({len(p)} bytes)")
+        swapped = extract_document(url, payload)
+        assert swapped.text == f"PIXEL-OCR({len(payload)} bytes)"
+        assert swapped.doc_type == "Image"
+        assert swapped.engine == before.engine  # routing unchanged
+        assert swapped.chars == len(swapped.text)
+        # non-image branches don't pass through the seam
+        html = extract_document(
+            "https://h/a.html", b"<html><body><p>hi</p></body></html>")
+        assert "PIXEL-OCR" not in html.text
+    finally:
+        register_ocr_kernel("image", default)
+    assert extract_document(url, payload).text == "golden comment text"
+
+
 # ------------------------------------------------------- corpus golden ----
 
 def test_sniff_large_utf8_text_not_misrouted():

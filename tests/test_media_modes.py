@@ -74,7 +74,22 @@ def test_image_features_deterministic(spark, documents_smoke):
     assert a == b
     vec = next(iter(a.values()))
     assert len(vec) == 8
-    assert abs(sum(x * x for x in vec) - 1.0) < 1e-5
+    # real byte-level features: dims/1024, aspect, size, text density,
+    # char-class ratios, format flag — spot-check one url's vector against
+    # a direct kernel call on the same payload
+    from ollama_ocr_spark.corpus import build_image
+    from ollama_ocr_spark.operators.media import image_features
+
+    url, got = next((u, v) for u, v in a.items() if "-8." in u)
+    doc_row = {r["doc_id"]: r["text"]
+               for r in documents_smoke.filter("doc_id = 8").collect()}
+    import numpy as np
+
+    want = np.asarray(image_features(build_image(8, doc_row[8])),
+                      dtype=np.float32)
+    assert np.array_equal(np.asarray(got, dtype=np.float32), want)
+    assert want[7] == 1.0  # doc 8 is the JPEG slot
+    assert want[2] > 0.0  # aspect ratio populated from the real header
 
 
 def test_structured_stage_fields(spark, documents_smoke):

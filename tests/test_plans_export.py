@@ -90,6 +90,17 @@ def test_range_join_binned_matches_broadcast_and_is_equijoin(spark,
     )
     assert "BroadcastNestedLoopJoin" not in report.raw
 
+    # degenerate intervals (hi <= lo) must emit NO bins — an unguarded
+    # F.sequence yields a DESCENDING array there (documented gotcha) and
+    # explodes spurious bin rows
+    degen = spark.createDataFrame(
+        [("empty", 500, 500), ("inverted", 900, 100), ("ok", 0, 10_000)],
+        "label string, lo bigint, hi bigint",
+    )
+    out = range_join(facts, degen, "n_chars", strategy="binned")
+    labels = {r["label"] for r in out.select("label").distinct().collect()}
+    assert labels == {"ok"}
+
 
 def test_as_of_join_is_joinless(spark):
     """The as-of composition must contain NO join operator (a non-equi
@@ -110,6 +121,24 @@ def test_as_of_join_is_joinless(spark):
     # semantic spot-check: a snapshot applies at and after its own ts
     rows = out.filter("snap_value IS NOT NULL").count()
     assert rows > 0
+
+
+def test_as_of_join_preserves_null_snapshot_values(spark):
+    """A right row whose VALUE column is legitimately NULL must still win
+    the as-of race (yielding NULL), not be skipped in favor of an older
+    non-null snapshot — DuckDB ASOF JOIN semantics."""
+    from ollama_ocr_spark.operators.reports import as_of_join
+
+    left = spark.createDataFrame(
+        [("u", 10), ("u", 25), ("u", 35)], "user_id string, ts bigint"
+    )
+    right = spark.createDataFrame(
+        [("u", 5, 1.0), ("u", 20, None), ("u", 30, 3.0)],
+        "user_id string, ts bigint, v double",
+    )
+    out = as_of_join(left, right, key="user_id", ts="ts", value_cols=["v"])
+    got = {r["ts"]: r["v"] for r in out.collect()}
+    assert got == {10: 1.0, 25: None, 35: 3.0}
 
 
 def test_bucketed_tables_join_without_shuffle(spark, documents_smoke):
@@ -235,7 +264,13 @@ def test_embedding_near_dupes_bucketed_is_equijoin(spark):
         bucketed,
         forbid_ops=["BroadcastNestedLoopJoin", "CartesianProduct"],
     )
-    exact = embedding_near_dupes(emb, threshold=0.45)
+    # a BARE call (no strategy kwarg) must take the bucketed scale path —
+    # the O(n²) nested loop is opt-in only
+    audit_plan(
+        embedding_near_dupes(emb, threshold=0.45),
+        forbid_ops=["BroadcastNestedLoopJoin", "CartesianProduct"],
+    )
+    exact = embedding_near_dupes(emb, threshold=0.45, strategy="exact")
     got = {(r["a"], r["b"], r["cosine"]) for r in bucketed.collect()}
     want = {(r["a"], r["b"], r["cosine"]) for r in exact.collect()}
     assert got <= want, "bucketed rerank produced a pair the exact path lacks"
@@ -328,6 +363,40 @@ def test_cli_batch_and_single_url(spark, tmp_path, capsys):
     assert "title: article 0" in out and "doc_class: structured" in out
     assert main(base + ["--mode", "structured"]) == 0
     assert "structured:" in capsys.readouterr().out
+
+
+def test_cli_stream(spark, tmp_path, capsys):
+    """--stream (ollama_cloud_ocr.py:691,206-215 analog): single-url mode
+    emits the FULL extracted text in flushed chunks — no 400-char preview
+    truncation — and matches the committed results-table text exactly."""
+    from pyspark.sql import functions as F
+
+    from ollama_ocr_spark.cli import PREVIEW_CHARS, main
+    from ollama_ocr_spark.sources.icetbl import IceTable
+
+    workdir = str(tmp_path / "run")
+    base = ["--input", "/root/testdata/sf0.001/documents.parquet",
+            "--synthesize", "--workdir", workdir]
+    assert main(base) == 0
+    capsys.readouterr()
+
+    results = IceTable(os.path.join(workdir, "results")).read(spark)
+    row = (
+        results.filter(F.col("chars") > PREVIEW_CHARS)
+        .orderBy("url").first()
+    )
+    assert row is not None, "corpus has no >400-char doc?"
+
+    assert main(base + ["--url", row["url"], "--stream"]) == 0
+    streamed = capsys.readouterr().out
+    header, body = streamed.split("\n", 1)
+    assert header.startswith(f"[{row['engine']}] {row['url']}")
+    assert body.rstrip("\n") == row["text"]  # full text, byte-identical
+
+    # without --stream the same doc truncates to the preview contract
+    assert main(base + ["--url", row["url"]]) == 0
+    preview_body = capsys.readouterr().out.split("\n", 1)[1]
+    assert preview_body.rstrip("\n") == row["text"][:PREVIEW_CHARS] + "..."
 
 
 def test_export_refuses_bulk(spark, documents_smoke, tmp_path, monkeypatch):
