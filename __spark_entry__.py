@@ -709,6 +709,44 @@ def q_curation_verdict(spark, sf_dir):
     return curation_verdict(docs.select("doc_id", t.alias("text")))
 
 
+def q_curate_corpus(spark, sf_dir):
+    """The nightly 100 TB curate pipeline as ONE composite query:
+    minhash-LSH candidate pairs → connected components → per-cluster
+    keeper (min doc_id) → exact-dup/quality/repetition gates on the rest.
+    First failing reason wins: near_duplicate > duplicate > quality >
+    repetition > ok.
+
+    Scale shape: the component labels cover only docs that appeared in a
+    candidate pair (a tiny fraction of the corpus), so the label join
+    broadcasts; curation_verdict adds one md5-digest shuffle; everything
+    else is map-side. Oracle = the LSH bands + recursive-CTE closure +
+    gate CTEs composed in one DuckDB statement."""
+    from ollama_ocr_spark.operators.dedup import (
+        dedup_components, minhash_lsh_candidates)
+    from ollama_ocr_spark.operators.textstats import curation_verdict
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_candidates(docs)
+    comps = dedup_components(pairs)  # (node, label=min reachable doc_id)
+    labeled = (
+        docs.select("doc_id")
+        .join(F.broadcast(comps), F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster"),
+        )
+    )
+    verdict = curation_verdict(docs.select("doc_id", "text"))
+    out = labeled.join(verdict, "doc_id")
+    reason = F.when(
+        F.col("doc_id") != F.col("cluster"), F.lit("near_duplicate")
+    ).otherwise(F.col("reason"))
+    return out.select(
+        "doc_id", "cluster", reason.alias("reason"),
+        (reason == "ok").alias("keep"),
+    )
+
+
 def q_vocab_topk(spark, sf_dir):
     """Vocabulary build: top-100 corpus tokens by frequency (deterministic
     token tiebreak); tokens shuffle with map-side partial counts."""
@@ -1026,6 +1064,7 @@ _QUERIES = {
         "simhash_buckets": q_simhash_buckets,
         "token_counts": q_token_counts,
         "curation_verdict": q_curation_verdict,
+        "curate_corpus": q_curate_corpus,
         "vocab_topk": q_vocab_topk,
         "quality_scores": q_quality_scores,
         "repetition_stats": q_repetition_stats,
@@ -1759,6 +1798,93 @@ def oracle_sql() -> dict[str, str]:
               JOIN keep kk ON md5(b.text) = kk.fp
               JOIN flags f ON f.doc_id = b.doc_id)
             SELECT doc_id, reason, reason = 'ok' AS keep FROM verdict
+        """,
+        "curate_corpus": f"""
+            WITH RECURSIVE {_SHINGLES_CTE},
+            sig AS (
+              SELECT doc_id, g.j AS j,
+                     min(md5(g.j || '|' || shingle)) AS m
+              FROM sh, generate_series(0, 7) AS g(j)
+              GROUP BY doc_id, g.j
+            ),
+            bands AS (
+              SELECT doc_id, j // 2 AS band,
+                     md5(string_agg(m, '' ORDER BY j)) AS bucket
+              FROM sig GROUP BY doc_id, j // 2
+            ),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bucket = b.bucket
+                AND a.doc_id < b.doc_id
+            ),
+            edges AS (
+              SELECT a AS src, b AS dst FROM pairs
+              UNION
+              SELECT b AS src, a AS dst FROM pairs),
+            reach(node, r) AS (
+              SELECT src AS node, src AS r FROM edges
+              UNION
+              SELECT e.dst AS node, reach.r
+              FROM reach JOIN edges e ON reach.node = e.src),
+            comp AS (SELECT node, min(r) AS label FROM reach GROUP BY node),
+            keepfp AS (
+              SELECT md5(text) AS fp, min(doc_id) AS keeper
+              FROM documents GROUP BY 1),
+            q AS (
+              SELECT w.doc_id, w.w,
+                     len(w.w) AS n_words,
+                     round((length(d.text) - (len(w.w) - 1)) * 1.0
+                           / len(w.w), 4) AS mean_wl,
+                     round(len(list_filter(w.w, x -> x IN
+                           ('the','a','of','to','and','in','is')))
+                           * 1.0 / len(w.w), 4) AS stop_ratio
+              FROM w JOIN documents d ON d.doc_id = w.doc_id),
+            counts AS (
+              SELECT doc_id, count(*) AS c
+              FROM (SELECT doc_id, unnest(w) AS word FROM w)
+              GROUP BY doc_id, word),
+            top AS (SELECT doc_id, max(c) AS topc FROM counts GROUP BY 1),
+            kg AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) >= 5
+                          THEN list_transform(range(1, len(w) - 3),
+                               i -> array_to_string(w[i : i + 4], ' '))
+                          ELSE [] END AS gs
+              FROM w),
+            flags AS (
+              SELECT q.doc_id,
+                     (q.n_words >= 10 AND q.mean_wl >= 2.0
+                      AND q.mean_wl <= 12.0 AND q.stop_ratio >= 0.01)
+                       AS quality_ok,
+                     (round(len(list_distinct(q.w)) * 1.0 / q.n_words, 4)
+                        >= 0.2
+                      AND round(t.topc * 1.0 / q.n_words, 4) <= 0.3
+                      AND (CASE WHEN len(k.gs) > 0
+                           THEN round(1 - len(list_distinct(k.gs)) * 1.0
+                                      / len(k.gs), 4)
+                           ELSE 0.0 END) <= 0.6) AS repetition_ok
+              FROM q
+              JOIN top t ON t.doc_id = q.doc_id
+              JOIN kg k ON k.doc_id = q.doc_id),
+            verdict AS (
+              SELECT d.doc_id,
+                     CASE WHEN d.doc_id <> kk.keeper THEN 'duplicate'
+                          WHEN NOT f.quality_ok THEN 'quality'
+                          WHEN NOT f.repetition_ok THEN 'repetition'
+                          ELSE 'ok' END AS vreason
+              FROM documents d
+              JOIN keepfp kk ON md5(d.text) = kk.fp
+              JOIN flags f ON f.doc_id = d.doc_id),
+            final AS (
+              SELECT d.doc_id,
+                     coalesce(c.label, d.doc_id) AS cluster,
+                     CASE WHEN coalesce(c.label, d.doc_id) <> d.doc_id
+                          THEN 'near_duplicate' ELSE v.vreason END AS reason
+              FROM documents d
+              LEFT JOIN comp c ON c.node = d.doc_id
+              JOIN verdict v ON v.doc_id = d.doc_id)
+            SELECT doc_id, cluster, reason, reason = 'ok' AS keep FROM final
         """,
         "vocab_topk": """
             WITH t AS (

@@ -141,6 +141,54 @@ def test_as_of_join_preserves_null_snapshot_values(spark):
     assert got == {10: 1.0, 25: None, 35: 3.0}
 
 
+def test_aqe_skew_join_engages_on_zipf_host(spark, documents_smoke):
+    """Skew realism (SURVEY §7.3): the corpus zipf head (h0 owns 50% of
+    captures) must trigger AQE's skew-join split on a host-keyed
+    sort-merge join — the executed plan shows SortMergeJoin(skew=true)
+    with an AQEShuffleRead-skewed child. Thresholds are scaled down to
+    test-sized shuffles; on a production corpus the defaults (256MB)
+    engage the same rule."""
+    from pyspark.sql import functions as F
+
+    from ollama_ocr_spark.operators.extract import synthesize_stage
+    from ollama_ocr_spark.operators.maintenance import host_expr
+
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        reps = spark.range(20).withColumnRenamed("id", "rep")
+        big = (
+            documents_smoke.crossJoin(reps)
+            .withColumn("doc_id", F.col("doc_id") + F.col("rep") * 10_000_000)
+            .drop("rep")
+        )
+        pages = (
+            synthesize_stage(big)
+            .withColumn("host", host_expr())
+            .select("url", "host")
+        )
+        host_dim = spark.createDataFrame(
+            [(f"h{i}.example.com", 100) for i in range(16)],
+            "host string, crawl_delay_ms int",
+        )
+        joined = pages.join(host_dim, "host")
+        joined.foreachPartition(lambda it: None)  # execute THIS plan
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_bucketed_tables_join_without_shuffle(spark, documents_smoke):
     """Two tables bucketed on the same key join with ZERO exchanges —
     the co-location layout for a corpus repeatedly joined on its key."""
