@@ -747,6 +747,35 @@ def q_curate_corpus(spark, sf_dir):
     )
 
 
+def q_benchmark_contamination(spark, sf_dir):
+    """Eval-set decontamination screen: flag docs sharing any 4-gram
+    shingle with a 'benchmark' set (deterministically drawn from the
+    corpus: doc_id % 101 == 0, so exact dups and the drawn docs themselves
+    must flag). Benchmark shingles broadcast; one corpus-side shingle
+    explode + groupBy — no big-side join."""
+    from ollama_ocr_spark.operators.dedup import benchmark_contamination
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 101 == 0).select("text")
+    return benchmark_contamination(docs, bench).select(
+        "doc_id", "n_hits", "n_shingles", "contaminated"
+    )
+
+
+def q_domain_mix(spark, sf_dir):
+    """Deterministic domain-weighting: downsample each source to a target
+    mix with md5-bucket thresholds (no RNG — same mix on any engine/run).
+    src0 keeps all, src1 half, src2 a quarter, everything else 5%."""
+    from ollama_ocr_spark.operators.maintenance import domain_mix
+
+    out = domain_mix(
+        _docs(spark, sf_dir),
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25, "*": 0.05},
+        key="doc_id",
+    )
+    return out.select("doc_id", "source")
+
+
 def q_vocab_topk(spark, sf_dir):
     """Vocabulary build: top-100 corpus tokens by frequency (deterministic
     token tiebreak); tokens shuffle with map-side partial counts."""
@@ -1065,6 +1094,8 @@ _QUERIES = {
         "token_counts": q_token_counts,
         "curation_verdict": q_curation_verdict,
         "curate_corpus": q_curate_corpus,
+        "benchmark_contamination": q_benchmark_contamination,
+        "domain_mix": q_domain_mix,
         "vocab_topk": q_vocab_topk,
         "quality_scores": q_quality_scores,
         "repetition_stats": q_repetition_stats,
@@ -1885,6 +1916,39 @@ def oracle_sql() -> dict[str, str]:
               LEFT JOIN comp c ON c.node = d.doc_id
               JOIN verdict v ON v.doc_id = d.doc_id)
             SELECT doc_id, cluster, reason, reason = 'ok' AS keep FROM final
+        """,
+        "benchmark_contamination": f"""
+            WITH {_SHINGLES_CTE},
+            bsh AS (
+              SELECT DISTINCT shingle FROM sh WHERE doc_id % 101 = 0
+            ),
+            nsh AS (
+              SELECT w.doc_id,
+                     CASE WHEN len(w.w) >= 5
+                          THEN len(list_distinct(list_transform(
+                               range(1, len(w.w) - 3),
+                               i -> array_to_string(w.w[i : i + 4], ' '))))
+                          ELSE 0 END AS n_shingles
+              FROM w
+            ),
+            hits AS (
+              SELECT sh.doc_id, count(*) AS n_hits
+              FROM sh JOIN bsh USING (shingle)
+              GROUP BY sh.doc_id
+            )
+            SELECT n.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+                   n.n_shingles::BIGINT AS n_shingles,
+                   coalesce(h.n_hits, 0) > 0 AS contaminated
+            FROM nsh n LEFT JOIN hits h ON h.doc_id = n.doc_id
+        """,
+        "domain_mix": """
+            SELECT doc_id, source FROM documents
+            WHERE CASE source
+              WHEN 'src0' THEN TRUE
+              WHEN 'src1' THEN substr(md5(doc_id::VARCHAR), 1, 4) < '8000'
+              WHEN 'src2' THEN substr(md5(doc_id::VARCHAR), 1, 4) < '4000'
+              ELSE substr(md5(doc_id::VARCHAR), 1, 4) < '0ccc'
+            END
         """,
         "vocab_topk": """
             WITH t AS (

@@ -102,6 +102,8 @@ EXTRA = (
 EXTRA3 = (
     "curate_corpus",
     "image_features",
+    "benchmark_contamination",
+    "domain_mix",
 )
 
 

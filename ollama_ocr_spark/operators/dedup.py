@@ -174,6 +174,49 @@ def jaccard_pairs(df: DataFrame, key: str = "doc_id", col: str = "text",
     return out
 
 
+def benchmark_contamination(docs: DataFrame, benchmark: DataFrame,
+                            key: str = "doc_id", col: str = "text",
+                            bench_col: str = "text",
+                            k: int = SHINGLE_K) -> DataFrame:
+    """Eval-set contamination screen — the decontamination stage every
+    LLM training pipeline runs before a corpus ships: flag documents that
+    share any k-gram shingle with a benchmark/eval text (the standard
+    n-gram overlap test, e.g. GPT-3 appendix C / PaLM-style 8-gram checks;
+    k here defaults to the corpus shingle size).
+
+    Scale shape: eval sets are tiny by definition, so their distinct
+    shingle set BROADCASTS; the corpus side is the one map-side shingle
+    explode + one groupBy(key) count — no shuffle of the benchmark, no
+    join of two big sides. Output: (key, n_hits = distinct contaminated
+    shingles, n_shingles, contaminated).
+    """
+    bench_sh = (
+        benchmark.select(F.explode(_shingle_set(bench_col, k)).alias("shingle"))
+        .distinct()
+    )
+    doc_sh = docs.select(
+        F.col(key), F.size(_shingle_set(col, k)).alias("n_shingles"),
+        F.explode_outer(_shingle_set(col, k)).alias("shingle"),
+    )
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .groupBy(key).agg(F.count("*").alias("n_hits"))
+    )
+    base = docs.select(
+        F.col(key), F.size(_shingle_set(col, k)).alias("n_shingles")
+    )
+    return (
+        base.join(hits, key, "left")
+        .select(
+            key,
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint")
+            .alias("n_hits"),
+            F.col("n_shingles").cast("bigint").alias("n_shingles"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def minhash_signatures(df: DataFrame, key: str = "doc_id", col: str = "text",
                        k: int = SHINGLE_K, num_hashes: int = 8) -> DataFrame:
     """MinHash signature per doc: sig[j] = min over shingles of

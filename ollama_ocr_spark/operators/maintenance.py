@@ -386,3 +386,38 @@ def deterministic_sample(pages: DataFrame, key: str = "url",
     return pages.filter(
         F.substring(F.md5(F.col(key).cast("string")), 1, 4) < bound
     )
+
+
+def domain_mix(pages: DataFrame, weights: dict[str, float],
+               key: str = "url", source_col: str = "source") -> DataFrame:
+    """Deterministic per-source downsampling to a target corpus mix — the
+    domain-weighting stage of LLM data prep (web 4:1 over forums, code
+    upsampled, etc.) expressed as pipeline hygiene, not RNG: each source
+    keeps rows whose md5(key) bucket falls under its weight, so the same
+    mix reproduces on any engine, any partitioning, any run.
+
+    Unlisted sources keep weight 0.0 (dropped) unless ``weights`` carries
+    a ``"*"`` default. Pure map-side filter — no shuffle, no seed; fold
+    UPSAMPLING (weight > 1) into downstream epoch repetition instead,
+    duplication at rest wastes storage. Granularity 1/65536, same bucket
+    arithmetic as :func:`hash_split` / :func:`deterministic_sample`.
+    """
+    default = weights.get("*", 0.0)
+    h = F.substring(F.md5(F.col(key).cast("string")), 1, 4)
+
+    def _cond(frac: float):
+        # frac >= 1 keeps everything — a 5-hex bound ("10000") would fail
+        # the fixed-width lexicographic compare
+        if frac >= 1.0:
+            return F.lit(True)
+        return h < format(int(frac * 65536), "04x")
+
+    expr = None
+    for source, frac in sorted(w for w in weights.items() if w[0] != "*"):
+        expr = (
+            F.when(F.col(source_col) == source, _cond(frac))
+            if expr is None
+            else expr.when(F.col(source_col) == source, _cond(frac))
+        )
+    expr = _cond(default) if expr is None else expr.otherwise(_cond(default))
+    return pages.filter(expr)

@@ -289,3 +289,54 @@ def test_pack_sequences_respects_budget(spark):
     bad = per_bin.filter(F.col("total") - F.col("biggest") >= 1000).count()
     assert bad == 0
     assert packed.count() == 500
+
+
+def test_benchmark_contamination_flags_and_broadcasts(spark):
+    from ollama_ocr_spark.operators.dedup import benchmark_contamination
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "a completely different sentence about sailing ships at sea"),
+         (3, "the quick brown fox jumps over something else entirely"),
+         (4, "tiny")],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",)], ["text"]
+    )
+    out = {r["doc_id"]: r for r in
+           benchmark_contamination(docs, bench).collect()}
+    assert out[1]["contaminated"] and out[1]["n_hits"] == out[1]["n_shingles"]
+    assert not out[2]["contaminated"] and out[2]["n_hits"] == 0
+    assert out[3]["contaminated"]        # shares the leading 4-grams
+    assert 0 < out[3]["n_hits"] < out[3]["n_shingles"]
+    assert out[4]["n_shingles"] == 0 and not out[4]["contaminated"]
+    # plan: the benchmark shingle set must broadcast (eval sets are tiny);
+    # the corpus side never shuffles into a big-big join
+    from ollama_ocr_spark.plans.audit import plan_report
+
+    assert plan_report(benchmark_contamination(docs, bench)).n_broadcasts >= 1
+
+
+def test_domain_mix_deterministic_and_weighted(spark):
+    from ollama_ocr_spark.operators.maintenance import domain_mix
+
+    df = spark.range(8000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 4).cast("string"))
+        .alias("source"),
+    )
+    weights = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "*": 0.05}
+    out = domain_mix(df, weights, key="doc_id")
+    counts = {r["source"]: r["count"]
+              for r in out.groupBy("source").count().collect()}
+    assert counts["src0"] == 2000            # weight 1.0 keeps ALL rows
+    assert 0.42 < counts["src1"] / 2000 < 0.58
+    assert 0.19 < counts["src2"] / 2000 < 0.31
+    assert 0.02 < counts.get("src3", 0) / 2000 < 0.09  # "*" default
+    # determinism: same rows on re-evaluation
+    a = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in
+               domain_mix(df, weights, key="doc_id")
+               .select("doc_id").collect())
+    assert a == b
