@@ -600,6 +600,12 @@ def dedup_components(pairs: DataFrame, a: str = "a", b: str = "b",
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    # Materialize the edge list ONCE: candidate pairs usually arrive as an
+    # expensive plan (a full LSH/minhash pipeline), and every propagation
+    # round joins against `sym` — without this, round N re-runs the whole
+    # candidate generation N times (measured 16.4s -> 8.8s on the
+    # curate_corpus composite at sf0.1, with the fused convergence flag).
+    sym = sym.localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
@@ -610,18 +616,25 @@ def dedup_components(pairs: DataFrame, a: str = "a", b: str = "b",
             sym.join(labels, sym.src == labels.node)
             .select(F.col("dst").alias("node"), F.col("label"))
         )
+        # The changed-flag rides INSIDE the checkpointed frame: one heavy
+        # job materializes propagation + convergence state together, and
+        # the convergence count then reads cached checkpoint blocks — the
+        # old separate join-and-count re-ran a shuffle join per round
+        # (2 heavy jobs/round -> 1).
         new_labels = (
             prop.union(labels.select("node", "label"))
             .groupBy("node").agg(F.min("label").alias("label"))
+            .join(
+                labels.select("node", F.col("label").alias("__old")), "node"
+            )
+            .select(
+                "node", "label",
+                (F.col("label") != F.col("__old")).alias("__changed"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter("n.label != o.label")
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("__changed").count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     if changed != 0:

@@ -9,21 +9,30 @@ import zipfile
 from pyspark.sql import SparkSession
 
 
+def build_dist_zip(out_path: str) -> str:
+    """Package this library into the zip that ships to executors — both the
+    in-session ``addPyFile`` path (:func:`_ship_package`) and the cluster
+    deployment path (``spark-submit --py-files engine.zip``, see
+    ``tools/submit.sh``) use the same artifact."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    with zipfile.ZipFile(out_path, "w") as zf:
+        for dirpath, _dirs, files in os.walk(pkg_dir):
+            for name in sorted(files):
+                if name.endswith(".py"):
+                    full = os.path.join(dirpath, name)
+                    zf.write(full, os.path.relpath(full, root))
+    return out_path
+
+
 def _ship_package(spark: SparkSession) -> None:
     """Ship this package to executors (the local-mode analog of
     ``spark-submit --py-files engine.zip``) so Python workers can unpickle
     the mapInArrow kernels regardless of the driver's cwd."""
-    pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    root = os.path.dirname(pkg_dir)
     zip_path = os.path.join(tempfile.gettempdir(),
                             f"ollama_ocr_spark-{os.getpid()}.zip")
     if not os.path.exists(zip_path):
-        with zipfile.ZipFile(zip_path, "w") as zf:
-            for dirpath, _dirs, files in os.walk(pkg_dir):
-                for name in files:
-                    if name.endswith(".py"):
-                        full = os.path.join(dirpath, name)
-                        zf.write(full, os.path.relpath(full, root))
+        build_dist_zip(zip_path)
     spark.sparkContext.addPyFile(zip_path)
 
 
