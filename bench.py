@@ -322,7 +322,13 @@ def main() -> None:
     spark = _session(CPUS)
     n_pages = materialize_corpus(spark)
     timed_extract(spark, CPUS)  # warmup
-    ext_full = timed_extract(spark, CPUS)
+    # best-of-3, same estimator as every query: a single pass is hostage to
+    # whichever co-tenant load window it lands in (observed 3.7s vs 12.8s
+    # for identical code)
+    ext_full = max(
+        (timed_extract(spark, CPUS) for _ in range(3)),
+        key=lambda r: r["docs_per_sec"],
+    )
 
     qtimes: dict[str, float] = {}
     if not os.environ.get("SPARK_GRAFT_BENCH_SKIP_QUERIES"):
