@@ -317,6 +317,15 @@ def test_benchmark_contamination_flags_and_broadcasts(spark):
 
     assert plan_report(benchmark_contamination(docs, bench)).n_broadcasts >= 1
 
+    # monotone in the benchmark set: growing the eval set only ADDS flags
+    bigger = bench.union(spark.createDataFrame(
+        [("a completely different sentence about sailing ships at sea",)],
+        ["text"]))
+    more = {r["doc_id"] for r in
+            benchmark_contamination(docs, bigger)
+            .filter("contaminated").collect()}
+    assert {1, 3} < more and 2 in more
+
 
 def test_domain_mix_deterministic_and_weighted(spark):
     from ollama_ocr_spark.operators.maintenance import domain_mix
@@ -340,3 +349,12 @@ def test_domain_mix_deterministic_and_weighted(spark):
                domain_mix(df, weights, key="doc_id")
                .select("doc_id").collect())
     assert a == b
+    # monotone in weight: raising a source's weight only ADDS rows (md5
+    # bucket thresholds nest), so mixes are refinable without resampling
+    lo = {r["doc_id"] for r in
+          domain_mix(df, {"src1": 0.2, "*": 0.0}, key="doc_id")
+          .select("doc_id").collect()}
+    hi = {r["doc_id"] for r in
+          domain_mix(df, {"src1": 0.6, "*": 0.0}, key="doc_id")
+          .select("doc_id").collect()}
+    assert lo < hi

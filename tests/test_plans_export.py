@@ -141,6 +141,22 @@ def test_as_of_join_preserves_null_snapshot_values(spark):
     assert got == {10: 1.0, 25: None, 35: 3.0}
 
 
+def test_curate_corpus_plan_has_no_nested_loop(spark):
+    """The nightly composite (LSH candidates → components → keeper →
+    gates) must stay equi-join/broadcast shaped end-to-end — no
+    BroadcastNestedLoopJoin / cartesian anywhere in the final plan."""
+    import __spark_entry__ as entry
+
+    out = entry.queries()["curate_corpus"](spark, "/root/testdata/sf0.001")
+    audit_plan(
+        out, forbid_ops=["BroadcastNestedLoopJoin", "CartesianProduct"]
+    )
+    rows = out.collect()
+    assert len(rows) == 500
+    reasons = {r["reason"] for r in rows}
+    assert "ok" in reasons and "near_duplicate" in reasons
+
+
 def test_aqe_skew_join_engages_on_zipf_host(spark, documents_smoke):
     """Skew realism (SURVEY §7.3): the corpus zipf head (h0 owns 50% of
     captures) must trigger AQE's skew-join split on a host-keyed
