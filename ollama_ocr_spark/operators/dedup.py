@@ -193,26 +193,27 @@ def benchmark_contamination(docs: DataFrame, benchmark: DataFrame,
     bench_sh = (
         benchmark.select(F.explode(_shingle_set(bench_col, k)).alias("shingle"))
         .distinct()
+        .withColumn("__hit", F.lit(1))
     )
+    # ONE shingle pass over the corpus: the per-doc set size rides the
+    # exploded rows, the broadcast left join marks hits, and the groupBy
+    # recovers (n_hits, n_shingles) together — no second scan/shingle
+    # branch, no separate hits-join-back.
+    shs = _shingle_set(col, k)
     doc_sh = docs.select(
-        F.col(key), F.size(_shingle_set(col, k)).alias("n_shingles"),
-        F.explode_outer(_shingle_set(col, k)).alias("shingle"),
+        F.col(key), F.size(shs).alias("n_shingles"),
+        F.explode_outer(shs).alias("shingle"),
     )
-    hits = (
-        doc_sh.join(F.broadcast(bench_sh), "shingle", "left_semi")
-        .groupBy(key).agg(F.count("*").alias("n_hits"))
-    )
-    base = docs.select(
-        F.col(key), F.size(_shingle_set(col, k)).alias("n_shingles")
-    )
+    flagged = doc_sh.join(F.broadcast(bench_sh), "shingle", "left")
     return (
-        base.join(hits, key, "left")
+        flagged.groupBy(key)
+        .agg(
+            F.count("__hit").cast("bigint").alias("n_hits"),
+            F.first("n_shingles").cast("bigint").alias("n_shingles"),
+        )
         .select(
-            key,
-            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint")
-            .alias("n_hits"),
-            F.col("n_shingles").cast("bigint").alias("n_shingles"),
-            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+            key, "n_hits", "n_shingles",
+            (F.col("n_hits") > 0).alias("contaminated"),
         )
     )
 
