@@ -1029,6 +1029,44 @@ def q_session_windows(spark, sf_dir):
     return session_window_agg(_events(spark, sf_dir))
 
 
+def q_host_link_graph(spark, sf_dir):
+    """Host-level outlink edge list extracted from the raw html of the
+    latest capture per url: one JVM-regex pass + one (src,dst) shuffle.
+    Edge set is deterministic corpus arithmetic (corpus.partner_hosts for
+    the cross-host footer links + fixed per-archetype relative chrome)."""
+    from ollama_ocr_spark.operators.linkgraph import outlink_edges
+
+    return outlink_edges(_latest_pages(spark, sf_dir))
+
+
+def q_host_pagerank(spark, sf_dir):
+    """Weighted host PageRank, 3 power iterations over the cross-host
+    outlink graph; oracle = the same iterations unrolled as chained CTEs
+    in DuckDB (aggregates are illegal in a recursive CTE term)."""
+    from ollama_ocr_spark.operators.linkgraph import host_pagerank, outlink_edges
+
+    return host_pagerank(outlink_edges(_latest_pages(spark, sf_dir)))
+
+
+def q_crawl_diff(spark, sf_dir):
+    """Per-host re-crawl change summary: md5-digest compare of the two
+    newest captures per url (corpus.capture_rows: k=0 re-crawls are
+    byte-identical, k=5 re-crawls carry changed content)."""
+    from ollama_ocr_spark.operators.extract import synthesize_stage
+    from ollama_ocr_spark.operators.maintenance import crawl_diff
+
+    _ensure_shipped(spark)
+    return crawl_diff(synthesize_stage(_docs(spark, sf_dir)))
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """Corpus-unigram LM quality proxy (CCNet perplexity-bucket analog):
+    per-doc mean -ln p(token), add-one smoothed corpus unigram LM."""
+    from ollama_ocr_spark.operators.textstats import unigram_logprob_scores
+
+    return unigram_logprob_scores(_docs(spark, sf_dir))
+
+
 def _utc_wrapped(fn):
     """Every query assumes UTC session semantics (timestamp↔epoch parity
     with the DuckDB oracle); the driver's session timezone is unknown."""
@@ -1114,6 +1152,10 @@ _QUERIES = {
         "events_daily": q_events_daily,
         "sessionize": q_sessionize,
         "session_windows": q_session_windows,
+        "host_link_graph": q_host_link_graph,
+        "host_pagerank": q_host_pagerank,
+        "crawl_diff": q_crawl_diff,
+        "unigram_logprob": q_unigram_logprob,
 }
 
 
@@ -1128,6 +1170,82 @@ _HOST_CASE = (
     "WHEN doc_id % 100 < 85 THEN 'h2.example.com' "
     "ELSE 'h' || (3 + doc_id % 13) || '.example.com' END"
 )
+def _host_case(e: str) -> str:
+    """``corpus.host_for`` for an arbitrary SQL expression (the link-graph
+    oracles probe it at affine doc_id offsets — corpus.partner_hosts)."""
+    return (
+        f"CASE WHEN ({e}) % 100 < 50 THEN 'h0.example.com' "
+        f"WHEN ({e}) % 100 < 70 THEN 'h1.example.com' "
+        f"WHEN ({e}) % 100 < 85 THEN 'h2.example.com' "
+        f"ELSE 'h' || (3 + ({e}) % 13) || '.example.com' END"
+    )
+
+
+# Host-level outlink edges reconstructed from corpus arithmetic
+# (corpus.build_html): every html page self-links via its relative chrome
+# (nav 6 + aside 2 + related 3 + footer 2 = 13; memo pages have no
+# aside/related → 8) and carries 3 absolute partner links
+# (corpus.partner_hosts). html pages are k<=6 minus the text/plain slot.
+_EDGES_CTES = f"""
+hd AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id % 10 <= 6 AND NOT (doc_id % 10 = 4 AND doc_id % 20 = 14)
+),
+rel AS (
+  SELECT {_host_case('doc_id')} AS src_host, {_host_case('doc_id')} AS dst_host,
+         CASE WHEN doc_id % 10 = 4 THEN 8 ELSE 13 END AS n
+  FROM hd
+),
+par AS (
+  SELECT {_host_case('doc_id')} AS src_host,
+         {_host_case('doc_id * 7 + 11 * j + 3')} AS dst_host, 1 AS n
+  FROM hd, (SELECT unnest(range(3)) AS j) g
+),
+edges AS (
+  SELECT src_host, dst_host, sum(n)::BIGINT AS n_links
+  FROM (SELECT * FROM rel UNION ALL SELECT * FROM par)
+  GROUP BY 1, 2
+)
+"""
+
+
+def _pagerank_oracle(iterations: int = 3) -> str:
+    """DuckDB twin of linkgraph.host_pagerank: identical per-term double
+    arithmetic ((1.0 - 0.85)/n teleport — NOT the literal 0.15, which is a
+    different double), iterations unrolled as chained CTEs (recursive CTE
+    terms cannot aggregate)."""
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(f"""
+r{i} AS (
+  SELECT h.host,
+         (SELECT (1.0::DOUBLE - 0.85::DOUBLE) / n FROM nn) +
+         coalesce(sum(r.rank * w.wfrac * 0.85::DOUBLE), 0.0::DOUBLE) AS rank
+  FROM hosts h
+  LEFT JOIN wf w ON w.dst_host = h.host
+  LEFT JOIN r{i - 1} r ON r.host = w.src_host
+  GROUP BY h.host
+)""")
+    return f"""
+WITH {_EDGES_CTES},
+ce AS (SELECT * FROM edges WHERE src_host <> dst_host),
+hosts AS (
+  SELECT DISTINCT host FROM (
+    SELECT src_host AS host FROM ce
+    UNION ALL SELECT dst_host FROM ce)
+),
+nn AS (SELECT count(*) AS n FROM hosts),
+deg AS (SELECT src_host, sum(n_links) AS out_w FROM ce GROUP BY 1),
+wf AS (
+  SELECT e.src_host, e.dst_host, e.n_links / d.out_w AS wfrac
+  FROM ce e JOIN deg d USING (src_host)
+),
+r0 AS (SELECT host, (SELECT 1.0::DOUBLE / n FROM nn) AS rank FROM hosts),
+{",".join(steps)}
+SELECT host, round(rank, 6) AS rank FROM r{iterations}
+"""
+
+
 _STEM_CASE = (
     "CASE doc_id % 10 WHEN 2 THEN 'table' WHEN 3 THEN 'list' "
     "WHEN 4 THEN 'memo' WHEN 5 THEN 'receipt' "
@@ -2274,7 +2392,8 @@ def oracle_sql() -> dict[str, str]:
                      'related story one related story two more'
               FROM samp WHERE doc_id % 20 <> 14 AND doc_id % 10 <> 4
               UNION ALL
-              SELECT host, doc_id, 'Terms Privacy © 2024 Example Corp'
+              SELECT host, doc_id,
+                     'Terms Privacy © 2024 Example Corp partner partner partner'
               FROM samp WHERE doc_id % 20 <> 14
               UNION ALL
               SELECT host, doc_id, text AS block FROM samp
@@ -2294,5 +2413,46 @@ def oracle_sql() -> dict[str, str]:
                    nh.n::INT AS n_docs
             FROM counted c JOIN nh ON c.host = nh.host
             WHERE c.c * 1.0 / nh.n >= 0.5
+        """,
+        "host_link_graph": f"""
+            WITH {_EDGES_CTES}
+            SELECT src_host, dst_host, n_links FROM edges
+        """,
+        "host_pagerank": _pagerank_oracle(iterations=3),
+        # crawl_diff: arithmetic prediction of the digest compare —
+        # doc_id % 5 == 0 urls are re-crawled (corpus.capture_rows);
+        # among them k=5 carries changed content, k=0 is byte-identical.
+        "crawl_diff": f"""
+            WITH d AS (
+              SELECT doc_id, {_HOST_CASE} AS host,
+                     (doc_id % 5 = 0)::INT AS recrawled,
+                     (doc_id % 10 = 5)::INT AS changed
+              FROM documents
+            )
+            SELECT host, count(*)::BIGINT AS n_urls,
+                   sum(recrawled)::BIGINT AS n_recrawled,
+                   sum(changed)::BIGINT AS n_changed,
+                   sum(recrawled - changed)::BIGINT AS n_unchanged
+            FROM d GROUP BY host
+        """,
+        "unigram_logprob": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                       AS tok
+              FROM documents
+            ),
+            dt AS (SELECT doc_id, tok, count(*) AS n FROM toks GROUP BY 1, 2),
+            vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+            tot AS (SELECT sum(c) AS t_tokens, count(*) AS v_size FROM vocab),
+            sc AS (
+              SELECT dt.doc_id, dt.n,
+                     round(ln((vocab.c + 1) / (tot.t_tokens + tot.v_size)),
+                           8) AS logp
+              FROM dt JOIN vocab USING (tok) CROSS JOIN tot
+            )
+            SELECT doc_id, sum(n)::BIGINT AS n_tokens,
+                   round(-sum(n * logp) / sum(n), 4) AS nats_per_token
+            FROM sc GROUP BY doc_id
         """,
     }

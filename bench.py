@@ -104,6 +104,10 @@ EXTRA3 = (
     "image_features",
     "benchmark_contamination",
     "domain_mix",
+    "host_link_graph",
+    "host_pagerank",
+    "crawl_diff",
+    "unigram_logprob",
 )
 
 

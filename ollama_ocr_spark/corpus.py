@@ -29,8 +29,14 @@ Archetype table (k = doc_id % 10), mirroring the 5 reference fixtures in
 | 9       | page       | doc_id%20==9 → NULL payload;      | error row             |
 |         |            | doc_id%20==19 → junk bytes        |                       |
 
-Duplicate captures: every doc_id % 5 == 0 gets a second, *older* capture with
-stale content — exercising latest-capture dedup (SURVEY.md §2.6 N3).
+Duplicate captures: every doc_id % 5 == 0 gets a second, *older* capture —
+exercising latest-capture dedup (SURVEY.md §2.6 N3). The k=5 re-crawls carry
+stale (changed) content; the k=0 re-crawls are byte-identical (unchanged
+page) — so crawl-diff sees both outcomes.
+
+Cross-host outlinks: every HTML footer carries three absolute "partner"
+links to `partner_hosts(doc_id)` — the deterministic edge source for the
+link-graph / PageRank operators (mirrored in `__spark_entry__.oracle_sql`).
 
 Host skew (zipf-ish, SQL-expressible): m = doc_id % 100 →
 m<50: h0 · m<70: h1 · m<85: h2 · else h{3+doc_id%13} — so salting (N6) is
@@ -107,6 +113,13 @@ def host_for(doc_id: int) -> str:
     if m < 85:
         return "h2.example.com"
     return f"h{3 + doc_id % 13}.example.com"
+
+
+def partner_hosts(doc_id: int) -> list[str]:
+    """Three deterministic cross-host outlink targets for the page footer.
+    Pure doc_id arithmetic (affine probe into ``host_for``) so the DuckDB
+    oracle for the link-graph queries reconstructs the exact edge set."""
+    return [host_for(doc_id * 7 + 11 * j + 3) for j in range(3)]
 
 
 def url_for(doc_id: int, source: str) -> str:
@@ -246,9 +259,16 @@ def build_html(doc_id: int, text: str, lang: str) -> bytes:
         '<aside><p><a href="/sponsored">Sponsored: one weird trick</a> '
         '<a href="/deal">limited offer</a></p></aside>'
     )
+    # Footer carries the cross-host partner links (constant anchor TEXT so
+    # the per-host footer block stays template-stable for mine_templates;
+    # only the hrefs vary). <footer> is a drop-tag, so extraction goldens
+    # are untouched.
+    partners = " ".join(
+        f'<a href="https://{h}/">partner</a>' for h in partner_hosts(doc_id)
+    )
     footer = (
         '<footer><p><a href="/terms">Terms</a> <a href="/privacy">Privacy</a> '
-        "&copy; 2024 Example Corp</p></footer>"
+        f"&copy; 2024 Example Corp {partners}</p></footer>"
     )
     # Link-farm div OUTSIDE the drop-tags — exercises the link-density rule,
     # not just the tag rule.
@@ -354,7 +374,9 @@ def capture_rows(doc_id: int, text: str, lang: str, source: str):
     ts = BASE_TS + timedelta(seconds=doc_id)
     yield (url, ts, build_payload(doc_id, text, lang), None, lang)
     if doc_id % 5 == 0:
-        stale_text = text + " stale capture"
+        # k=0 re-crawl is byte-identical (unchanged page); k=5 re-crawl
+        # carries stale content (changed page) — crawl_diff sees both.
+        stale_text = text if doc_id % 10 == 0 else text + " stale capture"
         yield (
             url,
             ts - timedelta(hours=1),

@@ -209,6 +209,42 @@ def resume_anti_join(pages: DataFrame, done: DataFrame,
     return pages.join(done_keys, key, "left_anti")
 
 
+def crawl_diff(pages: DataFrame, key: str = "url",
+               ts: str = "warc_ts") -> DataFrame:
+    """Per-host re-crawl change summary: for each url, compare the newest
+    two captures' content digests and count changed vs unchanged re-crawls
+    (the snapshot-diff a recurring crawl runs to size its refresh work).
+
+    Digest-only shuffle: ``md5(html)`` is computed map-side in the scan
+    stage, so only (url, host, ts, 32-byte digest) ever crosses the wire —
+    payload bytes never shuffle. One window shuffle on url, then the
+    per-host rollup aggregates from ~1 row per url.
+
+    Output: (host, n_urls, n_recrawled, n_changed, n_unchanged). NULL
+    payloads digest as NULL; comparison is null-safe, so two missing
+    captures count as unchanged.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts).desc())
+    newest = (
+        pages.select(
+            F.col(key), host_expr(key).alias("host"),
+            F.col(ts), F.md5(F.col("html")).alias("__digest"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__prev", F.lead("__digest").over(w))
+        .withColumn("__n_caps", F.count("*").over(Window.partitionBy(key)))
+        .filter(F.col("__rn") == 1)
+    )
+    recrawled = F.col("__n_caps") > 1
+    changed = recrawled & ~F.col("__digest").eqNullSafe(F.col("__prev"))
+    return newest.groupBy("host").agg(
+        F.count("*").alias("n_urls"),
+        F.sum(recrawled.cast("int")).alias("n_recrawled"),
+        F.sum(changed.cast("int")).alias("n_changed"),
+        F.sum((recrawled & ~changed).cast("int")).alias("n_unchanged"),
+    )
+
+
 def politeness_waves(pages: DataFrame, per_host_burst: int = 16,
                      key: str = "url") -> DataFrame:
     """Per-host politeness-aware scheduling (crawl/recrawl hygiene): assign

@@ -59,6 +59,56 @@ def vocab_topk(df: DataFrame, col: str = "text", k: int = 1000) -> DataFrame:
     )
 
 
+def unigram_logprob_scores(df: DataFrame, key: str = "doc_id",
+                           col: str = "text") -> DataFrame:
+    """CCNet-style language-model quality proxy with the corpus itself as
+    the unigram LM (the in-sandbox stand-in for a KenLM scorer): per doc,
+
+        nats_per_token = -(1/T_d) * Σ_tok n_d(tok) * ln p(tok)
+        p(tok) = (c(tok) + 1) / (T + V)      (add-one smoothed)
+
+    Low scores = statistically typical text; spikes flag gibberish,
+    boilerplate, and wrong-language content — the CCNet perplexity-bucket
+    signal.
+
+    Scale shape: two token aggregations (both with map-side partial
+    combine: per-(doc, token) counts, then global vocab counts) and ONE
+    equi-join on token. The vocab side is ≪ corpus and broadcastable once
+    capped (pair with :func:`vocab_topk` + an OOV bucket for a bounded
+    production LM). The 1-row totals relation joins via an explicit
+    broadcast — never a shuffle. Per-token logp is rounded to 8dp so Spark
+    and DuckDB `ln` agree bit-for-bit; doc scores round to 4dp (the small
+    per-doc sum is the only order-sensitive op).
+    """
+    toks = df.select(
+        F.col(key),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(col)), F.lit(TOKEN_RE), 0)
+        ).alias("tok"),
+    )
+    doc_tok = toks.groupBy(key, "tok").agg(F.count("*").alias("n"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    totals = vocab.agg(
+        F.sum("c").alias("t_tokens"), F.count("*").alias("v_size")
+    )
+    scored = (
+        doc_tok.join(vocab, "tok")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "logp",
+            F.round(
+                F.log((F.col("c") + 1) / (F.col("t_tokens") + F.col("v_size"))),
+                8,
+            ),
+        )
+    )
+    return scored.groupBy(key).agg(
+        F.sum("n").alias("n_tokens"),
+        F.round(-F.sum(F.col("n") * F.col("logp")) / F.sum("n"), 4)
+        .alias("nats_per_token"),
+    )
+
+
 def with_quality_score(df: DataFrame, col: str = "text") -> DataFrame:
     """Deterministic quality features: length, word count, mean word length,
     stopword ratio, and a composite score. (Gopher/C4-style filters use the

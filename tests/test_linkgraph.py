@@ -1,0 +1,98 @@
+"""Link-graph operators: outlink extraction, PageRank, crawl diff, and the
+unigram-LM quality proxy (the corpus-arithmetic oracles live in
+__spark_entry__; these tests pin behavior + plan shape)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from ollama_ocr_spark.corpus import host_for, partner_hosts
+from ollama_ocr_spark.operators.extract import synthesize_stage
+from ollama_ocr_spark.operators.linkgraph import host_pagerank, outlink_edges
+from ollama_ocr_spark.operators.maintenance import crawl_diff, latest_capture
+
+
+def _expected_edges(documents_smoke) -> Counter:
+    exp: Counter = Counter()
+    for r in documents_smoke.select("doc_id").collect():
+        d = r["doc_id"]
+        k = d % 10
+        if k > 6 or (k == 4 and d % 20 == 14):
+            continue  # no html payload
+        src = host_for(d)
+        exp[(src, src)] += 8 if k == 4 else 13  # relative chrome links
+        for h in partner_hosts(d):
+            exp[(src, h)] += 1
+    return exp
+
+
+def test_outlink_edges_match_corpus_arithmetic(spark, documents_smoke):
+    pages = latest_capture(synthesize_stage(documents_smoke))
+    got = {
+        (r["src_host"], r["dst_host"]): r["n_links"]
+        for r in outlink_edges(pages).collect()
+    }
+    assert got == dict(_expected_edges(documents_smoke))
+
+
+def test_outlink_edges_plan_single_shuffle(spark, documents_smoke):
+    """Scan → regex explode → ONE exchange (partial-agg groupBy). No
+    Python stage, no nested-loop join anywhere in the plan."""
+    plan = (
+        outlink_edges(synthesize_stage(documents_smoke))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_host_pagerank_mass_and_ordering(spark, documents_smoke):
+    pages = latest_capture(synthesize_stage(documents_smoke))
+    ranks = {
+        r["host"]: r["rank"]
+        for r in host_pagerank(outlink_edges(pages)).collect()
+    }
+    n = len(ranks)
+    assert n >= 4
+    total = sum(ranks.values())
+    # probability mass: <= 1 (dangling leak is not redistributed),
+    # >= pure-teleport floor
+    assert 0.15 - 1e-6 <= total <= 1.0 + 1e-6
+    assert all(v >= 0.15 / n - 1e-6 for v in ranks.values())
+    # h0 absorbs ~half of all partner links (host_for: m<50) → top rank
+    assert max(ranks, key=ranks.get) == "h0.example.com"
+
+
+def test_crawl_diff_counts(spark, documents_smoke):
+    pages = synthesize_stage(documents_smoke)
+    agg = crawl_diff(pages).agg(
+        F.sum("n_urls").alias("u"),
+        F.sum("n_recrawled").alias("r"),
+        F.sum("n_changed").alias("c"),
+        F.sum("n_unchanged").alias("s"),
+    ).collect()[0]
+    docs = documents_smoke.count()
+    recrawled = documents_smoke.filter("doc_id % 5 = 0").count()
+    changed = documents_smoke.filter("doc_id % 10 = 5").count()
+    assert (agg["u"], agg["r"]) == (docs, recrawled)
+    assert (agg["c"], agg["s"]) == (changed, recrawled - changed)
+
+
+def test_unigram_logprob_flags_rare_tokens(spark):
+    from ollama_ocr_spark.operators.textstats import unigram_logprob_scores
+
+    common = "the cat sat on the mat and the dog sat too"
+    df = spark.createDataFrame(
+        [(i, common) for i in range(9)] + [(9, "zxqv wvvq qqzx vxqz")],
+        "doc_id long, text string",
+    )
+    scores = {
+        r["doc_id"]: r["nats_per_token"]
+        for r in unigram_logprob_scores(df).collect()
+    }
+    assert all(v > 0 for v in scores.values())
+    # the gibberish doc is the clear outlier under the corpus LM
+    assert scores[9] > max(scores[i] for i in range(9)) + 1.0
