@@ -1067,6 +1067,14 @@ def q_unigram_logprob(spark, sf_dir):
     return unigram_logprob_scores(_docs(spark, sf_dir))
 
 
+def q_ngram_span_coverage(spark, sf_dir):
+    """Exact-substring dedup coverage (Lee et al. analog): fraction of each
+    doc covered by cross-document duplicated 8-grams (interval union)."""
+    from ollama_ocr_spark.operators.dedup import duplicated_ngram_coverage
+
+    return duplicated_ngram_coverage(_docs(spark, sf_dir), k=8)
+
+
 def _utc_wrapped(fn):
     """Every query assumes UTC session semantics (timestamp↔epoch parity
     with the DuckDB oracle); the driver's session timezone is unknown."""
@@ -1156,6 +1164,7 @@ _QUERIES = {
         "host_pagerank": q_host_pagerank,
         "crawl_diff": q_crawl_diff,
         "unigram_logprob": q_unigram_logprob,
+        "ngram_span_coverage": q_ngram_span_coverage,
 }
 
 
@@ -2454,5 +2463,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, sum(n)::BIGINT AS n_tokens,
                    round(-sum(n * logp) / sum(n), 4) AS nats_per_token
             FROM sc GROUP BY doc_id
+        """,
+        # ngram_span_coverage: k=8 positional shingles; dup = digest seen
+        # in >= 2 distinct docs; covered = interval union of sorted starts
+        # (Σ min(k, next - cur), last span counts k).
+        "ngram_span_coverage": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, unnest(range(1, len(w) - 6)) AS i, w
+              FROM w WHERE len(w) >= 8
+            ),
+            sh AS (
+              SELECT doc_id, i,
+                     md5(array_to_string(w[i : i + 7], ' ')) AS d
+              FROM pos
+            ),
+            dup AS (
+              SELECT d FROM sh GROUP BY d
+              HAVING count(DISTINCT doc_id) >= 2
+            ),
+            agg AS (
+              SELECT doc_id, count(*) AS n_dup_spans,
+                     list_sort(list(i)) AS arr
+              FROM sh JOIN dup USING (d) GROUP BY doc_id
+            ),
+            cov AS (
+              SELECT doc_id, n_dup_spans,
+                     list_sum(list_transform(range(1, len(arr) + 1),
+                       j -> least(8, coalesce(arr[j + 1], arr[j] + 8)
+                                      - arr[j]))) AS covered
+              FROM agg
+            )
+            SELECT d.doc_id,
+                   len(string_split(d.text, ' '))::BIGINT AS n_words,
+                   coalesce(c.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+                   coalesce(c.covered, 0)::BIGINT AS covered,
+                   round(coalesce(c.covered, 0)
+                         / len(string_split(d.text, ' ')), 4) AS coverage
+            FROM documents d LEFT JOIN cov c USING (doc_id)
         """,
     }

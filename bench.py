@@ -108,6 +108,7 @@ EXTRA3 = (
     "host_pagerank",
     "crawl_diff",
     "unigram_logprob",
+    "ngram_span_coverage",
 )
 
 

@@ -174,6 +174,91 @@ def jaccard_pairs(df: DataFrame, key: str = "doc_id", col: str = "text",
     return out
 
 
+def duplicated_ngram_coverage(df: DataFrame, key: str = "doc_id",
+                              col: str = "text", k: int = 8) -> DataFrame:
+    """Exact-substring dedup signal (the Lee-et-al "Deduplicating Training
+    Data" / ExactSubstr family): per document, how much of it is covered
+    by word k-grams that also occur in ANOTHER document. Output:
+    (key, n_words, n_dup_spans, covered, coverage) where `covered` is the
+    interval-UNION length of all cross-doc-duplicated spans (overlapping
+    spans never double-count) and coverage = covered / n_words.
+
+    Plan, and why it scales where pair generation cannot:
+    - positional shingle digests are derived map-side (md5 → 32-byte key;
+      the shingle TEXT never shuffles);
+    - the cross-doc duplicated set needs only a distinct-doc COUNT per
+      digest (groupBy + two-phase countDistinct) — no posting lists, so a
+      stopword-hot shingle costs one counter, never a quadratic or
+      memory-heavy list (contrast `jaccard_pairs.max_posting`);
+    - hit positions equi-join back to the flag set, then ONE array pass
+      per doc computes the interval union over sorted starts:
+      Σ min(k, next_start - start), last span counting k.
+    The shingle derivation runs twice (count branch + hits branch) — a
+    deliberate second scan instead of collect_list posting memory.
+
+    Within-doc-only repeats are NOT flagged (count is per distinct doc);
+    that matches the cross-document contamination use. Docs shorter than
+    k words get coverage 0.
+    """
+    words = F.split(F.col(col), " ")
+    n_words = F.size(words)
+    idx = F.when(
+        n_words >= k, F.sequence(F.lit(1), n_words - F.lit(k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    spans = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.md5(F.array_join(F.slice(words, i, k), " ")).alias("d"),
+            i.alias("pos"),
+        ),
+    )
+    exploded = (
+        ensure_parallelism(df)
+        .select(F.col(key), F.explode(spans).alias("s"))
+        .select(key, F.col("s.d").alias("d"), F.col("s.pos").alias("pos"))
+    )
+    dups = (
+        exploded.groupBy("d")
+        .agg(F.countDistinct(key).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("d")
+    )
+    arr = F.col("arr")
+    covered = F.aggregate(
+        F.transform(
+            arr,
+            lambda x, j: F.least(
+                F.lit(k), F.coalesce(F.try_element_at(arr, j + 2), x + k) - x
+            ),
+        ),
+        F.lit(0),
+        lambda a, b: a + b,
+    )
+    cov = (
+        exploded.join(dups, "d")
+        .groupBy(key)
+        .agg(
+            F.count("*").alias("n_dup_spans"),
+            F.array_sort(F.collect_list("pos")).alias("arr"),
+        )
+        .select(key, "n_dup_spans", covered.alias("covered"))
+    )
+    return (
+        df.select(F.col(key), n_words.alias("n_words"))
+        .join(cov, key, "left")
+        .select(
+            key,
+            F.col("n_words").cast("bigint").alias("n_words"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("bigint")
+            .alias("n_dup_spans"),
+            F.coalesce("covered", F.lit(0)).cast("bigint").alias("covered"),
+            F.round(
+                F.coalesce("covered", F.lit(0)) / F.col("n_words"), 4
+            ).alias("coverage"),
+        )
+    )
+
+
 def benchmark_contamination(docs: DataFrame, benchmark: DataFrame,
                             key: str = "doc_id", col: str = "text",
                             bench_col: str = "text",

@@ -358,3 +358,26 @@ def test_domain_mix_deterministic_and_weighted(spark):
           domain_mix(df, {"src1": 0.6, "*": 0.0}, key="doc_id")
           .select("doc_id").collect()}
     assert lo < hi
+
+
+def test_duplicated_ngram_coverage_interval_union(spark):
+    from ollama_ocr_spark.operators.dedup import duplicated_ngram_coverage
+
+    base = " ".join(f"w{i}" for i in range(10))  # 10 words, 3 shingles
+    partial = "a b c " + " ".join(f"w{i}" for i in range(8)) + " d e f"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, partial), (4, "short doc only")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r for r in duplicated_ngram_coverage(df, k=8).collect()
+    }
+    # docs 1/2 are full copies: overlapping spans union to the whole doc,
+    # never 3*8=24 (the double-count trap)
+    assert (out[1]["covered"], out[1]["coverage"]) == (10, 1.0)
+    assert out[2]["coverage"] == 1.0
+    # doc 3 shares exactly one 8-gram (w0..w7) -> one span of 8 / 14 words
+    assert (out[3]["n_dup_spans"], out[3]["covered"]) == (1, 8)
+    assert out[3]["coverage"] == 0.5714
+    # sub-k doc: zero coverage, present in output
+    assert (out[4]["n_dup_spans"], out[4]["coverage"]) == (0, 0.0)
