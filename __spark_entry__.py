@@ -935,6 +935,16 @@ def q_embedding_near_dupes_lsh(spark, sf_dir):
     )
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup: deterministic k-means (decimal-
+    quantized centroid means make cluster ASSIGNMENT engine-portable,
+    not just the report columns) then within-cluster cosine pruning to
+    the lowest-keyed keeper. Pair stage is an equi-join on cluster id."""
+    from ollama_ocr_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(_emb(spark, sf_dir), n_centroids=8, threshold=0.4)
+
+
 def q_tpch_shipping_revenue(spark, sf_dir):
     """3-way join + agg (TPC-H Q3 shape); small dims broadcast."""
     c = _tbl(spark, sf_dir, "customer").filter(
@@ -1155,6 +1165,7 @@ _QUERIES = {
         "golden_compare": q_golden_compare,
         "embedding_near_dupes": q_embedding_near_dupes,
         "embedding_near_dupes_lsh": q_embedding_near_dupes_lsh,
+        "semantic_dedup": q_semantic_dedup,
         "tpch_shipping_revenue": q_tpch_shipping_revenue,
         "nation_revenue": q_nation_revenue,
         "events_daily": q_events_daily,
@@ -2254,6 +2265,67 @@ def oracle_sql() -> dict[str, str]:
               JOIN e ea ON ea.id = cand.a
               JOIN e eb ON eb.id = cand.b)
             SELECT a, b, cosine FROM scored WHERE cosine >= 0.45
+        """,
+        "semantic_dedup": """
+            WITH pts AS (SELECT vec_id, embedding AS v FROM embeddings),
+            seeds AS (
+              SELECT row_number() OVER (ORDER BY vec_id) AS cluster,
+                     embedding AS cv
+              FROM embeddings ORDER BY vec_id LIMIT 8),
+            s0 AS (
+              SELECT p.vec_id, s.cluster,
+                list_sum(list_transform(range(1, 1 + len(p.v)),
+                         i -> p.v[i]::DOUBLE * s.cv[i]::DOUBLE))
+                / (sqrt(list_sum(list_transform(p.v, x -> x::DOUBLE * x::DOUBLE)))
+                   * sqrt(list_sum(list_transform(s.cv, x -> x::DOUBLE * x::DOUBLE)))
+                   + 1e-12) AS sim
+              FROM pts p, seeds s),
+            a0 AS (
+              SELECT vec_id, cluster FROM (
+                SELECT vec_id, cluster, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY sim DESC, cluster) AS rn
+                FROM s0) WHERE rn = 1),
+            pv AS (
+              SELECT a.cluster, p.v, unnest(range(len(p.v))) AS pos
+              FROM a0 a JOIN pts p USING (vec_id)),
+            means AS (
+              -- DECIMAL(28,12) partial sums: exact, order-insensitive —
+              -- matches kmeans_centroids' engine-portable mean bit-for-bit
+              SELECT cluster, pos,
+                     (sum(CAST(v[(pos + 1)::INT]::DOUBLE AS DECIMAL(28,12))))::DOUBLE
+                     / count(*) AS m
+              FROM pv GROUP BY cluster, pos),
+            cents AS (
+              SELECT cluster, list(m ORDER BY pos) AS cv
+              FROM means GROUP BY cluster),
+            s1 AS (
+              SELECT p.vec_id, c.cluster,
+                list_sum(list_transform(range(1, 1 + len(p.v)),
+                         i -> p.v[i]::DOUBLE * c.cv[i]))
+                / (sqrt(list_sum(list_transform(p.v, x -> x::DOUBLE * x::DOUBLE)))
+                   * sqrt(list_sum(list_transform(c.cv, x -> x * x)))
+                   + 1e-12) AS sim
+              FROM pts p, cents c),
+            a1 AS (
+              SELECT vec_id, cluster FROM (
+                SELECT vec_id, cluster, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY sim DESC, cluster) AS rn
+                FROM s1) WHERE rn = 1),
+            dup AS (
+              SELECT DISTINCT y.vec_id AS b
+              FROM a1 x JOIN a1 y
+                ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+              JOIN pts px ON px.vec_id = x.vec_id
+              JOIN pts py ON py.vec_id = y.vec_id
+              WHERE round(
+                  list_sum(list_transform(range(1, 1 + len(px.v)),
+                           i -> px.v[i]::DOUBLE * py.v[i]::DOUBLE))
+                  / (sqrt(list_sum(list_transform(px.v, x -> x::DOUBLE * x::DOUBLE)))
+                     * sqrt(list_sum(list_transform(py.v, x -> x::DOUBLE * x::DOUBLE)))),
+                  4) >= 0.4)
+            SELECT a1.vec_id, a1.cluster::INT AS cluster,
+                   CASE WHEN d.b IS NULL THEN 0 ELSE 1 END AS is_dup
+            FROM a1 LEFT JOIN dup d ON d.b = a1.vec_id
         """,
         "tpch_shipping_revenue": """
             SELECT l.l_orderkey AS orderkey,

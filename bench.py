@@ -109,6 +109,7 @@ EXTRA3 = (
     "crawl_diff",
     "unigram_logprob",
     "ngram_span_coverage",
+    "semantic_dedup",
 )
 
 

@@ -380,3 +380,113 @@ def quantize_embeddings(df: DataFrame, key: str = "vec_id",
         ).alias("qvec"),
         F.round(safe / 127, 6).alias("scale"),
     )
+
+
+def kmeans_centroids(corpus: DataFrame, key: str = "vec_id",
+                     vec: str = "embedding", n_centroids: int = 8) -> DataFrame:
+    """Deterministic k-means codebook with ENGINE-PORTABLE arithmetic.
+
+    Seeds are the ``n_centroids`` lowest-key vectors; one Lloyd refinement
+    (assign-all -> per-coordinate mean) follows. Unlike :func:`_centroids`
+    (IVF's codebook, where bit-parity is irrelevant because the oracle
+    probes every cell), the per-coordinate mean here routes through
+    DECIMAL(28,12) partial sums: decimal addition is exact and therefore
+    order-insensitive, so Spark's partition-merge order and DuckDB's scan
+    order produce the same sum bit-for-bit (the round-1 double-sum
+    gotcha), and ``sum::double / count`` is then a single deterministic
+    double division. That makes the downstream cluster ASSIGNMENT — not
+    just a rounded report column — reproducible by the SQL oracle.
+
+    Scale: the assign step broadcasts the tiny seed table; the mean is a
+    posexplode -> groupBy(cluster, pos) partial-agg shuffle of (k x dim)
+    groups. One corpus pass per refinement."""
+    seeds = (
+        corpus.orderBy(key).limit(n_centroids)
+        .select(
+            F.row_number().over(Window.orderBy(key)).alias("cluster"),
+            F.col(vec).alias("cv0"),
+        )
+    )
+    assigned = _assign(corpus.select(key, vec), seeds, key, vec, "cv0")
+    return (
+        assigned.select("cluster", F.posexplode(F.col(vec)).alias("pos", "val"))
+        .groupBy("cluster", "pos")
+        .agg(
+            (
+                F.sum(F.col("val").cast("double").cast("decimal(28,12)"))
+                .cast("double") / F.count(F.lit(1))
+            ).alias("m")
+        )
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("m")))),
+                lambda s: s["m"],
+            ).alias("centroid")
+        )
+    )
+
+
+def kmeans_assign(corpus: DataFrame, key: str = "vec_id",
+                  vec: str = "embedding", n_centroids: int = 8) -> DataFrame:
+    """Attach a deterministic k-means cluster id to every vector (max
+    cosine vs the :func:`kmeans_centroids` codebook, ties to the lowest
+    cluster). Broadcast codebook — map-side per point, no shuffle."""
+    cents = kmeans_centroids(corpus, key, vec, n_centroids)
+    return _assign(
+        corpus.select(key, vec),
+        cents.select("cluster", F.col("centroid").alias("cvec")),
+        key, vec, "cvec",
+    )
+
+
+def semantic_dedup(corpus: DataFrame, key: str = "vec_id",
+                   vec: str = "embedding", n_centroids: int = 8,
+                   threshold: float = 0.4) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): k-means
+    cluster the embeddings, then inside each cluster mark every vector
+    whose cosine to a LOWER-keyed cluster-mate reaches ``threshold`` as a
+    semantic duplicate (the lowest-keyed member of each near-dup group is
+    the canonical keeper).
+
+    Output: (key, cluster, is_dup) — one row per input vector.
+
+    The 100 TB shape: the pair stage is an equi-self-join on the cluster
+    id — never an all-pairs nested loop. Per-cluster work is quadratic in
+    cluster size, which is the SemDeDup design point: production picks
+    n_centroids proportional to n so expected cluster size (and therefore
+    per-task cost) stays constant; a skewed cluster is one AQE-splittable
+    shuffle partition. Vectors shuffle once, keyed by cluster. (No
+    reference analog — this is one of the beyond-the-reference
+    training-data-pipeline operators.)
+    """
+    assigned = kmeans_assign(corpus, key, vec, n_centroids)
+    left = assigned.select(
+        "cluster", F.col(key).alias("a"), F.col(vec).alias("va")
+    )
+    right = assigned.select(
+        "cluster", F.col(key).alias("b"), F.col(vec).alias("vb")
+    )
+    pairs = left.join(right, "cluster").filter(F.col("a") < F.col("b"))
+    dup_ids = (
+        pairs.withColumn(
+            "cos4",
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                4,
+            ),
+        )
+        .filter(F.col("cos4") >= F.lit(threshold))
+        .select(F.col("b").alias(key))
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    return (
+        assigned.join(dup_ids, key, "left")
+        .select(
+            F.col(key),
+            F.col("cluster").cast("int").alias("cluster"),
+            F.coalesce(F.col("__dup"), F.lit(0)).alias("is_dup"),
+        )
+    )

@@ -381,3 +381,38 @@ def test_duplicated_ngram_coverage_interval_union(spark):
     assert out[3]["coverage"] == 0.5714
     # sub-k doc: zero coverage, present in output
     assert (out[4]["n_dup_spans"], out[4]["coverage"]) == (0, 0.0)
+
+
+def test_semantic_dedup_clusters_and_flags(spark):
+    """SemDeDup: handcrafted 2-D vectors with an obvious 2-cluster split —
+    exact copies / near-copies flag as dups, the lowest-id member of each
+    near-dup group survives, and the pair stage stays an equi-join."""
+    from ollama_ocr_spark.operators.similarity import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.999, 0.01]),
+         (4, [0.0, 1.0]), (5, [0.6, 0.8])],
+        ["vec_id", "embedding"],
+    )
+    out = semantic_dedup(emb, n_centroids=2, threshold=0.999)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3, 4, 5}
+    # 3 is a near-copy of 1; 4 an exact copy of 2; 5 is close to neither
+    assert [rows[i]["is_dup"] for i in (1, 2, 3, 4, 5)] == [0, 0, 1, 1, 0]
+    # same cluster for each near-dup pair
+    assert rows[1]["cluster"] == rows[3]["cluster"]
+    assert rows[2]["cluster"] == rows[4]["cluster"]
+    assert rows[1]["cluster"] != rows[2]["cluster"]
+    # the lowest-keyed member of a cluster can never be flagged
+    by_cluster = {}
+    for r in rows.values():
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    for members in by_cluster.values():
+        keeper = min(members, key=lambda r: r["vec_id"])
+        assert keeper["is_dup"] == 0
+    # scale shape: pairs come from an equi-join on cluster id — the only
+    # nested-loop allowed is the broadcast codebook assign, never a
+    # CartesianProduct
+    from ollama_ocr_spark.plans.audit import plan_report
+
+    assert "CartesianProduct" not in plan_report(out).raw
