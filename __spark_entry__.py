@@ -1069,6 +1069,38 @@ def q_crawl_diff(spark, sf_dir):
     return crawl_diff(synthesize_stage(_docs(spark, sf_dir)))
 
 
+def q_anchor_text_stats(spark, sf_dir):
+    """Inbound anchor-text counts per target host — one JVM-regex pass
+    over the latest-capture html; only (dst_host, anchor) pairs shuffle.
+    Oracle = corpus arithmetic: fixed per-archetype chrome anchors plus
+    the constant-text partner links to corpus.partner_hosts."""
+    from ollama_ocr_spark.operators.linkgraph import anchor_text_stats
+
+    return anchor_text_stats(_latest_pages(spark, sf_dir))
+
+
+def q_recrawl_schedule(spark, sf_dir):
+    """Per-host recrawl-interval histogram from the per-url schedule
+    (changed re-crawls get 24h, confirmed-stable 168h, single-capture
+    72h — Cho & Garcia-Molina change-frequency buckets)."""
+    from ollama_ocr_spark.operators.extract import synthesize_stage
+    from ollama_ocr_spark.operators.maintenance import recrawl_schedule
+
+    _ensure_shipped(spark)
+    per_url = recrawl_schedule(synthesize_stage(_docs(spark, sf_dir)))
+    return per_url.groupBy("host", "interval_hours").agg(
+        F.count("*").alias("n_urls")
+    )
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms (8dp-quantized idf for engine-
+    exact ln, deterministic double product for the ranking score)."""
+    from ollama_ocr_spark.operators.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir).select("doc_id", "text"), k=3)
+
+
 def q_unigram_logprob(spark, sf_dir):
     """Corpus-unigram LM quality proxy (CCNet perplexity-bucket analog):
     per-doc mean -ln p(token), add-one smoothed corpus unigram LM."""
@@ -1176,6 +1208,9 @@ _QUERIES = {
         "crawl_diff": q_crawl_diff,
         "unigram_logprob": q_unigram_logprob,
         "ngram_span_coverage": q_ngram_span_coverage,
+        "anchor_text_stats": q_anchor_text_stats,
+        "recrawl_schedule": q_recrawl_schedule,
+        "tfidf_top_terms": q_tfidf_top_terms,
 }
 
 
@@ -2515,6 +2550,78 @@ def oracle_sql() -> dict[str, str]:
                    sum(changed)::BIGINT AS n_changed,
                    sum(recrawled - changed)::BIGINT AS n_unchanged
             FROM d GROUP BY host
+        """,
+        # anchor_text_stats: corpus arithmetic — every html page carries
+        # 6 nav "Section i" + footer Terms/Privacy self-anchors; non-memo
+        # archetypes add the aside/link-farm five; footers add 3 constant
+        # "partner" anchors to corpus.partner_hosts.
+        "anchor_text_stats": f"""
+            WITH hd AS (
+              SELECT doc_id FROM documents
+              WHERE doc_id % 10 <= 6
+                AND NOT (doc_id % 10 = 4 AND doc_id % 20 = 14)
+            ),
+            base AS (SELECT doc_id, {_HOST_CASE} AS h FROM hd),
+            selfa AS (
+              SELECT h AS dst_host,
+                     unnest(['section 0','section 1','section 2','section 3',
+                             'section 4','section 5','terms','privacy'])
+                       AS anchor
+              FROM base
+              UNION ALL
+              SELECT h AS dst_host,
+                     unnest(['sponsored: one weird trick','limited offer',
+                             'related story one','related story two','more'])
+                       AS anchor
+              FROM base WHERE doc_id % 10 <> 4
+            ),
+            para AS (
+              SELECT {_host_case('doc_id * 7 + 11 * j + 3')} AS dst_host,
+                     'partner' AS anchor
+              FROM hd, (SELECT unnest(range(3)) AS j) g
+            )
+            SELECT dst_host, anchor, count(*)::BIGINT AS n_links
+            FROM (SELECT * FROM selfa UNION ALL SELECT * FROM para)
+            GROUP BY 1, 2
+        """,
+        # recrawl_schedule: doc_id % 5 == 0 urls have two captures
+        # (corpus.capture_rows) — k=5 changed -> 24h, k=0 identical ->
+        # 168h; everything else is single-capture -> 72h.
+        "recrawl_schedule": f"""
+            WITH d AS (
+              SELECT doc_id, {_HOST_CASE} AS host,
+                     CASE WHEN doc_id % 10 = 5 THEN 24
+                          WHEN doc_id % 10 = 0 THEN 168
+                          ELSE 72 END AS interval_hours
+              FROM documents
+            )
+            SELECT host, interval_hours, count(*)::BIGINT AS n_urls
+            FROM d GROUP BY 1, 2
+        """,
+        "tfidf_top_terms": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                       AS term
+              FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+            dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+            sc AS (
+              SELECT tf.doc_id, tf.term, tf.tf,
+                     tf.tf * round(ln((nd.n_docs + 1) / (dfq.df + 1)), 8)
+                       AS score
+              FROM tf JOIN dfq USING (term) CROSS JOIN nd
+            ),
+            rk AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+              FROM sc
+            )
+            SELECT doc_id, term, tf::BIGINT AS tf, round(score, 6) AS score,
+                   rnk::INT AS rnk
+            FROM rk WHERE rnk <= 3
         """,
         "unigram_logprob": """
             WITH toks AS (

@@ -110,6 +110,9 @@ EXTRA3 = (
     "unigram_logprob",
     "ngram_span_coverage",
     "semantic_dedup",
+    "anchor_text_stats",
+    "recrawl_schedule",
+    "tfidf_top_terms",
 )
 
 

@@ -36,6 +36,22 @@ from .maintenance import host_expr
 _HTML_PREFIX_RE = r"(?i)^\s*(<!doctype\s+html|<html)"
 
 
+def _dst_host(href, src_host):
+    """Resolve an href column to a destination host (absolute http(s) /
+    protocol-relative / site-relative; everything else NULL)."""
+    return (
+        F.when(
+            href.rlike(r"(?i)^https?://"),
+            F.lower(F.regexp_extract(href, r"(?i)^https?://([^/:?#]+)", 1)),
+        )
+        .when(
+            href.startswith("//"),
+            F.lower(F.regexp_extract(href, r"^//([^/:?#]+)", 1)),
+        )
+        .when(href.startswith("/"), src_host)
+    )
+
+
 def outlink_edges(pages: DataFrame, drop_self: bool = False) -> DataFrame:
     """(src_host, dst_host, n_links) host-level edge list from raw html.
 
@@ -55,17 +71,7 @@ def outlink_edges(pages: DataFrame, drop_self: bool = False) -> DataFrame:
         pages.filter(html_s.rlike(_HTML_PREFIX_RE))
         .select(host_expr().alias("src_host"), F.explode(hrefs).alias("href"))
     )
-    dst = (
-        F.when(
-            F.col("href").rlike(r"(?i)^https?://"),
-            F.lower(F.regexp_extract(F.col("href"), r"(?i)^https?://([^/:?#]+)", 1)),
-        )
-        .when(
-            F.col("href").startswith("//"),
-            F.lower(F.regexp_extract(F.col("href"), r"^//([^/:?#]+)", 1)),
-        )
-        .when(F.col("href").startswith("/"), F.col("src_host"))
-    )
+    dst = _dst_host(F.col("href"), F.col("src_host"))
     edges = (
         exploded.select("src_host", dst.alias("dst_host"))
         .filter(F.col("dst_host").isNotNull() & (F.col("dst_host") != ""))
@@ -135,3 +141,53 @@ def host_pagerank(edges: DataFrame, iterations: int = 3,
             .localCheckpoint(eager=True)
         )
     return ranks.select("host", F.round(F.col("rank"), 6).alias("rank"))
+
+
+def anchor_text_stats(pages: DataFrame) -> DataFrame:
+    """(dst_host, anchor, n_links): inbound anchor-text counts per target
+    host — the classic target-description signal (inbound anchor text
+    labels the page it points AT, powering search ranking features and
+    weak-supervision topic labels for training corpora).
+
+    Same scan shape as :func:`outlink_edges`: one JVM-regex pass pulls the
+    whole ``<a href="...">text</a>`` snippets while the html is already in
+    memory, a map-side explode splits them, and the only shuffle carries
+    tiny (dst_host, anchor) pairs — payload bytes never move. Anchor text
+    is lowercased with whitespace collapsed; nested-markup anchors (an
+    ``<a>`` wrapping other tags) are skipped by the ``[^<]*`` body — the
+    simple-anchor overwhelming majority is the signal this feature needs.
+
+    Feed it latest-capture pages so re-crawls do not double-count.
+    """
+    html_s = F.col("html").cast("string")
+    snips = F.regexp_extract_all(
+        html_s, F.lit(r'<a href="[^"]*"[^>]*>[^<]+</a>'), 0
+    )
+    exploded = (
+        pages.filter(html_s.rlike(_HTML_PREFIX_RE))
+        .select(host_expr().alias("src_host"), F.explode(snips).alias("snip"))
+        .select(
+            "src_host",
+            F.regexp_extract(F.col("snip"), r'href="([^"]*)"', 1).alias("href"),
+            F.lower(
+                F.trim(
+                    F.regexp_replace(
+                        F.regexp_extract(F.col("snip"), r">([^<]+)</a>$", 1),
+                        r"\s+", " ",
+                    )
+                )
+            ).alias("anchor"),
+        )
+    )
+    return (
+        exploded.select(
+            _dst_host(F.col("href"), F.col("src_host")).alias("dst_host"),
+            "anchor",
+        )
+        .filter(
+            F.col("dst_host").isNotNull() & (F.col("dst_host") != "")
+            & (F.col("anchor") != "")
+        )
+        .groupBy("dst_host", "anchor")
+        .agg(F.count("*").alias("n_links"))
+    )

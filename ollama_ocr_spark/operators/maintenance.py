@@ -457,3 +457,44 @@ def domain_mix(pages: DataFrame, weights: dict[str, float],
         )
     expr = _cond(default) if expr is None else expr.otherwise(_cond(default))
     return pages.filter(expr)
+
+
+def recrawl_schedule(pages: DataFrame, key: str = "url", ts: str = "warc_ts",
+                     changed_hours: int = 24, stable_hours: int = 168,
+                     unknown_hours: int = 72) -> DataFrame:
+    """Per-url recrawl scheduling from capture history — the Cho &
+    Garcia-Molina change-frequency heuristic collapsed to three buckets:
+    a url whose two newest captures differ gets the short interval, a
+    confirmed-stable url the long one, and a url captured once the middle
+    default (no evidence either way).
+
+    Output: (key, host, n_caps, changed, interval_hours) — one row per
+    url, ready to feed :func:`politeness_waves` for the next crawl round.
+
+    Same digest-only shuffle as :func:`crawl_diff`: md5(html) is computed
+    map-side in the scan stage, so only (url, host, ts, 32-byte digest)
+    crosses the wire; one window shuffle on url. NULL payloads digest as
+    NULL; the compare is null-safe.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts).desc())
+    newest = (
+        pages.select(
+            F.col(key), host_expr(key).alias("host"),
+            F.col(ts), F.md5(F.col("html")).alias("__digest"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__prev", F.lead("__digest").over(w))
+        .withColumn("__n_caps", F.count("*").over(Window.partitionBy(key)))
+        .filter(F.col("__rn") == 1)
+    )
+    recrawled = F.col("__n_caps") > 1
+    changed = recrawled & ~F.col("__digest").eqNullSafe(F.col("__prev"))
+    return newest.select(
+        F.col(key), F.col("host"),
+        F.col("__n_caps").cast("int").alias("n_caps"),
+        changed.cast("int").alias("changed"),
+        F.when(changed, F.lit(changed_hours))
+        .when(recrawled, F.lit(stable_hours))
+        .otherwise(F.lit(unknown_hours))
+        .alias("interval_hours"),
+    )

@@ -385,3 +385,49 @@ def pack_sequences(df: DataFrame, key: str = "doc_id",
         "bin_id",
         F.floor((cum - F.col("tokens")) / F.lit(budget)).cast("int"),
     ).select(key, "bucket", "bin_id", "tokens")
+
+
+def tfidf_top_terms(df: DataFrame, k: int = 3, key: str = "doc_id",
+                    col: str = "text") -> DataFrame:
+    """Per-document top-k TF-IDF terms — the classic keyword/topic signal
+    (search indexing, near-topic sampling, training-mix diagnostics).
+
+        score(d, t) = tf(d, t) * ln((N + 1) / (df(t) + 1))
+
+    Output: (key, term, tf, score, rnk) with ties broken by term asc.
+
+    Scale shape: two token aggregations with map-side partial combine
+    (per-(doc, term) counts, then per-term doc frequency — the second
+    aggregates from the already-collapsed first, never re-reading text),
+    ONE equi-join on term (the df dictionary is ≪ corpus; broadcastable
+    once capped via ``vocab_topk``), a 1-row broadcast for N, and a
+    per-doc top-k window. Engine parity: idf rounds to 8dp so Spark and
+    DuckDB ``ln`` agree bit-for-bit (the unigram_logprob pattern); the
+    ranking score tf*idf is then a single deterministic double product.
+    """
+    toks = df.select(
+        F.col(key),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(col)), F.lit(TOKEN_RE), 0)
+        ).alias("term"),
+    )
+    tf = toks.groupBy(key, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    ndocs = df.agg(F.count_distinct(F.col(key)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * F.round(F.log((F.col("n_docs") + 1) / (F.col("df") + 1)), 8),
+        )
+    )
+    w = Window.partitionBy(key).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(key, "term", "tf", F.round("score", 6).alias("score"), "rnk")
+    )

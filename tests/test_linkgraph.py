@@ -96,3 +96,87 @@ def test_unigram_logprob_flags_rare_tokens(spark):
     assert all(v > 0 for v in scores.values())
     # the gibberish doc is the clear outlier under the corpus LM
     assert scores[9] > max(scores[i] for i in range(9)) + 1.0
+
+
+def test_anchor_text_stats_resolution_and_normalization(spark):
+    """Anchor extraction resolves absolute/protocol-relative/site-relative
+    hrefs, lowercases + collapses whitespace, and skips nested-markup and
+    empty anchors."""
+    from ollama_ocr_spark.operators.linkgraph import anchor_text_stats
+
+    html = (
+        "<html><body>"
+        '<a href="https://Other.Example.com/x">Great  SITE</a>'
+        '<a href="//cdn.example.com/y">cdn</a>'
+        '<a href="/local">home page</a>'
+        '<a href="mailto:x@example.com">mail me</a>'
+        '<a href="/nested"><b>bold</b></a>'
+        '<a href="https://other.example.com/z">great site</a>'
+        "</body></html>"
+    ).encode()
+    pages = spark.createDataFrame(
+        [("https://src.example.com/p", bytearray(html))], ["url", "html"]
+    )
+    out = {(r["dst_host"], r["anchor"]): r["n_links"]
+           for r in anchor_text_stats(pages).collect()}
+    assert out == {
+        ("other.example.com", "great site"): 2,
+        ("cdn.example.com", "cdn"): 1,
+        ("src.example.com", "home page"): 1,
+    }
+
+
+def test_recrawl_schedule_buckets(spark):
+    """changed re-crawl -> short interval; stable -> long; single capture
+    -> default. NULL payloads compare null-safe."""
+    from datetime import datetime
+
+    from ollama_ocr_spark.operators.maintenance import recrawl_schedule
+
+    t1, t2 = datetime(2024, 1, 1), datetime(2024, 2, 1)
+    u = "https://h.example.com/%s"
+    pages = spark.createDataFrame(
+        [(u % "changed", t1, bytearray(b"v1")),
+         (u % "changed", t2, bytearray(b"v2")),
+         (u % "stable", t1, bytearray(b"same")),
+         (u % "stable", t2, bytearray(b"same")),
+         (u % "once", t1, bytearray(b"only")),
+         (u % "gone", t1, None),
+         (u % "gone", t2, None)],
+        "url string, warc_ts timestamp, html binary",
+    )
+    rows = {r["url"].rsplit("/", 1)[1]: r
+            for r in recrawl_schedule(pages).collect()}
+    assert rows["changed"]["interval_hours"] == 24
+    assert rows["changed"]["changed"] == 1 and rows["changed"]["n_caps"] == 2
+    assert rows["stable"]["interval_hours"] == 168
+    assert rows["stable"]["changed"] == 0
+    assert rows["once"]["interval_hours"] == 72 and rows["once"]["n_caps"] == 1
+    # two NULL captures digest equal (null-safe) -> stable
+    assert rows["gone"]["interval_hours"] == 168
+
+
+def test_tfidf_top_terms_ranking(spark):
+    """A term unique to one doc outscores corpus-wide terms; ties break by
+    term asc; rnk caps at k."""
+    from ollama_ocr_spark.operators.textstats import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "alpha alpha shared shared shared"),
+         (2, "beta shared"),
+         (3, "shared gamma gamma")],
+        ["doc_id", "text"],
+    )
+    out = tfidf_top_terms(docs, k=2).collect()
+    top = {r["doc_id"]: [x["term"] for x in sorted(
+        (q for q in out if q["doc_id"] == r["doc_id"]),
+        key=lambda q: q["rnk"])] for r in out}
+    # df(shared)=3 -> idf=0: rare terms win despite lower tf
+    assert top[1] == ["alpha", "shared"]
+    assert top[2] == ["beta", "shared"]
+    assert top[3] == ["gamma", "shared"]
+    a1 = [r for r in out if r["doc_id"] == 1 and r["term"] == "alpha"][0]
+    assert a1["tf"] == 2 and a1["rnk"] == 1 and a1["score"] > 0
+    sh = [r for r in out if r["term"] == "shared"][0]
+    assert sh["score"] == 0.0
+    assert all(r["rnk"] <= 2 for r in out)
