@@ -1101,6 +1101,31 @@ def q_tfidf_top_terms(spark, sf_dir):
     return tfidf_top_terms(_docs(spark, sf_dir).select("doc_id", "text"), k=3)
 
 
+def q_phrase_search(spark, sf_dir):
+    """Exact-phrase search over positional postings: per-word filtered
+    postings equi-joined on (doc, shifted pos) — cost tracks the rarest
+    word, never the corpus."""
+    from ollama_ocr_spark.operators.search import (phrase_search,
+                                                   positional_postings)
+
+    return phrase_search(
+        positional_postings(_docs(spark, sf_dir).select("doc_id", "text")),
+        ["table", "part"],
+    )
+
+
+def q_and_search(spark, sf_dir):
+    """Boolean-AND search: one filtered postings scan + one groupBy(doc);
+    match = distinct-term count reaches the query width."""
+    from ollama_ocr_spark.operators.search import (and_search,
+                                                   positional_postings)
+
+    return and_search(
+        positional_postings(_docs(spark, sf_dir).select("doc_id", "text")),
+        ["vector", "merge"],
+    )
+
+
 def q_unigram_logprob(spark, sf_dir):
     """Corpus-unigram LM quality proxy (CCNet perplexity-bucket analog):
     per-doc mean -ln p(token), add-one smoothed corpus unigram LM."""
@@ -1209,6 +1234,8 @@ _QUERIES = {
         "unigram_logprob": q_unigram_logprob,
         "ngram_span_coverage": q_ngram_span_coverage,
         "anchor_text_stats": q_anchor_text_stats,
+        "phrase_search": q_phrase_search,
+        "and_search": q_and_search,
         "recrawl_schedule": q_recrawl_schedule,
         "tfidf_top_terms": q_tfidf_top_terms,
 }
@@ -2597,6 +2624,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT host, interval_hours, count(*)::BIGINT AS n_urls
             FROM d GROUP BY 1, 2
+        """,
+        "phrase_search": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+              FROM documents
+            ),
+            pos AS (SELECT doc_id, unnest(range(len(l))) AS p, l FROM toks),
+            pp AS (SELECT doc_id, p, l[(p + 1)::INT] AS term FROM pos)
+            SELECT a.doc_id, count(*)::BIGINT AS n_matches
+            FROM pp a JOIN pp b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+            WHERE a.term = 'table' AND b.term = 'part'
+            GROUP BY 1
+        """,
+        "and_search": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                       AS term
+              FROM documents
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_hits
+            FROM toks WHERE term IN ('vector', 'merge')
+            GROUP BY doc_id
+            HAVING count(DISTINCT term) = 2
         """,
         "tfidf_top_terms": """
             WITH toks AS (

@@ -113,6 +113,7 @@ EXTRA3 = (
     "anchor_text_stats",
     "recrawl_schedule",
     "tfidf_top_terms",
+    "phrase_search",
 )
 
 

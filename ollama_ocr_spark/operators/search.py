@@ -1,0 +1,87 @@
+"""Distributed inverted index + phrase search over the extracted corpus.
+
+The IR surface a production corpus needs next to dedup/curation: build
+positional posting ROWS (term, doc, pos) — rows, not per-term arrays, so
+a hot term (stopword) spreads across shuffle partitions instead of
+becoming one giant list on one executor — and answer conjunctive and
+exact-phrase queries with nothing but selective filters + equi-joins.
+
+Scale shape:
+- :func:`positional_postings` is one scan + map-side lowercase/tokenize/
+  posexplode; no shuffle at all until a consumer aggregates. Persist it
+  with ``maintenance.write_bucketed(postings, tbl, "term")`` and every
+  term lookup becomes a bucket-pruned scan with no exchange.
+- :func:`phrase_search` filters each phrase word's postings FIRST (the
+  filter pushes to the parquet scan of a materialized index) and then
+  equi-joins on (doc, adjusted position): w_i must sit at ``pos + i``.
+  Join inputs are |postings(w_i)| rows, never the corpus; plans stay
+  hash/sort-merge equi-joins (plan-asserted in tests).
+- :func:`and_search` is the boolean-AND variant: one groupBy(doc) over
+  the union of the phrase words' postings, match = distinct-term count.
+
+No reference analog — the single-doc reference never indexes; this is
+part of the beyond-the-reference training-data/IR surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import TOKEN_RE
+
+
+def positional_postings(docs: DataFrame, key: str = "doc_id",
+                        col: str = "text") -> DataFrame:
+    """(term, key, pos): positional inverted-index rows, pos 0-based in
+    token order. Map-side only — tokenization mirrors the rest of the
+    text stack (lowercased ``TOKEN_RE`` runs)."""
+    return docs.select(
+        F.col(key),
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col(col)), F.lit(TOKEN_RE), 0)
+        ).alias("pos", "term"),
+    ).select("term", key, "pos")
+
+
+def phrase_search(postings: DataFrame, phrase: list[str],
+                  key: str = "doc_id") -> DataFrame:
+    """Exact-phrase match over positional postings: returns
+    (key, n_matches) for every document containing the words of
+    ``phrase`` consecutively, with the occurrence count.
+
+    Word i's postings are filtered first, shifted to ``pos - i``, and
+    equi-joined on (key, pos) — each join input is one term's postings,
+    so cost tracks the rarest-word selectivity, not corpus size.
+    """
+    if not phrase:
+        raise ValueError("phrase must contain at least one word")
+    words = [w.lower() for w in phrase]
+    base = postings.filter(F.col("term") == words[0]).select(key, "pos")
+    for i, w in enumerate(words[1:], start=1):
+        nxt = postings.filter(F.col("term") == w).select(
+            F.col(key), (F.col("pos") - i).alias("pos")
+        )
+        base = base.join(nxt, [key, "pos"])
+    return base.groupBy(key).agg(F.count("*").alias("n_matches"))
+
+
+def and_search(postings: DataFrame, words: list[str],
+               key: str = "doc_id") -> DataFrame:
+    """Boolean-AND match: documents containing ALL of ``words`` anywhere.
+    One filtered scan + one groupBy(key) — match when the distinct-term
+    count reaches len(words). Returns (key, n_hits) where n_hits is the
+    total occurrence count across the query words."""
+    if not words:
+        raise ValueError("words must contain at least one term")
+    lw = [w.lower() for w in words]
+    hits = postings.filter(F.col("term").isin(lw))
+    return (
+        hits.groupBy(key)
+        .agg(
+            F.count_distinct(F.col("term")).alias("__nt"),
+            F.count("*").alias("n_hits"),
+        )
+        .filter(F.col("__nt") == len(lw))
+        .select(key, "n_hits")
+    )

@@ -416,3 +416,32 @@ def test_semantic_dedup_clusters_and_flags(spark):
     from ollama_ocr_spark.plans.audit import plan_report
 
     assert "CartesianProduct" not in plan_report(out).raw
+
+
+def test_phrase_and_and_search(spark):
+    """Positional phrase search finds only consecutive matches, counts
+    overlapping occurrences, and stays equi-join-only; AND search needs
+    every word but not adjacency."""
+    from ollama_ocr_spark.operators.search import (and_search, phrase_search,
+                                                   positional_postings)
+
+    docs = spark.createDataFrame(
+        [(1, "big table part one"),
+         (2, "part table big"),
+         (3, "table part table part"),
+         (4, "Table PART"),
+         (5, "table only here")],
+        ["doc_id", "text"],
+    )
+    posts = positional_postings(docs)
+    ph = {r["doc_id"]: r["n_matches"]
+          for r in phrase_search(posts, ["table", "part"]).collect()}
+    assert ph == {1: 1, 3: 2, 4: 1}     # 2 has the words, wrong order
+    an = {r["doc_id"]: r["n_hits"]
+          for r in and_search(posts, ["table", "part"]).collect()}
+    assert an == {1: 2, 2: 2, 3: 4, 4: 2}
+    # scale shape: joins on (doc, pos) are hash/sort-merge equi-joins
+    from ollama_ocr_spark.plans.audit import audit_plan
+
+    audit_plan(phrase_search(posts, ["table", "part"]),
+               forbid_ops=["BroadcastNestedLoopJoin", "CartesianProduct"])
