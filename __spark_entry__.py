@@ -1101,6 +1101,27 @@ def q_tfidf_top_terms(spark, sf_dir):
     return tfidf_top_terms(_docs(spark, sf_dir).select("doc_id", "text"), k=3)
 
 
+def q_bpe_pair_counts(spark, sf_dir):
+    """Top-200 adjacent-symbol pair counts over the distinct-word
+    frequency table — the statistic one BPE merge iteration maximizes
+    (pair stage costs O(vocab), not O(corpus))."""
+    from ollama_ocr_spark.operators.textstats import bpe_pair_counts
+
+    return bpe_pair_counts(_docs(spark, sf_dir), k=200)
+
+
+def q_dsir_importance(spark, sf_dir):
+    """DSIR-style hashed-bigram importance weights: every raw doc scored
+    against the 'en' slice as the target domain (8dp-quantized ln +
+    decimal per-doc sum for engine parity)."""
+    from ollama_ocr_spark.operators.textstats import dsir_importance_weights
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    return dsir_importance_weights(
+        docs, docs.filter(F.col("lang") == "en")
+    )
+
+
 def q_phrase_search(spark, sf_dir):
     """Exact-phrase search over positional postings: per-word filtered
     postings equi-joined on (doc, shifted pos) — cost tracks the rarest
@@ -1238,6 +1259,8 @@ _QUERIES = {
         "and_search": q_and_search,
         "recrawl_schedule": q_recrawl_schedule,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "dsir_importance": q_dsir_importance,
 }
 
 
@@ -2674,6 +2697,69 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, term, tf::BIGINT AS tf, round(score, 6) AS score,
                    rnk::INT AS rnk
             FROM rk WHERE rnk <= 3
+        """,
+        "bpe_pair_counts": """
+            WITH toks AS (
+              SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                       AS w
+              FROM documents
+            ),
+            wc AS (SELECT w, count(*) AS wn FROM toks GROUP BY w),
+            pr AS (
+              SELECT substr(w, i::INT, 2) AS pair, wn
+              FROM (SELECT w, wn, unnest(range(1, length(w))) AS i
+                    FROM wc WHERE length(w) >= 2)
+            )
+            SELECT pair, sum(wn)::BIGINT AS n
+            FROM pr GROUP BY pair
+            ORDER BY n DESC, pair LIMIT 200
+        """,
+        "dsir_importance": """
+            WITH tl AS (
+              SELECT doc_id, lang,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents
+            ),
+            unn AS (
+              SELECT doc_id, lang, t, unnest(range(1, len(t))) AS i
+              FROM tl WHERE len(t) >= 2
+            ),
+            gsel AS (
+              SELECT doc_id, lang,
+                     t[i::INT] || ' ' || t[(i + 1)::INT] AS g
+              FROM unn
+            ),
+            feat AS (
+              SELECT doc_id, lang,
+                     (instr('0123456789abcdef', substr(md5(g), 1, 1)) - 1)
+                       * 16
+                     + instr('0123456789abcdef', substr(md5(g), 2, 1)) - 1
+                       AS b
+              FROM gsel
+            ),
+            docfeat AS (
+              SELECT doc_id, b, count(*) AS n FROM feat GROUP BY 1, 2
+            ),
+            rawlm AS (SELECT b, count(*) AS cr FROM feat GROUP BY b),
+            tgtlm AS (SELECT b, count(*) AS ct FROM feat
+                      WHERE lang = 'en' GROUP BY b),
+            rt AS (SELECT sum(cr) AS tr FROM rawlm),
+            tt AS (SELECT sum(ct) AS tt FROM tgtlm),
+            lm AS (
+              SELECT rawlm.b,
+                     round(ln((coalesce(ct, 0) + 1) / (tt + 256)), 8)
+                     - round(ln((cr + 1) / (tr + 256)), 8) AS dlogp
+              FROM rawlm LEFT JOIN tgtlm USING (b)
+              CROSS JOIN rt CROSS JOIN tt
+            ),
+            sc AS (
+              SELECT doc_id, sum(n)::BIGINT AS n_feats,
+                     sum(CAST(n * dlogp AS DECIMAL(18, 8))) AS lw
+              FROM docfeat JOIN lm USING (b) GROUP BY doc_id
+            )
+            SELECT doc_id, n_feats, round(lw::DOUBLE, 4) AS log_weight,
+                   lw > 0 AS keep
+            FROM sc
         """,
         "unigram_logprob": """
             WITH toks AS (

@@ -431,3 +431,136 @@ def tfidf_top_terms(df: DataFrame, k: int = 3, key: str = "doc_id",
         .filter(F.col("rnk") <= k)
         .select(key, "term", "tf", F.round("score", 6).alias("score"), "rnk")
     )
+
+
+def bpe_pair_counts(df: DataFrame, col: str = "text",
+                    k: int = 200) -> DataFrame:
+    """Tokenizer-training prep: adjacent-symbol pair frequencies — the
+    statistic one BPE merge iteration maximizes (Sennrich et al. 2016;
+    the counting step of every BPE/WordPiece trainer).
+
+    Scale shape is the textbook BPE trick: pair counting runs over the
+    DISTINCT-WORD frequency table, not the corpus. One token explode →
+    groupBy(word) with map-side partial combine collapses the corpus to
+    its vocabulary (≪ corpus, zipf-bounded); the per-word character-pair
+    explode then costs O(vocab × word_len) — at 100 TB the corpus pass
+    is the linear scan you already pay for ``vocab_topk`` and the pair
+    stage is effectively free. Words of length 1 contribute no pairs
+    (guarded — ``sequence(1, 0)`` is DESCENDING, not empty).
+
+    Output: (pair, n) — top-k pairs by weighted frequency, ties broken
+    by pair asc. Feeding merges back in (iteration 2+) is a driver loop
+    re-running this over re-segmented words; each iteration stays
+    vocab-sized.
+    """
+    words = df.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(col)), F.lit(TOKEN_RE), 0)
+        ).alias("w")
+    )
+    wc = words.groupBy("w").agg(F.count("*").alias("wn"))
+    pairs = wc.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.substr(F.col("w"), i, F.lit(2)),
+            )
+        ).alias("pair"),
+        F.col("wn"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wn").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(k)
+    )
+
+
+def dsir_importance_weights(df: DataFrame, target, key: str = "doc_id",
+                            col: str = "text",
+                            n_buckets: int = 256) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw document
+    by how much more likely its hashed-bigram features are under the
+    TARGET domain's feature distribution than under the raw corpus's:
+
+        log w(x) = Σ_b n_x(b) * (ln p_T(b) - ln p_R(b))
+        p(b) = (c(b) + 1) / (T + B)          (add-one over B buckets)
+
+    ``target`` is a DataFrame of in-domain documents (same ``col``) — in
+    production the quality slice you want more of (e.g. curated text);
+    docs with positive log-weight look more target-like than raw-like.
+
+    Scale shape: bigram explode → per-(doc, bucket) counts (map-side
+    partial combine; bucket table is exactly ``n_buckets`` rows so both
+    LM sides broadcast), ONE equi-join on bucket. Engine parity: bucket
+    ids come from the first 2 md5 hex chars (portable everywhere), per-
+    bucket log-probs round to 8dp (Spark/DuckDB ``ln`` bit-agreement),
+    and the per-doc sum runs in DECIMAL(18, 8) so it is order-insensitive.
+
+    Output: (key, n_feats, log_weight, keep) — keep = log_weight > 0.
+    """
+    def _buckets(frame: DataFrame, k: str) -> DataFrame:
+        toks = F.regexp_extract_all(F.lower(F.col(col)), F.lit(TOKEN_RE), 0)
+        bigrams = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return frame.select(
+            F.col(k),
+            F.explode(bigrams).alias("bg"),
+        ).select(
+            F.col(k),
+            F.pmod(
+                F.conv(F.substring(F.md5(F.col("bg")), 1, 2), 16, 10)
+                .cast("bigint"),
+                F.lit(n_buckets),
+            ).alias("b"),
+        )
+
+    doc_feats = _buckets(df, key).groupBy(key, "b").agg(
+        F.count("*").alias("n")
+    )
+    raw_lm = _buckets(df, key).groupBy("b").agg(F.count("*").alias("cr"))
+    tgt_lm = _buckets(target, key).groupBy("b").agg(F.count("*").alias("ct"))
+    raw_tot = raw_lm.agg(F.sum("cr").alias("tr"))
+    tgt_tot = tgt_lm.agg(F.sum("ct").alias("tt"))
+
+    lm = (
+        raw_lm.join(tgt_lm, "b", "left")
+        .crossJoin(F.broadcast(raw_tot))
+        .crossJoin(F.broadcast(tgt_tot))
+        .select(
+            "b",
+            (
+                F.round(
+                    F.log(
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                        / (F.col("tt") + F.lit(n_buckets))
+                    ),
+                    8,
+                )
+                - F.round(
+                    F.log((F.col("cr") + 1) / (F.col("tr") + F.lit(n_buckets))),
+                    8,
+                )
+            ).alias("dlogp"),
+        )
+    )
+    scored = doc_feats.join(F.broadcast(lm), "b").groupBy(key).agg(
+        F.sum("n").alias("n_feats"),
+        F.sum(
+            (F.col("n") * F.col("dlogp")).cast("decimal(18,8)")
+        ).alias("__lw"),
+    )
+    return scored.select(
+        key,
+        "n_feats",
+        F.round(F.col("__lw").cast("double"), 4).alias("log_weight"),
+        (F.col("__lw") > 0).alias("keep"),
+    )

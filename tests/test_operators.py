@@ -445,3 +445,35 @@ def test_phrase_and_and_search(spark):
 
     audit_plan(phrase_search(posts, ["table", "part"]),
                forbid_ops=["BroadcastNestedLoopJoin", "CartesianProduct"])
+
+
+def test_bpe_pair_counts(spark):
+    from ollama_ocr_spark.operators.textstats import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [(1, "abab abab cd"), (2, "abab x")],   # 'ab' dominates; 'x' no pair
+        ["doc_id", "text"],
+    )
+    got = {r["pair"]: r["n"] for r in bpe_pair_counts(df).collect()}
+    # "abab" x3 → per word: ab,ba,ab → ab twice; plus cd once
+    assert got["ab"] == 6 and got["ba"] == 3 and got["cd"] == 1
+    assert "x" not in got  # length-1 word contributes no pair
+
+
+def test_dsir_importance_sign(spark):
+    from ollama_ocr_spark.operators.textstats import dsir_importance_weights
+
+    raw = spark.createDataFrame(
+        [(1, "good clean prose flows here"),
+         (2, "good clean prose flows here"),
+         (3, "buy cheap pills now online"),
+         (4, "buy cheap pills now online")],
+        ["doc_id", "text"],
+    )
+    target = raw.filter("doc_id <= 2")   # target domain = the clean docs
+    got = {r["doc_id"]: r for r in dsir_importance_weights(raw, target).collect()}
+    # target-like docs score above the spam docs; keep == (log_weight > 0)
+    assert got[1]["log_weight"] > got[3]["log_weight"]
+    for r in got.values():
+        assert r["keep"] == (r["log_weight"] > 0)
+    assert got[1]["n_feats"] == 4
