@@ -1122,6 +1122,46 @@ def q_dsir_importance(spark, sf_dir):
     )
 
 
+def q_group_holdout_split(spark, sf_dir):
+    """Leakage-safe split at SOURCE granularity honoring row fractions:
+    groups laid out in md5 order, each split takes a contiguous cumulative-
+    row run (plain per-group hashing misses 90/5/5 under group skew)."""
+    from ollama_ocr_spark.operators.maintenance import group_holdout_split
+
+    return group_holdout_split(
+        _docs(spark, sf_dir), group_col="source"
+    ).select("doc_id", "source", "split")
+
+
+def q_temperature_mix(spark, sf_dir):
+    """Alpha=0.5 temperature-scaled source mixing to a 50% target corpus:
+    per-source keep-rates derived from sqrt-scaled counts (IEEE-exact),
+    md5-bucket thresholds — deterministic on any engine."""
+    from ollama_ocr_spark.operators.maintenance import temperature_mix
+
+    out = temperature_mix(
+        _docs(spark, sf_dir), alpha=0.5, target_frac=0.5, key="doc_id"
+    )
+    return out.select("doc_id", "source")
+
+
+def q_zorder_key(spark, sf_dir):
+    """Morton (Z-order) clustering key over a (x, y) = (doc_id % 64,
+    doc_id // 64 % 64) grid — the write-layout key that makes min/max file
+    stats prune BOTH dimensions. Pure bigint shift/mask codegen."""
+    from ollama_ocr_spark.operators.maintenance import zorder_key
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.col("doc_id") % 64).alias("x"),
+        ((F.col("doc_id") / 64).cast("bigint") % 64).alias("y"),
+    )
+    return d.select(
+        "doc_id", "x", "y",
+        zorder_key(F.col("x"), F.col("y"), bits=6).alias("zkey"),
+    )
+
+
 def q_phrase_search(spark, sf_dir):
     """Exact-phrase search over positional postings: per-word filtered
     postings equi-joined on (doc, shifted pos) — cost tracks the rarest
@@ -1261,6 +1301,9 @@ _QUERIES = {
         "tfidf_top_terms": q_tfidf_top_terms,
         "bpe_pair_counts": q_bpe_pair_counts,
         "dsir_importance": q_dsir_importance,
+        "group_holdout_split": q_group_holdout_split,
+        "temperature_mix": q_temperature_mix,
+        "zorder_key": q_zorder_key,
 }
 
 
@@ -2760,6 +2803,68 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_feats, round(lw::DOUBLE, 4) AS log_weight,
                    lw > 0 AS keep
             FROM sc
+        """,
+        "group_holdout_split": """
+            WITH sizes AS (
+              SELECT source, count(*) AS n FROM documents GROUP BY source
+            ),
+            tot AS (SELECT sum(n) AS total FROM sizes),
+            cum AS (
+              SELECT source,
+                     sum(n) OVER (ORDER BY md5(source)) - n AS bef
+              FROM sizes
+            ),
+            asg AS (
+              SELECT source,
+                     CASE WHEN bef / total < 0.9 THEN 'train'
+                          WHEN bef / total < 0.95 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM cum CROSS JOIN tot
+            )
+            SELECT d.doc_id, d.source, a.split
+            FROM documents d JOIN asg a USING (source)
+        """,
+        "temperature_mix": """
+            WITH sizes AS (
+              SELECT source, count(*) AS c FROM documents GROUP BY source
+            ),
+            wdec AS (
+              SELECT source, c,
+                     CAST(round(sqrt(c::DOUBLE), 6) AS DECIMAL(28, 6)) AS w
+              FROM sizes
+            ),
+            tot AS (SELECT sum(w) AS wsum, sum(c) AS n FROM wdec),
+            rates AS (
+              SELECT source,
+                     least(
+                       CAST(floor(
+                         ((CAST(round(n * 0.5) AS BIGINT)
+                           * (w::DOUBLE / wsum::DOUBLE)) / c) * 65536
+                       ) AS BIGINT),
+                       65536
+                     ) AS thr
+              FROM wdec CROSS JOIN tot
+            )
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN rates r USING (source)
+            WHERE r.thr >= 65536
+               OR substr(md5(d.doc_id::VARCHAR), 1, 4)
+                  < lpad(lower(to_hex(r.thr)), 4, '0')
+        """,
+        "zorder_key": """
+            WITH g AS (
+              SELECT doc_id, doc_id % 64 AS x, (doc_id // 64) % 64 AS y
+              FROM documents
+            )
+            SELECT doc_id, x, y,
+                   (((x >> 0) & 1) << 0)  + (((y >> 0) & 1) << 1)
+                 + (((x >> 1) & 1) << 2)  + (((y >> 1) & 1) << 3)
+                 + (((x >> 2) & 1) << 4)  + (((y >> 2) & 1) << 5)
+                 + (((x >> 3) & 1) << 6)  + (((y >> 3) & 1) << 7)
+                 + (((x >> 4) & 1) << 8)  + (((y >> 4) & 1) << 9)
+                 + (((x >> 5) & 1) << 10) + (((y >> 5) & 1) << 11)
+                   AS zkey
+            FROM g
         """,
         "unigram_logprob": """
             WITH toks AS (

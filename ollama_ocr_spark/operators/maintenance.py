@@ -498,3 +498,148 @@ def recrawl_schedule(pages: DataFrame, key: str = "url", ts: str = "warc_ts",
         .otherwise(F.lit(unknown_hours))
         .alias("interval_hours"),
     )
+
+
+def group_holdout_split(df: DataFrame, group_col: str = "host",
+                        boundaries: tuple = (("train", 0.9), ("val", 0.05),
+                                             ("test", 0.05)),
+                        col_name: str = "split") -> DataFrame:
+    """Leakage-safe train/val/test assignment at GROUP granularity that
+    still honors ROW-count fractions: every row of a group lands in the
+    same split (near-duplicate pages concentrate within hosts, so a
+    url-level :func:`hash_split` leaks eval content into train), and the
+    groups are laid out in md5 order with each split taking a contiguous
+    run of the cumulative ROW count — so realized row fractions match the
+    targets to one-group granularity even under zipf host skew (plain
+    md5-of-group bucketing can miss 90/5/5 by the whole head-host mass).
+
+    Scale shape: one groupBy(group) count (map-side partial combine), a
+    window cumsum over the DISTINCT-GROUP relation (≪ corpus; the single-
+    partition window is over group rows, never data rows), then one
+    broadcast join back. Deterministic — no RNG, no seed.
+    """
+    sizes = df.groupBy(group_col).agg(F.count("*").alias("__n"))
+    w = Window.orderBy(F.md5(F.col(group_col).cast("string")))
+    total = sizes.agg(F.sum("__n").alias("__total"))
+    cum = (
+        sizes.withColumn("__before", F.sum("__n").over(w) - F.col("__n"))
+        .crossJoin(F.broadcast(total))
+        .withColumn("__frac", F.col("__before") / F.col("__total"))
+    )
+    acc = 0.0
+    expr = None
+    for name, frac in boundaries[:-1]:
+        # round() keeps the cumulative boundary equal to the double a SQL
+        # literal parses to (0.9 + 0.05 is 0.9500000000000001 unrounded)
+        acc = round(acc + frac, 12)
+        cond = F.col("__frac") < acc
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        F.lit(boundaries[-1][0]) if expr is None
+        else expr.otherwise(boundaries[-1][0])
+    )
+    assign = cum.select(group_col, expr.alias(col_name))
+    return df.join(F.broadcast(assign), group_col)
+
+
+def temperature_mix(pages: DataFrame, alpha: float = 0.5,
+                    target_frac: float = 0.5, key: str = "url",
+                    source_col: str = "source") -> DataFrame:
+    """Temperature-scaled source mixing (the multilingual/multi-domain
+    alpha-sampling rule: p_s ∝ c_s^alpha flattens the source distribution
+    so head domains stop drowning the tail), downsampling each source
+    deterministically so the kept corpus totals ``target_frac`` of the
+    input with source shares ∝ count^alpha. :func:`domain_mix` is the
+    fixed-weight special case; this derives the weights from the data.
+
+    ``alpha`` must be one of {1.0, 0.75, 0.5, 0.25}: those powers compose
+    from IEEE-exact ``sqrt``/multiply (correctly-rounded, identical on
+    every engine) — general ``pow`` is NOT bit-portable across engines.
+
+    Scale shape: one small groupBy(source) count; per-source weights
+    round to 6dp DECIMAL so the cross-source sum is order-insensitive;
+    keep-rates quantize to md5-bucket thresholds (granularity 1/65536,
+    same arithmetic as :func:`hash_split`); one broadcast join back and a
+    map-side filter. Deterministic — same kept set on any engine or
+    partitioning. Realized fraction tracks ``target_frac`` up to bucket
+    granularity and min(1, ·) clipping of over-asked tail sources.
+    """
+    powers = {1.0: lambda c: c, 0.75: lambda c: F.sqrt(c) * F.sqrt(F.sqrt(c)),
+              0.5: F.sqrt, 0.25: lambda c: F.sqrt(F.sqrt(c))}
+    if alpha not in powers:
+        raise ValueError(f"alpha must be one of {sorted(powers)}")
+    sizes = pages.groupBy(source_col).agg(F.count("*").alias("__c"))
+    wdec = sizes.withColumn(
+        "__w",
+        F.round(powers[alpha](F.col("__c").cast("double")), 6)
+        .cast("decimal(28,6)"),
+    )
+    tot = wdec.agg(
+        F.sum("__w").alias("__wsum"), F.sum("__c").alias("__n"))
+    rates = (
+        wdec.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "__rate",
+            (
+                (F.round(F.col("__n") * target_frac).cast("bigint")
+                 * (F.col("__w").cast("double")
+                    / F.col("__wsum").cast("double")))
+                / F.col("__c")
+            ),
+        )
+        .withColumn(
+            "__thr",
+            F.least(F.floor(F.col("__rate") * 65536).cast("bigint"),
+                    F.lit(65536).cast("bigint")),
+        )
+        .select(source_col, "__thr")
+    )
+    h = F.substring(F.md5(F.col(key).cast("string")), 1, 4)
+    return (
+        pages.join(F.broadcast(rates), source_col)
+        .filter(
+            (F.col("__thr") >= 65536)
+            | (h < F.lpad(F.lower(F.hex(F.col("__thr"))), 4, "0"))
+        )
+        .drop("__thr")
+    )
+
+
+def zorder_key(x, y, bits: int = 16):
+    """Morton (Z-order) bit-interleave of two non-negative ints — the
+    space-filling-curve clustering key behind Delta/Iceberg ``OPTIMIZE
+    ZORDER BY``: sorting by it co-locates rows that are close in BOTH
+    dimensions, so min/max file stats prune 2-D predicates (host + time,
+    lang + length, ...) instead of only the leading sort column.
+
+    Unrolled ``2*bits`` shift/mask terms — plain bigint arithmetic, stays
+    inside whole-stage codegen (no HOF, no UDF).
+    """
+    expr = None
+    for i in range(bits):
+        tx = F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        ty = F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        term = tx + ty
+        expr = term if expr is None else expr + term
+    return expr
+
+
+def cluster_by_zorder(df: DataFrame, x_col: str, y_col: str,
+                      num_partitions: int, bits: int = 16) -> DataFrame:
+    """Range-partition + sort by the Z-order key of (x, y) — the write-
+    side layout pass before a parquet/Iceberg sink. Each output file then
+    covers a compact square-ish region of the (x, y) domain, so scans
+    filtered on EITHER dimension skip most files via row-group min/max
+    stats; a plain ``sortWithinPartitions(x)`` layout prunes only x.
+
+    One range shuffle (sampled boundaries — even output files regardless
+    of key skew); the sort is per-partition, never global.
+    """
+    key = zorder_key(
+        F.col(x_col).cast("bigint"), F.col(y_col).cast("bigint"), bits
+    ).alias("__zkey")
+    return (
+        df.withColumn("__zkey", key)
+        .repartitionByRange(num_partitions, "__zkey")
+        .sortWithinPartitions("__zkey")
+    )
