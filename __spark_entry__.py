@@ -1162,6 +1162,20 @@ def q_zorder_key(spark, sf_dir):
     )
 
 
+def q_shingle_novelty(spark, sf_dir):
+    """Per-crawl-round new-content fraction: doc_id order IS crawl order
+    in the corpus (warc_ts = BASE_TS + doc_id s), so rounds are doc_id/50
+    batches; a round's novelty = share of its distinct 5-gram shingles
+    never seen in an earlier round."""
+    from ollama_ocr_spark.operators.dedup import shingle_novelty
+
+    d = _docs(spark, sf_dir).select(
+        F.floor(F.col("doc_id") / 50).cast("bigint").alias("crawl_round"),
+        "text",
+    )
+    return shingle_novelty(d)
+
+
 def q_phrase_search(spark, sf_dir):
     """Exact-phrase search over positional postings: per-word filtered
     postings equi-joined on (doc, shifted pos) — cost tracks the rarest
@@ -1304,6 +1318,7 @@ _QUERIES = {
         "group_holdout_split": q_group_holdout_split,
         "temperature_mix": q_temperature_mix,
         "zorder_key": q_zorder_key,
+        "shingle_novelty": q_shingle_novelty,
 }
 
 
@@ -2803,6 +2818,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_feats, round(lw::DOUBLE, 4) AS log_weight,
                    lw > 0 AS keep
             FROM sc
+        """,
+        "shingle_novelty": """
+            WITH w AS (
+              SELECT doc_id // 50 AS r, string_split(text, ' ') AS w
+              FROM documents
+            ),
+            pos AS (
+              SELECT r, unnest(range(1, len(w) - 3)) AS i, w
+              FROM w WHERE len(w) >= 5
+            ),
+            sh AS (
+              SELECT DISTINCT r,
+                     md5(array_to_string(w[i : i + 4], ' ')) AS d
+              FROM pos
+            ),
+            fst AS (SELECT d, min(r) AS fr FROM sh GROUP BY d)
+            SELECT sh.r AS crawl_round, count(*)::BIGINT AS n_shingles,
+                   sum(CASE WHEN fst.fr = sh.r THEN 1 ELSE 0 END)::BIGINT
+                     AS n_new,
+                   round(sum(CASE WHEN fst.fr = sh.r THEN 1 ELSE 0 END)
+                         / count(*), 4) AS new_frac
+            FROM sh JOIN fst USING (d) GROUP BY sh.r
         """,
         "group_holdout_split": """
             WITH sizes AS (

@@ -736,3 +736,45 @@ def dedup_components(pairs: DataFrame, a: str = "a", b: str = "b",
             stacklevel=2,
         )
     return labels
+
+
+def shingle_novelty(df: DataFrame, round_col: str = "crawl_round",
+                    col: str = "text", k: int = SHINGLE_K) -> DataFrame:
+    """Per-crawl-round content novelty: of the distinct k-gram shingles
+    observed in round r, what fraction had never been seen in ANY earlier
+    round — the "how much of this crawl is actually new content" dial
+    that decides recrawl cadence and incremental-dedup budgets (the
+    corpus-level complement of :func:`duplicated_ngram_coverage`'s
+    per-doc view).
+
+    Scale shape: shingles digest map-side (only (round, md5) pairs ever
+    shuffle — never text), the distinct collapses with map-side partial
+    aggregation, first-seen is a second partial-agg min over digests, and
+    the join back is a plain digest equi-join. Output rows = number of
+    rounds (tiny). Output: (round_col, n_shingles, n_new, new_frac).
+    """
+    sh = (
+        df.select(
+            F.col(round_col).alias("__r"),
+            F.explode(_shingle_set(col, k)).alias("__s"),
+        )
+        .select("__r", F.md5("__s").alias("__d"))
+        .distinct()
+    )
+    first = sh.groupBy("__d").agg(F.min("__r").alias("__first"))
+    return (
+        sh.join(first, "__d")
+        .groupBy("__r")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("__first") == F.col("__r")).cast("int"))
+            .cast("bigint").alias("n_new"),
+        )
+        .select(
+            F.col("__r").alias(round_col),
+            "n_shingles",
+            "n_new",
+            F.round(F.col("n_new") / F.col("n_shingles"), 4)
+            .alias("new_frac"),
+        )
+    )

@@ -549,3 +549,20 @@ def test_zorder_key_and_layout(spark):
                      .sortWithinPartitions("x"))
     assert zy < sy * 0.5      # z-order bounds y too, stripes don't
     assert zx <= 64 and zy <= 64
+
+
+def test_shingle_novelty_rounds(spark):
+    from ollama_ocr_spark.operators.dedup import shingle_novelty
+
+    t1 = "alpha beta gamma delta epsilon zeta eta"
+    df = spark.createDataFrame(
+        [(0, t1),                                  # round 0: all new
+         (1, t1),                                  # round 1: pure re-crawl
+         (2, t1 + " fresh words appended here now")],  # round 2: partly new
+        ["crawl_round", "text"],
+    )
+    got = {r["crawl_round"]: r for r in shingle_novelty(df).collect()}
+    assert got[0]["new_frac"] == 1.0
+    assert got[1]["n_new"] == 0 and got[1]["new_frac"] == 0.0
+    assert 0.0 < got[2]["new_frac"] < 1.0
+    assert got[0]["n_shingles"] == 3               # 7 words → 3 5-gram shingles
