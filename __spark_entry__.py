@@ -1176,6 +1176,15 @@ def q_shingle_novelty(spark, sf_dir):
     return shingle_novelty(d)
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Sliding-window chunking (size=32 words, stride=24 → 8-word overlap):
+    the context-window prep between curation and sequence packing. Pure
+    map-side array codegen; both engines emit identical chunk text."""
+    from ollama_ocr_spark.operators.textstats import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), size=32, stride=24)
+
+
 def q_phrase_search(spark, sf_dir):
     """Exact-phrase search over positional postings: per-word filtered
     postings equi-joined on (doc, shifted pos) — cost tracks the rarest
@@ -1319,6 +1328,7 @@ _QUERIES = {
         "temperature_mix": q_temperature_mix,
         "zorder_key": q_zorder_key,
         "shingle_novelty": q_shingle_novelty,
+        "chunk_documents": q_chunk_documents,
 }
 
 
@@ -2818,6 +2828,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_feats, round(lw::DOUBLE, 4) AS log_weight,
                    lw > 0 AS keep
             FROM sc
+        """,
+        "chunk_documents": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ),
+            meta AS (
+              SELECT doc_id, w,
+                     CASE WHEN len(w) <= 32 THEN 1
+                          ELSE ceil((len(w) - 32) / 24)::INT + 1 END AS nc
+              FROM w
+            ),
+            ch AS (
+              SELECT doc_id, w, unnest(range(nc)) AS cid FROM meta
+            )
+            SELECT doc_id, cid::INT AS chunk_id,
+                   len(w[cid * 24 + 1 : cid * 24 + 32])::INT AS n_words,
+                   coalesce(
+                     array_to_string(w[cid * 24 + 1 : cid * 24 + 32], ' '),
+                     '') AS chunk
+            FROM ch
         """,
         "shingle_novelty": """
             WITH w AS (

@@ -564,3 +564,35 @@ def dsir_importance_weights(df: DataFrame, target, key: str = "doc_id",
         F.round(F.col("__lw").cast("double"), 4).alias("log_weight"),
         (F.col("__lw") > 0).alias("keep"),
     )
+
+
+def chunk_documents(df: DataFrame, key: str = "doc_id", col: str = "text",
+                    size: int = 64, stride: int = 48) -> DataFrame:
+    """Sliding-window chunking — the context-window prep between curation
+    and :func:`pack_sequences`: each doc becomes ⌈max(0, n−size)/stride⌉+1
+    word-window chunks of up to ``size`` words advancing by ``stride``
+    (overlap = size − stride keeps boundary sentences learnable; RAG
+    indexers use the same shape).
+
+    Pure map-side array ops (split → sequence → slice → join) inside
+    whole-stage codegen: no shuffle, no UDF, chunks never leave the row
+    until the final explode. Output: (key, chunk_id, n_words, chunk).
+    """
+    words = F.split(F.col(col), " ")
+    n = F.size(words)
+    n_chunks = F.when(n <= size, F.lit(1)).otherwise(
+        F.ceil((n - size) / F.lit(stride)).cast("int") + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(words, i * stride + 1, size),
+    )
+    out = df.select(
+        F.col(key), F.posexplode(chunks).alias("chunk_id", "__w")
+    )
+    return out.select(
+        key,
+        "chunk_id",
+        F.size("__w").alias("n_words"),
+        F.array_join("__w", " ").alias("chunk"),
+    )

@@ -566,3 +566,26 @@ def test_shingle_novelty_rounds(spark):
     assert got[1]["n_new"] == 0 and got[1]["new_frac"] == 0.0
     assert 0.0 < got[2]["new_frac"] < 1.0
     assert got[0]["n_shingles"] == 3               # 7 words → 3 5-gram shingles
+
+
+def test_chunk_documents_windows(spark):
+    from ollama_ocr_spark.operators.textstats import chunk_documents
+
+    words = [f"w{i}" for i in range(10)]
+    df = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "short text")], ["doc_id", "text"]
+    )
+    got = chunk_documents(df, size=4, stride=3).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 10 words, size=4, stride=3 → ceil((10-4)/3)+1 = 3 chunks
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["chunk"] for r in c1] == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9"]
+    assert [r["n_words"] for r in c1] == [4, 4, 4]
+    # last chunk starts at stride*2=6 and covers through word 9 — full cover
+    # short doc (< size words) → exactly one chunk, the whole text
+    assert len(by_doc[2]) == 1
+    assert by_doc[2][0]["chunk"] == "short text"
+    assert by_doc[2][0]["n_words"] == 2
