@@ -1185,6 +1185,20 @@ def q_chunk_documents(spark, sf_dir):
     return chunk_documents(_docs(spark, sf_dir), size=32, stride=24)
 
 
+def q_cross_corpus_dedup(spark, sf_dir):
+    """Incremental-ingest near-dedup: the 10% of docs with doc_id % 10 == 0
+    play tonight's crawl; the rest are the existing corpus. New-side band
+    buckets equi-join ref-side buckets — no within-corpus pairs, text
+    never shuffles."""
+    from ollama_ocr_spark.operators.dedup import cross_corpus_near_dupes
+
+    d = _docs(spark, sf_dir)
+    return cross_corpus_near_dupes(
+        d.filter(F.col("doc_id") % 10 == 0),
+        d.filter(F.col("doc_id") % 10 != 0),
+    )
+
+
 def q_phrase_search(spark, sf_dir):
     """Exact-phrase search over positional postings: per-word filtered
     postings equi-joined on (doc, shifted pos) — cost tracks the rarest
@@ -1329,6 +1343,7 @@ _QUERIES = {
         "zorder_key": q_zorder_key,
         "shingle_novelty": q_shingle_novelty,
         "chunk_documents": q_chunk_documents,
+        "cross_corpus_dedup": q_cross_corpus_dedup,
 }
 
 
@@ -2033,6 +2048,29 @@ def oracle_sql() -> dict[str, str]:
             FROM bands a JOIN bands b
               ON a.band = b.band AND a.bucket = b.bucket
               AND a.doc_id < b.doc_id
+        """,
+        "cross_corpus_dedup": f"""
+            WITH {_SHINGLES_CTE},
+            sig AS (
+              SELECT doc_id, g.j AS j,
+                     min(md5(g.j || '|' || shingle)) AS m
+              FROM sh, generate_series(0, 7) AS g(j)
+              GROUP BY doc_id, g.j
+            ),
+            bands AS (
+              SELECT doc_id, j // 2 AS band,
+                     md5(string_agg(m, '' ORDER BY j)) AS bucket
+              FROM sig GROUP BY doc_id, j // 2
+            ),
+            pairs AS (
+              SELECT DISTINCT n.doc_id AS k, r.doc_id AS ref
+              FROM bands n JOIN bands r
+                ON n.band = r.band AND n.bucket = r.bucket
+              WHERE n.doc_id % 10 = 0 AND r.doc_id % 10 <> 0
+            )
+            SELECT k AS doc_id, count(*)::BIGINT AS n_ref_hits,
+                   min(ref) AS first_ref
+            FROM pairs GROUP BY k
         """,
         "winnow_fingerprints": """
             WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

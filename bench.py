@@ -114,6 +114,14 @@ EXTRA3 = (
     "recrawl_schedule",
     "tfidf_top_terms",
     "phrase_search",
+    "and_search",
+    "bpe_pair_counts",
+    "dsir_importance",
+    "group_holdout_split",
+    "temperature_mix",
+    "zorder_key",
+    "shingle_novelty",
+    "chunk_documents",
 )
 
 

@@ -778,3 +778,51 @@ def shingle_novelty(df: DataFrame, round_col: str = "crawl_round",
             .alias("new_frac"),
         )
     )
+
+
+def cross_corpus_near_dupes(new_df: DataFrame, ref_df: DataFrame,
+                            key: str = "doc_id", col: str = "text",
+                            k: int = SHINGLE_K, num_hashes: int = 8,
+                            bands: int = 4) -> DataFrame:
+    """Flag NEW documents that near-duplicate an EXISTING corpus — the
+    incremental-ingest dedup shape (tonight's crawl vs the training set
+    already on disk), as opposed to :func:`minhash_lsh_candidates` which
+    pairs documents WITHIN one corpus.
+
+    Plan: MinHash signatures and band buckets are map-side on both
+    inputs (shared :func:`minhash_signatures` / :func:`band_buckets`
+    definitions keep batch, streaming, and cross-corpus paths
+    bit-identical); the only shuffle is the (band, bucket) equi-join,
+    and neither side's text payload ever shuffles. No new×new or
+    ref×ref pairs are generated — cost is linear in bucket collisions.
+    At 100 TB the reference side's buckets are computed once and kept
+    as a bucketed table (:func:`~ollama_ocr_spark.operators.maintenance.
+    write_bucketed` on ``bucket``) so nightly increments join
+    exchange-free on the ref side.
+
+    Output: one row per colliding new doc —
+    (key, n_ref_hits = distinct ref docs sharing ≥1 band, first_ref =
+    smallest colliding ref key). Non-colliding new docs are absent
+    (anti-join this result against the new corpus to keep novel docs).
+    """
+    new_b = band_buckets(
+        minhash_signatures(new_df, key, col, k, num_hashes),
+        key, num_hashes, bands,
+    ).withColumnRenamed(key, "__new")
+    ref_b = band_buckets(
+        minhash_signatures(ref_df, key, col, k, num_hashes),
+        key, num_hashes, bands,
+    ).withColumnRenamed(key, "__ref")
+    pairs = (
+        new_b.join(ref_b, ["band", "bucket"])
+        .select("__new", "__ref")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("__new")
+        .agg(
+            F.count("*").alias("n_ref_hits"),
+            F.min("__ref").alias("first_ref"),
+        )
+        .withColumnRenamed("__new", key)
+    )

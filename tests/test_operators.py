@@ -589,3 +589,22 @@ def test_chunk_documents_windows(spark):
     assert len(by_doc[2]) == 1
     assert by_doc[2][0]["chunk"] == "short text"
     assert by_doc[2][0]["n_words"] == 2
+
+
+def test_cross_corpus_near_dupes(spark):
+    from ollama_ocr_spark.operators.dedup import cross_corpus_near_dupes
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    new = spark.createDataFrame(
+        [(100, base),                        # exact dup of ref 1 → collides
+         (101, "completely unrelated words nothing shared with reference")],
+        ["doc_id", "text"],
+    )
+    ref = spark.createDataFrame(
+        [(1, base), (2, base), (3, "other distinct reference text here ok")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in cross_corpus_near_dupes(new, ref).collect()}
+    assert 101 not in got                    # novel doc absent
+    assert got[100]["n_ref_hits"] == 2       # collides with ref 1 AND 2
+    assert got[100]["first_ref"] == 1        # smallest colliding ref key
