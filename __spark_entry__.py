@@ -810,6 +810,26 @@ def q_url_normalize(spark, sf_dir):
     )
 
 
+def q_url_filter(spark, sf_dir):
+    """Crawl-frontier URL hygiene gate over corpus urls with deterministic
+    dirty variants: doc_id%7==0 gains a 3-param query (trap tell),
+    doc_id%7==1 an 80-char query (too long); .jpg pages and /draft- paths
+    hit the binary-extension / blocklist rules. Pure map-side codegen."""
+    from ollama_ocr_spark.operators.maintenance import url_filter
+
+    pages = _latest_pages(spark, sf_dir)
+    did = F.regexp_extract("url", r"-(\d+)\.", 1).cast("bigint")
+    dirty = pages.select(
+        F.concat(
+            F.col("url"),
+            F.when(did % 7 == 0, F.lit("?a=1&b=2&c=3"))
+            .when(did % 7 == 1, F.concat(F.lit("?q="), F.repeat(F.lit("z"), 80)))
+            .otherwise(F.lit("")),
+        ).alias("url")
+    )
+    return url_filter(dirty, blocked_pattern="/draft-")
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher-style repetition filters: distinct/top-word/dup-kgram mass."""
     from ollama_ocr_spark.operators.textstats import with_repetition_stats
@@ -1311,6 +1331,7 @@ _QUERIES = {
         "quality_scores": q_quality_scores,
         "repetition_stats": q_repetition_stats,
         "url_normalize": q_url_normalize,
+        "url_filter": q_url_filter,
         "langid_confusion": q_langid_confusion,
         "lang_segments": q_lang_segments,
         "fingerprints": q_fingerprints,
@@ -2321,6 +2342,36 @@ def oracle_sql() -> dict[str, str]:
                        '[?&]+$', '', 'g'),
                      '\\?&', '?', 'g') AS canonical_url
             FROM u
+        """,
+        "url_filter": f"""
+            WITH u AS (
+              SELECT 'https://' || {_HOST_CASE} || '/' || source || '/' ||
+                     {_STEM_CASE} || '-' || doc_id || {_EXT_CASE} ||
+                     CASE doc_id % 7
+                       WHEN 0 THEN '?a=1&b=2&c=3'
+                       WHEN 1 THEN '?q=' || repeat('z', 80)
+                       ELSE '' END AS url
+              FROM documents
+            ),
+            r AS (
+              SELECT url,
+                     CASE
+                       WHEN regexp_matches(
+                              lower(regexp_replace(url, '[?#].*$', '')),
+                              '\\.(jpg|jpeg|png|gif|mp4|zip|exe|css|js)$')
+                         THEN 'binary_ext'
+                       WHEN regexp_matches(url, '/draft-')
+                         THEN 'blocked_pattern'
+                       WHEN CASE WHEN len(regexp_extract(url, '\\?([^#]*)', 1)) > 0
+                                 THEN len(string_split(
+                                        regexp_extract(url, '\\?([^#]*)', 1), '&'))
+                                 ELSE 0 END > 2
+                         THEN 'too_many_params'
+                       WHEN len(url) > 90 THEN 'too_long'
+                       ELSE 'ok' END AS reason
+              FROM u
+            )
+            SELECT url, reason, reason = 'ok' AS keep FROM r
         """,
         "repetition_stats": """
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS w

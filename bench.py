@@ -122,6 +122,8 @@ EXTRA3 = (
     "zorder_key",
     "shingle_novelty",
     "chunk_documents",
+    "cross_corpus_dedup",
+    "url_filter",
 )
 
 

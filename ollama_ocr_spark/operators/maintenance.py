@@ -50,6 +50,57 @@ def normalize_url_expr(url_col: str = "url"):
     return u
 
 
+URL_BLOCKED_EXTS = (".jpg", ".jpeg", ".png", ".gif", ".mp4", ".zip",
+                    ".exe", ".css", ".js")
+
+
+def url_filter(df: DataFrame, url_col: str = "url", max_len: int = 90,
+               max_params: int = 2,
+               blocked_exts: tuple = URL_BLOCKED_EXTS,
+               blocked_pattern: str | None = None) -> DataFrame:
+    """Crawl-frontier URL hygiene (the pre-fetch gate of a web pipeline):
+    classify each URL keep/drop with a first-failing reason, mirroring
+    :func:`~ollama_ocr_spark.operators.textstats.curation_verdict`'s
+    verdict shape. Rules, in precedence order:
+
+    - ``binary_ext`` — path (query/fragment stripped) ends in a non-text
+      asset extension (images, media, bundles);
+    - ``blocked_pattern`` — optional regex blocklist over the whole URL
+      (spam path segments, infinite-calendar traps, login pages);
+    - ``too_many_params`` — query-string parameter count above
+      ``max_params`` (faceted-search / session-id crawl traps);
+    - ``too_long`` — total length above ``max_len`` (another trap tell).
+
+    All native string/regexp expressions — pure map-side, whole-stage
+    codegen, no shuffle: at frontier scale (billions of candidate URLs
+    per crawl round) this runs as a streaming filter on the scan.
+    Output: input columns + (reason, keep).
+    """
+    u = F.col(url_col)
+    path = F.lower(F.regexp_replace(u, r"[?#].*$", ""))
+    ext_hit = None
+    for ext in blocked_exts:
+        cond = path.endswith(ext)
+        ext_hit = cond if ext_hit is None else (ext_hit | cond)
+    qs = F.regexp_extract(u, r"\?([^#]*)", 1)
+    n_params = F.when(
+        F.length(qs) > 0, F.size(F.split(qs, "&"))
+    ).otherwise(F.lit(0))
+    reason = F.when(ext_hit, F.lit("binary_ext"))
+    if blocked_pattern:
+        reason = reason.when(
+            u.rlike(blocked_pattern), F.lit("blocked_pattern")
+        )
+    reason = (
+        reason.when(n_params > max_params, F.lit("too_many_params"))
+        .when(F.length(u) > max_len, F.lit("too_long"))
+        .otherwise(F.lit("ok"))
+    )
+    return df.withColumn("reason", reason).withColumn(
+        "keep", F.col("reason") == "ok"
+    )
+
+
 def golden_text_expr(doc_id_col: str = "doc_id", text_col: str = "text"):
     """Native-expression twin of ``corpus.golden_text`` for the HTML
     archetypes (k <= 6): identity for prose pages, markdown rendering for

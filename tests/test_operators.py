@@ -608,3 +608,25 @@ def test_cross_corpus_near_dupes(spark):
     assert 101 not in got                    # novel doc absent
     assert got[100]["n_ref_hits"] == 2       # collides with ref 1 AND 2
     assert got[100]["first_ref"] == 1        # smallest colliding ref key
+
+
+def test_url_filter_rules_and_precedence(spark):
+    from ollama_ocr_spark.operators.maintenance import url_filter
+
+    rows = [
+        ("https://a.com/x/page.html",),                      # ok
+        ("https://a.com/x/pic.JPG",),                        # binary_ext (ci)
+        ("https://a.com/x/pic.jpg?a=1&b=2&c=3",),            # ext beats params
+        ("https://a.com/x/p.html?a=1&b=2&c=3",),             # too_many_params
+        ("https://a.com/x/p.html?q=" + "z" * 100,),          # too_long
+        ("https://a.com/spam/casino.html",),                 # blocked_pattern
+    ]
+    df = spark.createDataFrame(rows, ["url"])
+    got = {r["url"]: r["reason"]
+           for r in url_filter(df, blocked_pattern="casino").collect()}
+    assert got["https://a.com/x/page.html"] == "ok"
+    assert got["https://a.com/x/pic.JPG"] == "binary_ext"
+    assert got["https://a.com/x/pic.jpg?a=1&b=2&c=3"] == "binary_ext"
+    assert got["https://a.com/x/p.html?a=1&b=2&c=3"] == "too_many_params"
+    assert got["https://a.com/x/p.html?q=" + "z" * 100] == "too_long"
+    assert got["https://a.com/spam/casino.html"] == "blocked_pattern"
