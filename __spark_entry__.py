@@ -1205,6 +1205,37 @@ def q_chunk_documents(spark, sf_dir):
     return chunk_documents(_docs(spark, sf_dir), size=32, stride=24)
 
 
+def q_training_batches(spark, sf_dir):
+    """End-to-end training-batch prep composite: curation gates pick the
+    keep set, kept docs are sliding-window chunked (32/24), and chunks
+    pack greedily into 256-token bins per hash bucket — the
+    curate → chunk → pack chain a loader reads as whole bins. Chunk ids
+    bit-pack into one bigint key (doc_id<<10 | chunk_id) so the pack
+    window sorts a single long (CLAUDE.md bit-pack gotcha)."""
+    from ollama_ocr_spark.operators.textstats import (
+        chunk_documents,
+        curation_verdict,
+        pack_sequences,
+    )
+
+    d = _docs(spark, sf_dir)
+    keep = curation_verdict(d).filter("keep").select("doc_id")
+    chunks = chunk_documents(d.join(keep, "doc_id"), size=32, stride=24)
+    ck = F.shiftleft(F.col("doc_id"), 10).bitwiseOR(F.col("chunk_id"))
+    packed = pack_sequences(
+        chunks.select(ck.alias("chunk_key"),
+                      F.col("n_words").alias("n_ws_tokens")),
+        key="chunk_key", tokens_col="n_ws_tokens", budget=256, buckets=8,
+    )
+    return packed.select(
+        F.shiftright(F.col("chunk_key"), 10).alias("doc_id"),
+        F.pmod(F.col("chunk_key"), F.lit(1024)).cast("int").alias("chunk_id"),
+        F.col("bucket").cast("bigint").alias("bucket"),
+        "bin_id",
+        F.col("tokens").cast("int").alias("tokens"),
+    )
+
+
 def q_cross_corpus_dedup(spark, sf_dir):
     """Incremental-ingest near-dedup: the 10% of docs with doc_id % 10 == 0
     play tonight's crawl; the rest are the existing corpus. New-side band
@@ -1365,6 +1396,7 @@ _QUERIES = {
         "shingle_novelty": q_shingle_novelty,
         "chunk_documents": q_chunk_documents,
         "cross_corpus_dedup": q_cross_corpus_dedup,
+        "training_batches": q_training_batches,
 }
 
 
@@ -2069,6 +2101,75 @@ def oracle_sql() -> dict[str, str]:
             FROM bands a JOIN bands b
               ON a.band = b.band AND a.bucket = b.bucket
               AND a.doc_id < b.doc_id
+        """,
+        "training_batches": """
+            WITH keep0 AS (
+              SELECT md5(text) AS fp, min(doc_id) AS keeper
+              FROM documents GROUP BY 1),
+            w AS (SELECT doc_id, text, string_split(text, ' ') AS w
+                  FROM documents),
+            q AS (
+              SELECT doc_id, w,
+                     len(w) AS n_words,
+                     round((length(text) - (len(w) - 1)) * 1.0 / len(w), 4)
+                       AS mean_wl,
+                     round(len(list_filter(w, x -> x IN
+                           ('the','a','of','to','and','in','is')))
+                           * 1.0 / len(w), 4) AS stop_ratio
+              FROM w),
+            counts AS (
+              SELECT doc_id, count(*) AS c
+              FROM (SELECT doc_id, unnest(w) AS word FROM w)
+              GROUP BY doc_id, word),
+            top AS (SELECT doc_id, max(c) AS topc FROM counts GROUP BY 1),
+            kg AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) >= 5
+                          THEN list_transform(range(1, len(w) - 3),
+                               i -> array_to_string(w[i : i + 4], ' '))
+                          ELSE [] END AS gs
+              FROM w),
+            flags AS (
+              SELECT q.doc_id,
+                     (q.n_words >= 10 AND q.mean_wl >= 2.0
+                      AND q.mean_wl <= 12.0 AND q.stop_ratio >= 0.01)
+                       AS quality_ok,
+                     (round(len(list_distinct(q.w)) * 1.0 / q.n_words, 4)
+                        >= 0.2
+                      AND round(t.topc * 1.0 / q.n_words, 4) <= 0.3
+                      AND (CASE WHEN len(k.gs) > 0
+                           THEN round(1 - len(list_distinct(k.gs)) * 1.0
+                                      / len(k.gs), 4)
+                           ELSE 0.0 END) <= 0.6) AS repetition_ok
+              FROM q
+              JOIN top t ON t.doc_id = q.doc_id
+              JOIN kg k ON k.doc_id = q.doc_id),
+            kept AS (
+              SELECT d.doc_id
+              FROM documents d
+              JOIN keep0 kk ON md5(d.text) = kk.fp
+              JOIN flags f ON f.doc_id = d.doc_id
+              WHERE d.doc_id = kk.keeper
+                AND f.quality_ok AND f.repetition_ok),
+            cw AS (SELECT w.doc_id, w.w FROM w JOIN kept USING (doc_id)),
+            meta AS (
+              SELECT doc_id, w,
+                     CASE WHEN len(w) <= 32 THEN 1
+                          ELSE ceil((len(w) - 32) / 24)::INT + 1 END AS nc
+              FROM cw),
+            ch AS (
+              SELECT doc_id, w, unnest(range(nc)) AS cid FROM meta),
+            t AS (
+              SELECT doc_id, cid,
+                     doc_id * 1024 + cid AS ck,
+                     (doc_id * 1024 + cid) % 8 AS bucket,
+                     len(w[cid * 24 + 1 : cid * 24 + 32])::INT AS tokens
+              FROM ch)
+            SELECT doc_id, cid::INT AS chunk_id, bucket,
+                   (floor((sum(tokens) OVER (PARTITION BY bucket
+                             ORDER BY ck) - tokens) / 256))::INT AS bin_id,
+                   tokens
+            FROM t
         """,
         "cross_corpus_dedup": f"""
             WITH {_SHINGLES_CTE},

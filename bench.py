@@ -124,6 +124,7 @@ EXTRA3 = (
     "chunk_documents",
     "cross_corpus_dedup",
     "url_filter",
+    "training_batches",
 )
 
 
