@@ -630,3 +630,33 @@ def test_url_filter_rules_and_precedence(spark):
     assert got["https://a.com/x/p.html?a=1&b=2&c=3"] == "too_many_params"
     assert got["https://a.com/x/p.html?q=" + "z" * 100] == "too_long"
     assert got["https://a.com/spam/casino.html"] == "blocked_pattern"
+
+
+def test_new_round3_ops_plan_shapes(spark):
+    """Scale-shape audits: chunking and URL filtering stay shuffle-free
+    map-side codegen; cross-corpus dedup never degrades to a nested-loop
+    or cartesian plan (its only join must be the (band,bucket) equi-join).
+    """
+    from pyspark.sql import functions as F
+
+    from ollama_ocr_spark.operators.dedup import cross_corpus_near_dupes
+    from ollama_ocr_spark.operators.maintenance import url_filter
+    from ollama_ocr_spark.operators.textstats import chunk_documents
+    from ollama_ocr_spark.plans.audit import audit_plan
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * 10) for i in range(20)],
+        ["doc_id", "text"],
+    )
+    audit_plan(chunk_documents(docs), max_exchanges=0)
+    urls = docs.select(
+        F.concat(F.lit("https://a.com/p-"), "doc_id", F.lit(".html"))
+        .alias("url")
+    )
+    audit_plan(url_filter(urls, blocked_pattern="spam"), max_exchanges=0)
+    audit_plan(
+        cross_corpus_near_dupes(
+            docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1")
+        ),
+        forbid_ops=["BroadcastNestedLoopJoin", "CartesianProduct"],
+    )
