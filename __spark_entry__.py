@@ -810,6 +810,23 @@ def q_url_normalize(spark, sf_dir):
     )
 
 
+def q_domain_quality(spark, sf_dir):
+    """Host-level quality rollup → blocklist candidates: hosts whose
+    doc-quality pass rate < 0.85 on ≥5 docs get flagged for the next
+    crawl round's url_filter blocklist. Host comes from the engine's own
+    urls (host_expr over latest pages); text joins back from documents
+    on the recovered doc_id."""
+    from ollama_ocr_spark.operators.maintenance import doc_id_expr, host_expr
+    from ollama_ocr_spark.operators.textstats import domain_quality
+
+    hosts = _latest_pages(spark, sf_dir).select(
+        host_expr().alias("host"), doc_id_expr().alias("doc_id")
+    )
+    joined = hosts.join(_docs(spark, sf_dir).select("doc_id", "text"),
+                        "doc_id")
+    return domain_quality(joined, min_docs=5, min_ok_rate=0.85)
+
+
 def q_url_filter(spark, sf_dir):
     """Crawl-frontier URL hygiene gate over corpus urls with deterministic
     dirty variants: doc_id%7==0 gains a 3-param query (trap tell),
@@ -1363,6 +1380,7 @@ _QUERIES = {
         "repetition_stats": q_repetition_stats,
         "url_normalize": q_url_normalize,
         "url_filter": q_url_filter,
+        "domain_quality": q_domain_quality,
         "langid_confusion": q_langid_confusion,
         "lang_segments": q_lang_segments,
         "fingerprints": q_fingerprints,
@@ -2443,6 +2461,33 @@ def oracle_sql() -> dict[str, str]:
                        '[?&]+$', '', 'g'),
                      '\\?&', '?', 'g') AS canonical_url
             FROM u
+        """,
+        "domain_quality": f"""
+            WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS w
+                       FROM documents),
+            q AS (
+              SELECT doc_id,
+                     len(w) AS n_words,
+                     round((length(text) - (len(w) - 1)) * 1.0 / len(w), 4)
+                       AS mean_wl,
+                     round(len(list_filter(w, x -> x IN
+                           ('the','a','of','to','and','in','is')))
+                           * 1.0 / len(w), 4) AS stop_ratio
+              FROM w),
+            f AS (
+              SELECT {_HOST_CASE} AS host,
+                     (n_words >= 10 AND mean_wl >= 2.0 AND mean_wl <= 12.0
+                      AND stop_ratio >= 0.01) AS ok
+              FROM q),
+            g AS (
+              SELECT host, count(*)::BIGINT AS n_docs,
+                     sum(ok::INT)::BIGINT AS n_ok
+              FROM f GROUP BY 1)
+            SELECT host, n_docs, n_ok,
+                   round(n_ok * 1.0 / n_docs, 4) AS ok_rate,
+                   (n_docs >= 5 AND n_ok * 1.0 / n_docs < 0.85)
+                     AS blocklist_candidate
+            FROM g
         """,
         "url_filter": f"""
             WITH u AS (

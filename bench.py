@@ -125,6 +125,7 @@ EXTRA3 = (
     "cross_corpus_dedup",
     "url_filter",
     "training_batches",
+    "domain_quality",
 )
 
 

@@ -596,3 +596,35 @@ def chunk_documents(df: DataFrame, key: str = "doc_id", col: str = "text",
         F.size("__w").alias("n_words"),
         F.array_join("__w", " ").alias("chunk"),
     )
+
+
+def domain_quality(df: DataFrame, host_col: str = "host",
+                   col: str = "text", min_docs: int = 5,
+                   min_ok_rate: float = 0.5) -> DataFrame:
+    """Domain-level blocklist mining (the UT1/Dolma feedback loop): roll
+    doc-level quality verdicts up to the host, and flag hosts whose pass
+    rate is low enough — on enough evidence — to feed back into
+    :func:`~ollama_ocr_spark.operators.maintenance.url_filter` as a
+    blocklist for the NEXT crawl round.
+
+    Scale shape: quality gates are the existing map-side expressions
+    (:func:`with_quality_score`); the rollup is one partial-aggregated
+    groupBy on host — (host, count, sum) is all that shuffles, never
+    text. The flag uses the raw ratio (rounding only in the reported
+    column) so the verdict is engine-exact.
+    Output: (host, n_docs, n_ok, ok_rate, blocklist_candidate).
+    """
+    scored = with_quality_score(df, col)
+    agg = scored.groupBy(host_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("quality_ok").cast("int")).alias("n_ok"),
+    )
+    rate = F.col("n_ok") / F.col("n_docs")
+    return agg.select(
+        host_col,
+        "n_docs",
+        "n_ok",
+        F.round(rate, 4).alias("ok_rate"),
+        ((F.col("n_docs") >= min_docs) & (rate < min_ok_rate))
+        .alias("blocklist_candidate"),
+    )

@@ -660,3 +660,21 @@ def test_new_round3_ops_plan_shapes(spark):
         ),
         forbid_ops=["BroadcastNestedLoopJoin", "CartesianProduct"],
     )
+
+
+def test_domain_quality_blocklist_mining(spark):
+    from ollama_ocr_spark.operators.textstats import domain_quality
+
+    good = ("the quick brown fox jumps over the lazy dog and runs on "
+            "in the morning light across a field of tall green grass")
+    bad = "zz zz"                                # fails n_words >= 10
+    rows = [("good.com", good)] * 5 + [("bad.com", bad)] * 5 + \
+           [("tiny.com", bad)]                   # low rate but < min_docs
+    df = spark.createDataFrame(rows, ["host", "text"])
+    got = {r["host"]: r for r in
+           domain_quality(df, min_docs=5, min_ok_rate=0.5).collect()}
+    assert got["good.com"]["ok_rate"] == 1.0
+    assert not got["good.com"]["blocklist_candidate"]
+    assert got["bad.com"]["ok_rate"] == 0.0
+    assert got["bad.com"]["blocklist_candidate"]
+    assert not got["tiny.com"]["blocklist_candidate"]   # evidence floor
