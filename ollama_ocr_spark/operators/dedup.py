@@ -280,21 +280,25 @@ def benchmark_contamination(docs: DataFrame, benchmark: DataFrame,
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
-    # ONE shingle pass over the corpus: the per-doc set size rides the
-    # exploded rows, the broadcast left join marks hits, and the groupBy
-    # recovers (n_hits, n_shingles) together — no second scan/shingle
-    # branch, no separate hits-join-back.
-    shs = _shingle_set(col, k)
-    doc_sh = docs.select(
-        F.col(key), F.size(shs).alias("n_shingles"),
-        F.explode_outer(shs).alias("shingle"),
+    # ONE shingle pass over the corpus: the broadcast left join marks
+    # hits and the groupBy recovers (n_hits, n_shingles) together — no
+    # second scan/shingle branch, no separate hits-join-back. The set
+    # size is deliberately NOT a size(...) column next to the explode:
+    # a non-generator column that references the generator's input
+    # expression is re-evaluated per EXPLODED row (measured 109 s vs
+    # 3 s on 5k docs), so n_shingles is recovered as count(shingle)
+    # instead — the shingle array is distinct per doc, making the
+    # post-explode row count equal its size (explode_outer keeps
+    # empty/short docs as one NULL row that counts 0).
+    doc_sh = ensure_parallelism(docs).select(
+        F.col(key), F.explode_outer(_shingle_set(col, k)).alias("shingle")
     )
     flagged = doc_sh.join(F.broadcast(bench_sh), "shingle", "left")
     return (
         flagged.groupBy(key)
         .agg(
             F.count("__hit").cast("bigint").alias("n_hits"),
-            F.first("n_shingles").cast("bigint").alias("n_shingles"),
+            F.count("shingle").cast("bigint").alias("n_shingles"),
         )
         .select(
             key, "n_hits", "n_shingles",
