@@ -758,7 +758,7 @@ def shingle_novelty(df: DataFrame, round_col: str = "crawl_round",
     rounds (tiny). Output: (round_col, n_shingles, n_new, new_frac).
     """
     sh = (
-        df.select(
+        ensure_parallelism(df).select(
             F.col(round_col).alias("__r"),
             F.explode(_shingle_set(col, k)).alias("__s"),
         )

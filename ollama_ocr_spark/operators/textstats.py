@@ -493,7 +493,11 @@ def dsir_importance_weights(df: DataFrame, target, key: str = "doc_id",
 
     Scale shape: bigram explode → per-(doc, bucket) counts (map-side
     partial combine; bucket table is exactly ``n_buckets`` rows so both
-    LM sides broadcast), ONE equi-join on bucket. Engine parity: bucket
+    LM sides broadcast), ONE equi-join on bucket. The raw-side LM
+    aggregates FROM the per-doc counts (identical integers), so the
+    expensive regex tokenization scans the corpus once, not twice; both
+    inputs are repartition-guarded against the small-parquet
+    single-partition trap (serial regex stage). Engine parity: bucket
     ids come from the first 2 md5 hex chars (portable everywhere), per-
     bucket log-probs round to 8dp (Spark/DuckDB ``ln`` bit-agreement),
     and the per-doc sum runs in DECIMAL(18, 8) so it is order-insensitive.
@@ -523,11 +527,15 @@ def dsir_importance_weights(df: DataFrame, target, key: str = "doc_id",
             ).alias("b"),
         )
 
-    doc_feats = _buckets(df, key).groupBy(key, "b").agg(
+    from ollama_ocr_spark.operators.dedup import ensure_parallelism
+
+    doc_feats = _buckets(ensure_parallelism(df), key).groupBy(key, "b").agg(
         F.count("*").alias("n")
     )
-    raw_lm = _buckets(df, key).groupBy("b").agg(F.count("*").alias("cr"))
-    tgt_lm = _buckets(target, key).groupBy("b").agg(F.count("*").alias("ct"))
+    raw_lm = doc_feats.groupBy("b").agg(F.sum("n").alias("cr"))
+    tgt_lm = _buckets(ensure_parallelism(target), key).groupBy("b").agg(
+        F.count("*").alias("ct")
+    )
     raw_tot = raw_lm.agg(F.sum("cr").alias("tr"))
     tgt_tot = tgt_lm.agg(F.sum("ct").alias("tt"))
 
