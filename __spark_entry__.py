@@ -473,6 +473,23 @@ def q_paragraph_dedup(spark, sf_dir):
     )
 
 
+def q_boilerplate_paragraphs(spark, sf_dir):
+    """Boilerplate mining over the same synthetic paragraph structure as
+    paragraph_dedup (shared header on all docs, 1-in-4 footer): report
+    the top cross-document paragraphs by distinct-doc frequency —
+    deterministic (n_docs desc, digest) cut in both engines."""
+    from ollama_ocr_spark.operators.dedup import boilerplate_paragraphs
+
+    did = F.col("doc_id")
+    t = F.concat(
+        F.lit("subscribe to our newsletter today\n\n"), F.col("text"),
+        F.when(did % 4 == 0, F.lit("\n\nfollow us on social media"))
+        .otherwise(F.concat(F.lit("\n\nunique tail "), did.cast("string"))),
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", t.alias("text"))
+    return boilerplate_paragraphs(docs, min_docs=2, k=20)
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII redaction (emails / IPv4 / phones) — native regexp ops. Both
     engines append the same deterministic PII to documents.text, then the
@@ -1351,6 +1368,7 @@ _QUERIES = {
         "latest_capture_semi": q_latest_capture_semi,
         "pii_scrub": q_pii_scrub,
         "paragraph_dedup": q_paragraph_dedup,
+        "boilerplate_paragraphs": q_boilerplate_paragraphs,
         "line_filter": q_line_filter,
         "hash_split": q_hash_split,
         "dedup_components": q_dedup_components,
@@ -1930,6 +1948,30 @@ def oracle_sql() -> dict[str, str]:
                    len(kept)::INT AS n_lines_kept,
                    coalesce(array_to_string(kept, chr(10)), '') AS clean_text
             FROM lists
+        """,
+        "boilerplate_paragraphs": """
+            WITH inp AS (
+              SELECT doc_id,
+                     'subscribe to our newsletter today' || chr(10) || chr(10)
+                     || text ||
+                     CASE WHEN doc_id % 4 = 0
+                          THEN chr(10) || chr(10) || 'follow us on social media'
+                          ELSE chr(10) || chr(10) || 'unique tail ' || doc_id
+                     END AS t
+              FROM documents),
+            paras AS (
+              SELECT doc_id,
+                     unnest(string_split(t, chr(10) || chr(10))) AS para
+              FROM inp),
+            agg AS (
+              SELECT md5(para) AS ph,
+                     count(DISTINCT doc_id)::BIGINT AS n_docs,
+                     count(*)::BIGINT AS n_total,
+                     min(para) AS paragraph
+              FROM paras GROUP BY 1
+              HAVING count(DISTINCT doc_id) >= 2)
+            SELECT paragraph, n_docs, n_total
+            FROM agg ORDER BY n_docs DESC, ph LIMIT 20
         """,
         "paragraph_dedup": """
             WITH inp AS (

@@ -126,6 +126,7 @@ EXTRA3 = (
     "url_filter",
     "training_batches",
     "domain_quality",
+    "boilerplate_paragraphs",
 )
 
 

@@ -830,3 +830,41 @@ def cross_corpus_near_dupes(new_df: DataFrame, ref_df: DataFrame,
         )
         .withColumnRenamed("__new", key)
     )
+
+
+def boilerplate_paragraphs(df: DataFrame, key: str = "doc_id",
+                           col: str = "text", sep: str = "\n\n",
+                           min_docs: int = 2, k: int = 20) -> DataFrame:
+    """Boilerplate MINING — the report that tells you what
+    :func:`drop_duplicate_paragraphs` is about to remove and feeds
+    rule-based filters (C4's "subscribe / cookie notice" lists were built
+    from exactly this view): the top-k paragraphs by how many distinct
+    documents they appear in.
+
+    Scale shape: paragraphs group on their md5 digest with map-side
+    partial aggregation — per partition, each distinct digest forwards
+    ONE (count, doc-set partial, sample) row, so hot boilerplate (the
+    whole point of the query) costs counters, not repeated text rows;
+    the `min(para)` sample is exact because all texts under one digest
+    are identical. The top-k is a TakeOrderedAndProject over the ≥
+    ``min_docs`` survivors, strictly ordered by (n_docs desc, digest) so
+    the cut is deterministic on any engine.
+    Output: (paragraph, n_docs, n_total).
+    """
+    paras = ensure_parallelism(df).select(
+        F.col(key), F.explode(F.split(F.col(col), F.lit(sep))).alias("para")
+    )
+    agg = (
+        paras.groupBy(F.md5("para").alias("ph"))
+        .agg(
+            F.countDistinct(key).alias("n_docs"),
+            F.count("*").alias("n_total"),
+            F.min("para").alias("paragraph"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    return (
+        agg.orderBy(F.desc("n_docs"), "ph")
+        .limit(k)
+        .select("paragraph", "n_docs", "n_total")
+    )

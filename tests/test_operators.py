@@ -678,3 +678,21 @@ def test_domain_quality_blocklist_mining(spark):
     assert got["bad.com"]["ok_rate"] == 0.0
     assert got["bad.com"]["blocklist_candidate"]
     assert not got["tiny.com"]["blocklist_candidate"]   # evidence floor
+
+
+def test_boilerplate_paragraphs_topk(spark):
+    from ollama_ocr_spark.operators.dedup import boilerplate_paragraphs
+
+    header = "subscribe now"
+    rows = [(i, f"{header}\n\nbody {i}\n\ncommon footer" if i % 2 == 0
+             else f"{header}\n\nbody {i}\n\ncommon footer\n\ncommon footer")
+            for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = boilerplate_paragraphs(df, min_docs=2, k=2).collect()
+    assert len(got) == 2
+    by_para = {r["paragraph"]: r for r in got}
+    assert by_para[header]["n_docs"] == 6
+    assert by_para[header]["n_total"] == 6
+    # footer appears in all 6 docs but 9 times total (twice in odd docs)
+    assert by_para["common footer"]["n_docs"] == 6
+    assert by_para["common footer"]["n_total"] == 9
