@@ -201,3 +201,46 @@ def test_streaming_exact_dedup_within_watermark(spark, tmp_path):
     ])
     second = _drain()
     assert [u for u, _ in second] == ["https://h/c"]
+
+
+def test_streaming_url_filter_frontier(spark, tmp_path):
+    """url_filter is stateless, so it applies unchanged to a discovered-URL
+    stream — the frontier gate runs as a streaming filter ahead of fetch
+    scheduling; a second availableNow drain picks up only new URLs."""
+    from ollama_ocr_spark.operators.maintenance import url_filter
+
+    url_dir = str(tmp_path / "frontier")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _write(urls):
+        spark.createDataFrame([(u,) for u in urls], "url string").write.mode(
+            "append").parquet(url_dir)
+
+    def _drain():
+        stream = spark.readStream.schema("url string").parquet(url_dir)
+        out = url_filter(stream, blocked_pattern="/casino/")
+        emitted = []
+
+        def _sink(batch_df, _bid):
+            emitted.extend((r["url"], r["reason"]) for r in batch_df.collect())
+
+        (
+            out.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        return dict(emitted)
+
+    _write(["https://a.com/page.html", "https://a.com/pic.jpg",
+            "https://a.com/casino/win.html"])
+    first = _drain()
+    assert first == {
+        "https://a.com/page.html": "ok",
+        "https://a.com/pic.jpg": "binary_ext",
+        "https://a.com/casino/win.html": "blocked_pattern",
+    }
+    _write(["https://a.com/new.html?a=1&b=2&c=3"])
+    second = _drain()                      # only the new arrival re-emits
+    assert second == {"https://a.com/new.html?a=1&b=2&c=3": "too_many_params"}
