@@ -801,6 +801,16 @@ def q_vocab_topk(spark, sf_dir):
     return vocab_topk(_docs(spark, sf_dir), k=100)
 
 
+def q_oov_rate(spark, sf_dir):
+    """Tokenizer-coverage check: per-doc OOV fraction against the corpus
+    top-100 vocab (broadcast); token rows join map-side, docs never
+    shuffle."""
+    from ollama_ocr_spark.operators.textstats import oov_rate, vocab_topk
+
+    d = _docs(spark, sf_dir)
+    return oov_rate(d, vocab_topk(d, k=100))
+
+
 def q_quality_scores(spark, sf_dir):
     from ollama_ocr_spark.operators.textstats import with_quality_score
 
@@ -1394,6 +1404,7 @@ _QUERIES = {
         "benchmark_contamination": q_benchmark_contamination,
         "domain_mix": q_domain_mix,
         "vocab_topk": q_vocab_topk,
+        "oov_rate": q_oov_rate,
         "quality_scores": q_quality_scores,
         "repetition_stats": q_repetition_stats,
         "url_normalize": q_url_normalize,
@@ -2460,6 +2471,26 @@ def oracle_sql() -> dict[str, str]:
               WHEN 'src2' THEN substr(md5(doc_id::VARCHAR), 1, 4) < '4000'
               ELSE substr(md5(doc_id::VARCHAR), 1, 4) < '0ccc'
             END
+        """,
+        "oov_rate": """
+            WITH t AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                       AS token
+              FROM documents),
+            v AS (
+              SELECT token FROM (
+                SELECT token, count(*) AS n FROM t
+                GROUP BY token ORDER BY n DESC, token LIMIT 100)),
+            j AS (
+              SELECT t.doc_id, (v.token IS NOT NULL)::INT AS iv
+              FROM t LEFT JOIN v ON t.token = v.token)
+            SELECT doc_id,
+                   count(*)::BIGINT AS n_tokens,
+                   (count(*) - sum(iv))::BIGINT AS n_oov,
+                   round((count(*) - sum(iv)) * 1.0 / count(*), 4)
+                     AS oov_rate
+            FROM j GROUP BY doc_id
         """,
         "vocab_topk": """
             WITH t AS (

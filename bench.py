@@ -127,6 +127,7 @@ EXTRA3 = (
     "training_batches",
     "domain_quality",
     "boilerplate_paragraphs",
+    "oov_rate",
 )
 
 

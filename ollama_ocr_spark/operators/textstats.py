@@ -636,3 +636,44 @@ def domain_quality(df: DataFrame, host_col: str = "host",
         ((F.col("n_docs") >= min_docs) & (rate < min_ok_rate))
         .alias("blocklist_candidate"),
     )
+
+
+def oov_rate(df: DataFrame, vocab: DataFrame, key: str = "doc_id",
+             col: str = "text") -> DataFrame:
+    """Tokenizer-coverage metric: per document, the fraction of token
+    OCCURRENCES not covered by a vocabulary (e.g. :func:`vocab_topk`'s
+    output) — the dial that says whether a tokenizer/vocab shipped for
+    one corpus still fits the next crawl (high OOV → retrain or expand).
+
+    Scale shape: a vocabulary is bounded by construction (top-k), so it
+    BROADCASTS; the corpus side is one token explode + the broadcast
+    left join + one groupBy(key) — documents never shuffle, only
+    (key, token) rows into the per-doc count. Same ``TOKEN_RE``
+    pre-tokenizer as :func:`vocab_topk` / :func:`with_token_counts`.
+    Output: (key, n_tokens, n_oov, oov_rate). Docs with zero tokens
+    produce no row (both engines drop them in the explode).
+    """
+    from ollama_ocr_spark.operators.dedup import ensure_parallelism
+
+    toks = ensure_parallelism(df).select(
+        F.col(key),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(col)), F.lit(TOKEN_RE), 0)
+        ).alias("token"),
+    )
+    v = vocab.select("token").withColumn("__iv", F.lit(1))
+    n_oov = F.col("n_tokens") - F.col("__niv")
+    return (
+        toks.join(F.broadcast(v), "token", "left")
+        .groupBy(key)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.count("__iv").alias("__niv"),
+        )
+        .select(
+            key,
+            "n_tokens",
+            n_oov.alias("n_oov"),
+            F.round(n_oov / F.col("n_tokens"), 4).alias("oov_rate"),
+        )
+    )

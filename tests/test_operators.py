@@ -696,3 +696,18 @@ def test_boilerplate_paragraphs_topk(spark):
     # footer appears in all 6 docs but 9 times total (twice in odd docs)
     assert by_para["common footer"]["n_docs"] == 6
     assert by_para["common footer"]["n_total"] == 9
+
+
+def test_oov_rate_against_vocab(spark):
+    from ollama_ocr_spark.operators.textstats import oov_rate
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa cc"), (2, "aa aa aa aa"), (3, "zz yy xx ww")],
+        ["doc_id", "text"],
+    )
+    vocab = spark.createDataFrame([("aa",), ("bb",)], ["token"])
+    got = {r["doc_id"]: r for r in oov_rate(docs, vocab).collect()}
+    assert got[1]["n_tokens"] == 4 and got[1]["n_oov"] == 1   # cc
+    assert got[1]["oov_rate"] == 0.25
+    assert got[2]["n_oov"] == 0 and got[2]["oov_rate"] == 0.0
+    assert got[3]["n_oov"] == 4 and got[3]["oov_rate"] == 1.0
