@@ -711,3 +711,56 @@ def test_oov_rate_against_vocab(spark):
     assert got[1]["oov_rate"] == 0.25
     assert got[2]["n_oov"] == 0 and got[2]["oov_rate"] == 0.0
     assert got[3]["n_oov"] == 4 and got[3]["oov_rate"] == 1.0
+
+
+def test_chunk_documents_coverage_invariants(spark):
+    """Grid invariants across every word count 1..129 (spanning the
+    size/stride boundaries): chunk count matches ceil((n-size)/stride)+1,
+    the last source word is always covered, and every chunk is exactly
+    the stride-aligned slice of the source."""
+    import math
+
+    from ollama_ocr_spark.operators.textstats import chunk_documents
+
+    size, stride = 32, 24
+    rows = [(n, " ".join(f"w{i}" for i in range(n))) for n in range(1, 130)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    by_doc = {}
+    for r in chunk_documents(df, size=size, stride=stride).collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for n, text in rows:
+        words = text.split(" ")
+        cs = sorted(by_doc[n], key=lambda r: r["chunk_id"])
+        expected = 1 if n <= size else math.ceil((n - size) / stride) + 1
+        assert len(cs) == expected, (n, len(cs), expected)
+        assert cs[-1]["chunk"].split(" ")[-1] == f"w{n - 1}"   # coverage
+        for c in cs:
+            lo = c["chunk_id"] * stride
+            assert c["chunk"] == " ".join(words[lo:lo + size])
+            assert c["n_words"] == len(words[lo:lo + size])
+
+
+def test_latest_ops_plan_shapes(spark):
+    """Scale-shape audits for the late-round operators: OOV joins must
+    BROADCAST the vocab (never shuffle the token table against it);
+    boilerplate mining and domain quality must stay equi-join/agg only."""
+    from pyspark.sql import functions as F
+
+    from ollama_ocr_spark.operators.dedup import boilerplate_paragraphs
+    from ollama_ocr_spark.operators.textstats import domain_quality, oov_rate
+    from ollama_ocr_spark.plans.audit import audit_plan
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog %d" % i,
+          f"h{i % 3}.com")
+         for i in range(30)],
+        ["doc_id", "text", "host"],
+    )
+    vocab = spark.createDataFrame([("the",), ("fox",)], ["token"])
+    audit_plan(oov_rate(docs, vocab), require_broadcast=True,
+               forbid_ops=["BroadcastNestedLoopJoin", "CartesianProduct"])
+    audit_plan(boilerplate_paragraphs(docs),
+               forbid_ops=["BroadcastNestedLoopJoin", "CartesianProduct"])
+    audit_plan(domain_quality(docs),
+               forbid_ops=["BroadcastNestedLoopJoin", "CartesianProduct",
+                           "SortMergeJoin"])
