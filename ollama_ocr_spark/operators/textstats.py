@@ -273,9 +273,15 @@ def curation_verdict(df: DataFrame, key: str = "doc_id",
     Scale shape: the only shuffle is the keeper aggregate on the 128-bit
     text digest (map-side partial agg; digests, never text) + its join
     back on the digest; the quality/repetition gates are pure map-side
-    array expressions. Output: (key, reason, keep).
+    array expressions — parallelism-guarded, because "map-side" on a
+    small single-file parquet scan otherwise means ONE task doing all
+    the O(distinct×n) repetition array work. Output: (key, reason, keep).
     """
-    scored = with_repetition_stats(with_quality_score(df, col), col)
+    from ollama_ocr_spark.operators.dedup import ensure_parallelism
+
+    scored = with_repetition_stats(
+        with_quality_score(ensure_parallelism(df), col), col
+    )
     keepers = df.groupBy(F.md5(F.col(col)).alias("__fp")).agg(
         F.min(F.col(key)).alias("__keeper")
     )
