@@ -460,12 +460,23 @@ def semantic_dedup(corpus: DataFrame, key: str = "vec_id",
     reference analog — this is one of the beyond-the-reference
     training-data-pipeline operators.)
     """
+    # NO parallelism guard here, measured: repartitioning the small
+    # vector table made the MANY short k-means/pair passes pay 32-task
+    # scheduling + an extra shuffle each (8.8 -> 15.0 s at sf0.1, 2000
+    # vectors); at real scale the embeddings table arrives multi-file
+    # and the guard is a no-op anyway.
     assigned = kmeans_assign(corpus, key, vec, n_centroids)
-    left = assigned.select(
-        "cluster", F.col(key).alias("a"), F.col(vec).alias("va")
+    # Norms precompute ONCE per vector (bit-identical doubles — same ops,
+    # same fold order as the per-pair form); the quadratic pair stage
+    # then pays only the dot. Same trick as the near-dupes numpy rerank.
+    withn = assigned.withColumn("__n", _norm(F.col(vec)))
+    left = withn.select(
+        "cluster", F.col(key).alias("a"), F.col(vec).alias("va"),
+        F.col("__n").alias("na"),
     )
-    right = assigned.select(
-        "cluster", F.col(key).alias("b"), F.col(vec).alias("vb")
+    right = withn.select(
+        "cluster", F.col(key).alias("b"), F.col(vec).alias("vb"),
+        F.col("__n").alias("nb"),
     )
     pairs = left.join(right, "cluster").filter(F.col("a") < F.col("b"))
     dup_ids = (
@@ -473,7 +484,7 @@ def semantic_dedup(corpus: DataFrame, key: str = "vec_id",
             "cos4",
             F.round(
                 _dot(F.col("va"), F.col("vb"))
-                / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                / (F.col("na") * F.col("nb")),
                 4,
             ),
         )
