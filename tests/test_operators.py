@@ -764,3 +764,43 @@ def test_latest_ops_plan_shapes(spark):
     audit_plan(domain_quality(docs),
                forbid_ops=["BroadcastNestedLoopJoin", "CartesianProduct",
                            "SortMergeJoin"])
+
+
+def test_zorder_bucket_partition_pruning(spark, tmp_path):
+    """The point of z-ordering on disk: a 2-D box predicate maps to a
+    SMALL set of z-bucket partitions (derivable driver-side from the same
+    bit-interleave), so the scan prunes whole directories — the manual
+    analog of Delta/Hudi min-max file skipping."""
+    from pyspark.sql import functions as F
+
+    from ollama_ocr_spark.operators.maintenance import zorder_key
+    from ollama_ocr_spark.plans.audit import plan_report
+
+    path = str(tmp_path / "ztab")
+    grid = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("bigint").alias("y"),
+    )
+    grid.withColumn(
+        "zb", F.shiftright(zorder_key(F.col("x"), F.col("y"), bits=6), 8)
+    ).write.partitionBy("zb").mode("overwrite").parquet(path)
+
+    def zbucket(x, y, bits=6, shift=8):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z >> shift
+
+    # query box x<8, y<8 → exactly one z bucket out of 16
+    buckets = sorted({zbucket(x, y) for x in range(8) for y in range(8)})
+    assert buckets == [0]
+    rd = spark.read.parquet(path)
+    pruned = rd.filter(
+        F.col("zb").isin(buckets) & (F.col("x") < 8) & (F.col("y") < 8)
+    )
+    rep = plan_report(pruned)
+    assert any("zb" in p for p in rep.partition_filters), rep.partition_filters
+    # pruning must not change the answer
+    full = rd.filter((F.col("x") < 8) & (F.col("y") < 8))
+    assert pruned.count() == full.count() == 64
