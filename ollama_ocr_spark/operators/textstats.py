@@ -667,7 +667,10 @@ def oov_rate(df: DataFrame, vocab: DataFrame, key: str = "doc_id",
             F.regexp_extract_all(F.lower(F.col(col)), F.lit(TOKEN_RE), 0)
         ).alias("token"),
     )
-    v = vocab.select("token").withColumn("__iv", F.lit(1))
+    # distinct guards against a caller-supplied vocab with duplicate rows
+    # (the broadcast join would otherwise fan out token rows and push
+    # n_oov negative); no-op cost on a bounded vocab.
+    v = vocab.select("token").distinct().withColumn("__iv", F.lit(1))
     n_oov = F.col("n_tokens") - F.col("__niv")
     return (
         toks.join(F.broadcast(v), "token", "left")
