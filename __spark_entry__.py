@@ -1353,6 +1353,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _QUERIES = {
+        # Never-driver-sampled queries lead: the driver's CORRECTNESS
+        # gate samples the first 50 entries in dict order, and these
+        # have only judge-run (softer) evidence so far — rotating
+        # coverage, per round-3 VERDICT item 2.
+        "vocab_topk": q_vocab_topk,
+        "oov_rate": q_oov_rate,
+        "quality_scores": q_quality_scores,
+        "repetition_stats": q_repetition_stats,
+        "url_normalize": q_url_normalize,
+        "url_filter": q_url_filter,
+        "domain_quality": q_domain_quality,
+        "langid_confusion": q_langid_confusion,
+        "lang_segments": q_lang_segments,
+        "fingerprints": q_fingerprints,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "golden_compare": q_golden_compare,
+        "embedding_near_dupes": q_embedding_near_dupes,
+        "embedding_near_dupes_lsh": q_embedding_near_dupes_lsh,
+        "semantic_dedup": q_semantic_dedup,
+        "tpch_shipping_revenue": q_tpch_shipping_revenue,
+        "nation_revenue": q_nation_revenue,
+        "events_daily": q_events_daily,
+        "sessionize": q_sessionize,
+        "session_windows": q_session_windows,
+        "host_link_graph": q_host_link_graph,
+        "host_pagerank": q_host_pagerank,
+        "crawl_diff": q_crawl_diff,
+        "unigram_logprob": q_unigram_logprob,
+        "ngram_span_coverage": q_ngram_span_coverage,
+        "anchor_text_stats": q_anchor_text_stats,
+        "phrase_search": q_phrase_search,
+        "and_search": q_and_search,
+        "recrawl_schedule": q_recrawl_schedule,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "dsir_importance": q_dsir_importance,
+        "group_holdout_split": q_group_holdout_split,
+        "temperature_mix": q_temperature_mix,
+        "zorder_key": q_zorder_key,
+        "shingle_novelty": q_shingle_novelty,
+        "chunk_documents": q_chunk_documents,
+        "cross_corpus_dedup": q_cross_corpus_dedup,
+        "training_batches": q_training_batches,
+        # --- previously driver-sampled (green in r2 and/or r3) ---
         "extract_text_roundtrip": q_extract_text_roundtrip,
         "extract_handwriting": q_extract_handwriting,
         "extract_pdf_fold": q_extract_pdf_fold,
@@ -1403,47 +1449,6 @@ _QUERIES = {
         "curate_corpus": q_curate_corpus,
         "benchmark_contamination": q_benchmark_contamination,
         "domain_mix": q_domain_mix,
-        "vocab_topk": q_vocab_topk,
-        "oov_rate": q_oov_rate,
-        "quality_scores": q_quality_scores,
-        "repetition_stats": q_repetition_stats,
-        "url_normalize": q_url_normalize,
-        "url_filter": q_url_filter,
-        "domain_quality": q_domain_quality,
-        "langid_confusion": q_langid_confusion,
-        "lang_segments": q_lang_segments,
-        "fingerprints": q_fingerprints,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "golden_compare": q_golden_compare,
-        "embedding_near_dupes": q_embedding_near_dupes,
-        "embedding_near_dupes_lsh": q_embedding_near_dupes_lsh,
-        "semantic_dedup": q_semantic_dedup,
-        "tpch_shipping_revenue": q_tpch_shipping_revenue,
-        "nation_revenue": q_nation_revenue,
-        "events_daily": q_events_daily,
-        "sessionize": q_sessionize,
-        "session_windows": q_session_windows,
-        "host_link_graph": q_host_link_graph,
-        "host_pagerank": q_host_pagerank,
-        "crawl_diff": q_crawl_diff,
-        "unigram_logprob": q_unigram_logprob,
-        "ngram_span_coverage": q_ngram_span_coverage,
-        "anchor_text_stats": q_anchor_text_stats,
-        "phrase_search": q_phrase_search,
-        "and_search": q_and_search,
-        "recrawl_schedule": q_recrawl_schedule,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "bpe_pair_counts": q_bpe_pair_counts,
-        "dsir_importance": q_dsir_importance,
-        "group_holdout_split": q_group_holdout_split,
-        "temperature_mix": q_temperature_mix,
-        "zorder_key": q_zorder_key,
-        "shingle_novelty": q_shingle_novelty,
-        "chunk_documents": q_chunk_documents,
-        "cross_corpus_dedup": q_cross_corpus_dedup,
-        "training_batches": q_training_batches,
 }
 
 
@@ -2581,10 +2586,9 @@ def oracle_sql() -> dict[str, str]:
                          THEN 'binary_ext'
                        WHEN regexp_matches(url, '/draft-')
                          THEN 'blocked_pattern'
-                       WHEN CASE WHEN len(regexp_extract(url, '\\?([^#]*)', 1)) > 0
-                                 THEN len(string_split(
-                                        regexp_extract(url, '\\?([^#]*)', 1), '&'))
-                                 ELSE 0 END > 2
+                       WHEN len(list_filter(string_split(
+                              regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                              x -> x <> '')) > 2
                          THEN 'too_many_params'
                        WHEN len(url) > 90 THEN 'too_long'
                        ELSE 'ok' END AS reason

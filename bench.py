@@ -28,9 +28,19 @@ Method:
   memory bandwidth, which is what N→4N executor scaling assumes.
 - Headline queries run once on the local[CPUS] session.
 
+Budget discipline (round-3 lesson: the driver's BENCH run timed out with
+41+ prime+best-of-2 extras — rc=124, no JSON at all): the CORE line
+(headline suite + extract levels + N→4N scaling, the round-comparable
+numbers) is printed and FLUSHED as soon as it exists; the EXTRA/EXTRA3/
+EXTRA4 suites then run under a wall-clock budget (single timed pass each,
+remaining names skipped once the budget is hit) and a FINAL superset line
+is printed last. A driver that takes the last JSON line gets everything;
+one that kills the process mid-extras still has the complete core line.
+
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_REPL (default 40),
-SPARK_GRAFT_BENCH_TRIALS (default 3), SPARK_GRAFT_BENCH_SMALL (default 2),
+SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_REPL (default 80),
+SPARK_GRAFT_BENCH_TRIALS (default 2), SPARK_GRAFT_BENCH_SMALL (default 2),
+SPARK_GRAFT_BENCH_BUDGET (total wall secs, default 780),
 SPARK_GRAFT_BENCH_SKIP_SCALING=1, SPARK_GRAFT_BENCH_SKIP_QUERIES=1.
 """
 
@@ -47,8 +57,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPL = int(os.environ.get("SPARK_GRAFT_BENCH_REPL", "80"))
-TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "4"))
+TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
 SMALL = int(os.environ.get("SPARK_GRAFT_BENCH_SMALL", "2"))
+# Total wall-clock budget: once exceeded, remaining EXTRA* queries are
+# skipped (never the core headline/extract/scaling — those finish first and
+# their JSON line is already flushed by the time extras start). 780 s sits
+# under the slowest KNOWN-good driver wall (r2 ran 859 s to completion)
+# while the r3 run, which had no budget, timed out.
+BUDGET = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "780"))
 def _corpus_tag() -> str:
     """Fingerprint of the corpus-defining sources: the pages cache is a
     pure function of (documents table, corpus code), so a corpus.py edit
@@ -129,6 +145,11 @@ EXTRA3 = (
     "boilerplate_paragraphs",
     "oov_rate",
 )
+
+# Round-4 operators — timed FIRST among the extras (newest queries have the
+# least accumulated perf evidence, so budget-skips should fall on the old
+# suites whose numbers already exist in BENCH_r02/BENCH.md).
+EXTRA4: tuple[str, ...] = ()
 
 
 def _session(cores: int):
@@ -251,14 +272,17 @@ def _run_level(cores: int, warm_rows: int) -> None:
 
     pages = spark.read.parquet(PAGES_DIR)
     extract_stage(pages.limit(warm_rows)).count()  # worker/codegen warmup
-    # One full-pipeline warmup pass, then best-of-3: measured ramp on this
+    # One full-pipeline warmup pass, then best-of-2: measured ramp on this
     # box is 34k -> 48k -> 60k docs/s over consecutive identical passes
     # (JVM C2 compiling the scan/shuffle/window codegen) — timing the first
     # pass measures JIT, not the engine; best-of also rides out the
     # co-tenant bursts (±30% between identical steady-state passes).
+    # Best-of-2 (was 3): the small pinned level pays ~25 s per pass, and the
+    # r3 driver bench timed out — the third pass bought little (the ramp is
+    # done after the warmup pass) at a third of the level's wall cost.
     timed_extract(spark, cores)
     out = max(
-        (timed_extract(spark, cores) for _ in range(3)),
+        (timed_extract(spark, cores) for _ in range(2)),
         key=lambda r: r["docs_per_sec"],
     )
     spark.stop()
@@ -379,23 +403,6 @@ def main() -> None:
                     "noop").save()
                 passes.append(time.monotonic() - t0)
             qtimes[name] = round(min(passes), 3)
-    qtimes_r2: dict[str, float] = {}
-    qtimes_r3: dict[str, float] = {}
-    if not os.environ.get("SPARK_GRAFT_BENCH_SKIP_QUERIES"):
-        # same estimator as the headline suite: sf0.01 priming pass, then
-        # best-of-2 fresh plans at SF_DIR (plan rebuilt per pass)
-        for names, sink in ((EXTRA, qtimes_r2), (EXTRA3, qtimes_r3)):
-            for name in names:
-                qs[name](spark, "/root/testdata/sf0.01").write.mode(
-                    "overwrite").format("noop").save()  # prime
-            for name in names:
-                passes = []
-                for _ in range(2):
-                    t0 = time.monotonic()
-                    qs[name](spark, SF_DIR).write.mode("overwrite").format(
-                        "noop").save()
-                    passes.append(time.monotonic() - t0)
-                sink[name] = round(min(passes), 3)
     spark.stop()
 
     # -- pass 2: N vs 4N interleaved trials, best-of-k per level ------------
@@ -448,8 +455,6 @@ def main() -> None:
         "value": round(sum(qtimes.values()) + ext_full["secs"], 3),
         "unit": "sec",
         "queries": {**qtimes, "extract_pipeline": ext_full["secs"]},
-        "queries_r2": qtimes_r2,
-        "queries_r3": qtimes_r3,
         "sf": SF_DIR,
         "pages_rows": n_pages,
         "extract": {
@@ -466,7 +471,7 @@ def main() -> None:
             "scaling_per_trial": per_trial} if scaling is not None else {}),
         "scaling_note": (
             "pinned-CPU (sched_setaffinity) N vs 4N, JIT-warmed "
-            f"best-of-3 passes x {TRIALS} interleaved trials; efficiency = "
+            f"best-of-2 passes x {TRIALS} interleaved trials; efficiency = "
             "max of TWO best-of estimators with complementary failure "
             "modes: (a) best per-trial ratio (big and small run "
             "back-to-back in the same co-tenant load window, so the ratio "
@@ -480,7 +485,46 @@ def main() -> None:
         ),
         "bench_wall_secs": round(time.monotonic() - t_start, 1),
     }
-    print(json.dumps(out))
+    # CORE line: complete and round-comparable on its own. Flushed NOW so a
+    # driver timeout during the extras below still leaves a parseable line
+    # (round 3 had rc=124 and NO perf evidence at all).
+    print(json.dumps(out), flush=True)
+
+    # -- pass 3: extras under the wall-clock budget -------------------------
+    # Single timed pass per query after an sf0.01 prime (best-of-2 made the
+    # r3 driver run time out); queries are per-suite priority-ordered and
+    # the remainder is skipped — and named — once BUDGET is exceeded.
+    qtimes_r2: dict[str, float] = {}
+    qtimes_r3: dict[str, float] = {}
+    qtimes_r4: dict[str, float] = {}
+    skipped: list[str] = []
+    if not os.environ.get("SPARK_GRAFT_BENCH_SKIP_QUERIES"):
+        spark = _session(CPUS)
+        import __spark_entry__ as entry
+
+        qs = entry.queries()
+        for names, sink in ((EXTRA4, qtimes_r4), (EXTRA, qtimes_r2),
+                            (EXTRA3, qtimes_r3)):
+            for name in names:
+                if time.monotonic() - t_start > BUDGET:
+                    skipped.append(name)
+                    continue
+                qs[name](spark, "/root/testdata/sf0.01").write.mode(
+                    "overwrite").format("noop").save()  # prime
+                t0 = time.monotonic()
+                qs[name](spark, SF_DIR).write.mode("overwrite").format(
+                    "noop").save()
+                sink[name] = round(time.monotonic() - t0, 3)
+        spark.stop()
+
+    out["queries_r2"] = qtimes_r2
+    out["queries_r3"] = qtimes_r3
+    out["queries_r4"] = qtimes_r4
+    if skipped:
+        out["extras_skipped_on_budget"] = skipped
+    out["bench_wall_secs"] = round(time.monotonic() - t_start, 1)
+    # FINAL line: superset of the core line (same core numbers + extras).
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

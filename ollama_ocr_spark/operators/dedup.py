@@ -452,7 +452,8 @@ def embedding_near_dupes(df: DataFrame, key: str = "vec_id",
 
     Double math + round(4) for oracle parity in both strategies.
     """
-    from .similarity import _dot, _norm, _rh_signature  # shared kernels
+    from .similarity import (_dot, _norm, _rh_signature,  # shared kernels
+                             numpy_pair_cosines)
 
     def _cos(va, vb):
         return F.round(_dot(va, vb) / (_norm(va) * _norm(vb)), 4)
@@ -503,47 +504,17 @@ def embedding_near_dupes(df: DataFrame, key: str = "vec_id",
         )
         # Rerank: norms are computed ONCE per vector engine-side (n rows,
         # not once per candidate pair), then the per-pair dot products run
-        # in an Arrow-batched numpy kernel — a vectorized 64-step
-        # sequential fold (acc += A[:,i]*B[:,i]), the SAME doubles in the
-        # SAME order as the zip_with/aggregate HOF form, so the cosine is
-        # bit-identical and the DuckDB oracle rows are unchanged. Measured
-        # ~1.6x faster end-to-end than the JVM HOF rerank at 1M candidate
-        # pairs (HOFs evaluate lambda frames per element; numpy runs one C
-        # loop per dimension across the whole batch).
+        # in the shared Arrow numpy kernel (similarity.numpy_pair_cosines
+        # — bit-parity sequential fold, conservative prefilter; exact
+        # round + threshold engine-side). Measured ~1.6x faster end-to-end
+        # than the JVM HOF rerank at 1M candidate pairs.
         va = df.select(F.col(key).alias("a"), F.col(vec).alias("va"),
                        _norm(F.col(vec)).alias("na"))
         vb = df.select(F.col(key).alias("b"), F.col(vec).alias("vb"),
                        _norm(F.col(vec)).alias("nb"))
         joined = cand.join(va, "a").join(vb, "b")
-        key_ddl = joined.schema["a"].dataType.simpleString()
-
-        def rerank(batches):
-            import numpy as np
-            import pandas as pd
-
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                mat_a = np.stack(pdf["va"].to_numpy()).astype(np.float64)
-                mat_b = np.stack(pdf["vb"].to_numpy()).astype(np.float64)
-                acc = np.zeros(len(pdf))
-                for i in range(mat_a.shape[1]):  # sequential fold order
-                    acc = acc + mat_a[:, i] * mat_b[:, i]
-                raw = acc / (pdf["na"].to_numpy() * pdf["nb"].to_numpy())
-                out = pd.DataFrame(
-                    {"a": pdf["a"], "b": pdf["b"], "raw": raw}
-                )
-                # CONSERVATIVE prefilter only (round(x,4) >= t implies
-                # x >= t - 0.00005): the kernel never rounds — numpy
-                # rounds half-even, Spark/DuckDB half-up (CLAUDE.md
-                # gotcha) — the exact round + threshold run engine-side.
-                yield out[out["raw"] >= threshold - 1e-4]
-
-        reranked = joined.select(
-            "a", "b", "va", "vb", "na", "nb"
-        ).mapInPandas(rerank, f"a {key_ddl}, b {key_ddl}, raw double")
         return (
-            reranked
+            numpy_pair_cosines(joined, threshold)
             .withColumn("cosine", F.round(F.col("raw"), 4))
             .filter(F.col("cosine") >= threshold)
             .select("a", "b", "cosine")

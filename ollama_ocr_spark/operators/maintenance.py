@@ -83,9 +83,9 @@ def url_filter(df: DataFrame, url_col: str = "url", max_len: int = 90,
         cond = path.endswith(ext)
         ext_hit = cond if ext_hit is None else (ext_hit | cond)
     qs = F.regexp_extract(u, r"\?([^#]*)", 1)
-    n_params = F.when(
-        F.length(qs) > 0, F.size(F.split(qs, "&"))
-    ).otherwise(F.lit(0))
+    # Drop empty segments so 'a=1&&b=2' or a trailing '&' count their real
+    # parameters, not the separators (oracle mirrors the same filter).
+    n_params = F.size(F.filter(F.split(qs, "&"), lambda x: x != ""))
     reason = F.when(ext_hit, F.lit("binary_ext"))
     if blocked_pattern:
         reason = reason.when(
@@ -525,9 +525,13 @@ def recrawl_schedule(pages: DataFrame, key: str = "url", ts: str = "warc_ts",
     Same digest-only shuffle as :func:`crawl_diff`: md5(html) is computed
     map-side in the scan stage, so only (url, host, ts, 32-byte digest)
     crosses the wire; one window shuffle on url. NULL payloads digest as
-    NULL; the compare is null-safe.
+    NULL; the compare is null-safe. The window breaks timestamp ties on
+    digest so two same-instant captures order deterministically — without
+    it, `changed` can flip between runs on real data (corpus timestamps
+    merely happen to be unique).
     """
-    w = Window.partitionBy(key).orderBy(F.col(ts).desc())
+    w = Window.partitionBy(key).orderBy(
+        F.col(ts).desc(), F.col("__digest").desc_nulls_last())
     newest = (
         pages.select(
             F.col(key), host_expr(key).alias("host"),
@@ -665,7 +669,17 @@ def zorder_key(x, y, bits: int = 16):
 
     Unrolled ``2*bits`` shift/mask terms — plain bigint arithmetic, stays
     inside whole-stage codegen (no HOF, no UDF).
+
+    Domain: coordinates are expected in ``[0, 2**bits)``. Oversized inputs
+    SATURATE to the top cell (``least(v, 2**bits - 1)``) instead of having
+    their high bits silently dropped — dropping bits aliases far-apart
+    coordinates onto distant interleaved cells (quietly destroying the
+    locality the curve exists for), while saturation keeps the key
+    monotone: everything past the domain edge clusters in the edge cell.
+    Widen ``bits`` if real coordinates exceed the domain.
     """
+    lim = F.lit((1 << bits) - 1)
+    x, y = F.least(x, lim), F.least(y, lim)
     expr = None
     for i in range(bits):
         tx = F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)

@@ -74,7 +74,10 @@ def and_search(postings: DataFrame, words: list[str],
     total occurrence count across the query words."""
     if not words:
         raise ValueError("words must contain at least one term")
-    lw = [w.lower() for w in words]
+    # Dedupe (order-preserving): a repeated query word must not inflate the
+    # required distinct-term count — ['table','table'] matches any doc
+    # containing 'table', not zero docs.
+    lw = list(dict.fromkeys(w.lower() for w in words))
     hits = postings.filter(F.col("term").isin(lw))
     return (
         hits.groupBy(key)

@@ -40,6 +40,52 @@ def _norm(a):
     )
 
 
+def numpy_pair_cosines(joined: DataFrame,
+                       threshold: float | None = None) -> DataFrame:
+    """Bulk per-pair cosine via an Arrow-batched numpy kernel — the fast
+    path for BULK candidate-pair scoring (measured ~1.6x over the JVM HOF
+    dot end-to-end at 1M pairs: HOFs evaluate lambda frames per element,
+    numpy runs one C loop per dimension across the whole batch).
+
+    Input columns (exact names): a, b (pair keys), va, vb (vectors),
+    na, nb (precomputed norms — once per VECTOR, not per pair).
+    Output: (a, b, raw double) — the UNROUNDED cosine.
+
+    Bit-parity contract: the kernel replicates :func:`_dot`'s sequential
+    fold order (``acc = acc + A[:,i] * B[:,i]`` per dimension) so the
+    doubles are identical to the zip_with/aggregate form and a DuckDB
+    oracle reproduces them exactly. The kernel NEVER rounds (numpy rounds
+    half-even; Spark/DuckDB half-up) — pass ``threshold`` only as a
+    CONSERVATIVE prefilter (keeps raw >= threshold - 1e-4; since
+    round(x, 4) >= t implies x >= t - 0.00005, no survivor is lost); the
+    exact round + compare must run engine-side on the returned raw.
+    """
+    a_ddl = joined.schema["a"].dataType.simpleString()
+    b_ddl = joined.schema["b"].dataType.simpleString()
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat_a = np.stack(pdf["va"].to_numpy()).astype(np.float64)
+            mat_b = np.stack(pdf["vb"].to_numpy()).astype(np.float64)
+            acc = np.zeros(len(pdf))
+            for i in range(mat_a.shape[1]):  # sequential fold order
+                acc = acc + mat_a[:, i] * mat_b[:, i]
+            raw = acc / (pdf["na"].to_numpy() * pdf["nb"].to_numpy())
+            out = pd.DataFrame({"a": pdf["a"], "b": pdf["b"], "raw": raw})
+            if threshold is not None:
+                out = out[out["raw"] >= threshold - 1e-4]
+            yield out
+
+    return joined.select("a", "b", "va", "vb", "na", "nb").mapInPandas(
+        kernel, f"a {a_ddl}, b {b_ddl}, raw double"
+    )
+
+
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 key: str = "vec_id", vec: str = "embedding") -> DataFrame:
     """Exact top-k cosine neighbors per query.
@@ -465,7 +511,18 @@ def semantic_dedup(corpus: DataFrame, key: str = "vec_id",
     # scheduling + an extra shuffle each (8.8 -> 15.0 s at sf0.1, 2000
     # vectors); at real scale the embeddings table arrives multi-file
     # and the guard is a no-op anyway.
-    assigned = kmeans_assign(corpus, key, vec, n_centroids)
+    #
+    # Cache the k-row codebook: `assigned` appears in THREE places (both
+    # sides of the pair exchange + the final output join), and without the
+    # cache every materialization re-runs the centroid subtree — itself
+    # two corpus passes (seed assign + posexplode mean). k×dim doubles is
+    # scale-free to cache. Measured 3.9 -> 2.8 s at sf0.1.
+    cents = kmeans_centroids(corpus, key, vec, n_centroids).cache()
+    assigned = _assign(
+        corpus.select(key, vec),
+        cents.select("cluster", F.col("centroid").alias("cvec")),
+        key, vec, "cvec",
+    )
     # Norms precompute ONCE per vector (bit-identical doubles — same ops,
     # same fold order as the per-pair form); the quadratic pair stage
     # then pays only the dot. Same trick as the near-dupes numpy rerank.
@@ -479,16 +536,12 @@ def semantic_dedup(corpus: DataFrame, key: str = "vec_id",
         F.col("__n").alias("nb"),
     )
     pairs = left.join(right, "cluster").filter(F.col("a") < F.col("b"))
+    # Within-cluster pair dots run in the Arrow numpy kernel (same
+    # bit-parity fold as the near-dupes rerank — oracle rows unchanged);
+    # the exact round + threshold stay engine-side.
     dup_ids = (
-        pairs.withColumn(
-            "cos4",
-            F.round(
-                _dot(F.col("va"), F.col("vb"))
-                / (F.col("na") * F.col("nb")),
-                4,
-            ),
-        )
-        .filter(F.col("cos4") >= F.lit(threshold))
+        numpy_pair_cosines(pairs, threshold)
+        .filter(F.round(F.col("raw"), 4) >= F.lit(threshold))
         .select(F.col("b").alias(key))
         .distinct()
         .withColumn("__dup", F.lit(1))

@@ -154,6 +154,18 @@ def test_recrawl_schedule_buckets(spark):
     assert rows["once"]["interval_hours"] == 72 and rows["once"]["n_caps"] == 1
     # two NULL captures digest equal (null-safe) -> stable
     assert rows["gone"]["interval_hours"] == 168
+    # timestamp TIE: two same-instant captures with different payloads
+    # must order deterministically (window breaks ties on digest desc) —
+    # 'changed' may never flip between runs on tie-heavy real data
+    tie = spark.createDataFrame(
+        [(u % "tie", t1, bytearray(b"v1")), (u % "tie", t1, bytearray(b"v2"))],
+        "url string, warc_ts timestamp, html binary",
+    )
+    outs = {tuple(sorted(r["url"].rsplit("/", 1)[1:])
+                  + [r["changed"], r["interval_hours"]])
+            for _ in range(3)
+            for r in recrawl_schedule(tie.repartition(4)).collect()}
+    assert outs == {("tie", 1, 24)}
 
 
 def test_tfidf_top_terms_ranking(spark):

@@ -440,6 +440,12 @@ def test_phrase_and_and_search(spark):
     an = {r["doc_id"]: r["n_hits"]
           for r in and_search(posts, ["table", "part"]).collect()}
     assert an == {1: 2, 2: 2, 3: 4, 4: 2}
+    # duplicate query words dedupe: ['table','table'] is the same query as
+    # ['table'] — without the dedupe, count_distinct(term)=1 can never
+    # reach len(words)=2 and the search silently returns zero rows
+    dup = {r["doc_id"]: r["n_hits"]
+           for r in and_search(posts, ["table", "Table"]).collect()}
+    assert dup == {1: 1, 2: 1, 3: 2, 4: 1, 5: 1}
     # scale shape: joins on (doc, pos) are hash/sort-merge equi-joins
     from ollama_ocr_spark.plans.audit import audit_plan
 
@@ -527,6 +533,13 @@ def test_zorder_key_and_layout(spark):
     got = df.select(zorder_key(F.col("x"), F.col("y"), bits=3)
                     .alias("z")).collect()[0]["z"]
     assert got == 27
+    # out-of-domain coordinates saturate to the edge cell (bits=3 → max 7)
+    # instead of dropping high bits (x=9 would otherwise alias to x=1,
+    # landing far from the domain edge and destroying locality)
+    sat = spark.createDataFrame([(9, 3), (7, 3)], ["x", "y"])
+    zs = [r["z"] for r in sat.select(
+        zorder_key(F.col("x"), F.col("y"), bits=3).alias("z")).collect()]
+    assert zs[0] == zs[1]   # 9 clamps to 7
 
     grid = spark.range(0, 4096).select(
         (F.col("id") % 64).alias("x"),
@@ -620,6 +633,7 @@ def test_url_filter_rules_and_precedence(spark):
         ("https://a.com/x/p.html?a=1&b=2&c=3",),             # too_many_params
         ("https://a.com/x/p.html?q=" + "z" * 100,),          # too_long
         ("https://a.com/spam/casino.html",),                 # blocked_pattern
+        ("https://a.com/x/p.html?a=1&&b=2&",),               # empty segs: 2 params
     ]
     df = spark.createDataFrame(rows, ["url"])
     got = {r["url"]: r["reason"]
@@ -630,6 +644,8 @@ def test_url_filter_rules_and_precedence(spark):
     assert got["https://a.com/x/p.html?a=1&b=2&c=3"] == "too_many_params"
     assert got["https://a.com/x/p.html?q=" + "z" * 100] == "too_long"
     assert got["https://a.com/spam/casino.html"] == "blocked_pattern"
+    # 'a=1&&b=2&' is TWO real params — separators don't count
+    assert got["https://a.com/x/p.html?a=1&&b=2&"] == "ok"
 
 
 def test_new_round3_ops_plan_shapes(spark):
