@@ -764,6 +764,45 @@ def q_curate_corpus(spark, sf_dir):
     )
 
 
+def q_curate_corpus_incremental(spark, sf_dir):
+    """Nightly INCREMENTAL curate — the delta-only twin of q_curate_corpus:
+    the reference corpus's LSH band buckets are PERSISTED once as a table
+    bucketed by (band, bucket) (dedup.write_band_buckets), and tonight's
+    delta (doc_id % 10 == 0, same split as cross_corpus_dedup) is curated
+    against them: cross-corpus near-dup flag + the exact-dup/quality/
+    repetition gates, first failing reason wins. Plan shape (audited in
+    tests/test_plans_export.py::test_ref_bucket_join_no_ref_exchange): the
+    reference side reads its bucketed layout straight into the join — NO
+    ref-side exchange and no ref-side signature recompute; only the delta
+    hashes and shuffles. Nightly cost is O(delta), not O(corpus)."""
+    from ollama_ocr_spark.operators.dedup import (cross_corpus_near_dupes,
+                                                  write_band_buckets)
+    from ollama_ocr_spark.operators.textstats import curation_verdict
+
+    d = _docs(spark, sf_dir)
+    delta = d.filter(F.col("doc_id") % 10 == 0)
+    tbl = "ref_band_buckets_" + "".join(
+        c if c.isalnum() else "_" for c in os.path.basename(sf_dir.rstrip("/"))
+    )
+    write_band_buckets(d.filter(F.col("doc_id") % 10 != 0), tbl)
+    hits = cross_corpus_near_dupes(delta, None,
+                                   ref_buckets=spark.table(tbl))
+    verdict = curation_verdict(delta.select("doc_id", "text"))
+    out = verdict.join(hits, "doc_id", "left")
+    reason = F.when(
+        F.col("n_ref_hits").isNotNull(), F.lit("near_duplicate")
+    ).otherwise(F.col("reason"))
+    return out.select(
+        "doc_id",
+        reason.alias("reason"),
+        (reason == "ok").alias("keep"),
+        F.coalesce(F.col("n_ref_hits"), F.lit(0)).cast("bigint")
+        .alias("n_ref_hits"),
+        F.coalesce(F.col("first_ref"), F.lit(-1)).cast("bigint")
+        .alias("first_ref"),
+    )
+
+
 def q_benchmark_contamination(spark, sf_dir):
     """Eval-set decontamination screen: flag docs sharing any 4-gram
     shingle with a 'benchmark' set (deterministically drawn from the
@@ -777,6 +816,41 @@ def q_benchmark_contamination(spark, sf_dir):
     return benchmark_contamination(docs, bench).select(
         "doc_id", "n_hits", "n_shingles", "contaminated"
     )
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Tokenizer-sizing coverage curve: token-occurrence coverage of a
+    top-N vocabulary at N in {100, 1k, 10k} — one partial-agg token
+    shuffle, ranking window over the vocab-sized distinct-token relation."""
+    from ollama_ocr_spark.operators.textstats import vocab_coverage
+
+    return vocab_coverage(_docs(spark, sf_dir))
+
+
+def q_dedup_savings(spark, sf_dir):
+    """Per-source exact-dedup savings (docs + whitespace tokens before vs
+    after digest dedup). Every doc_id % 11 == 7 document gets the same
+    injected text (the q_curation_verdict duplicate fixture) so the
+    savings are nonzero per source."""
+    from ollama_ocr_spark.operators.dedup import dedup_savings
+
+    docs = _docs(spark, sf_dir)
+    t = F.when(F.col("doc_id") % 11 == 7, F.lit(_DUP_TEXT)).otherwise(
+        F.col("text")
+    )
+    return dedup_savings(docs.select("source", t.alias("text")))
+
+
+def q_contamination_by_source(spark, sf_dir):
+    """Per-source decontamination drill-down: the doc-level contamination
+    screen rolled up by source — contaminated-doc fraction and
+    contaminated-shingle fraction per source, one row per source. Same
+    broadcast-shingles one-pass plan as benchmark_contamination."""
+    from ollama_ocr_spark.operators.dedup import contamination_by_source
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 101 == 0).select("text")
+    return contamination_by_source(docs, bench)
 
 
 def q_domain_mix(spark, sf_dir):
@@ -1249,6 +1323,35 @@ def q_chunk_documents(spark, sf_dir):
     return chunk_documents(_docs(spark, sf_dir), size=32, stride=24)
 
 
+def q_chunk_ann_topk(spark, sf_dir):
+    """Chunk-level ANN retrieval — the missing link between
+    chunk_documents and the ANN family (the RAG-prep path: chunk → embed →
+    index → retrieve). Docs are sliding-window chunked (32/24), each chunk
+    embedded by the deterministic embed stub (similarity.embed_text_stub —
+    the real-model swap seam), chunk keys bit-pack into one bigint
+    (doc_id*1024 + chunk_id), and query chunks (doc_id % 100 == 0)
+    retrieve top-3 neighbors from the rest via IVF with n_probe ==
+    n_centroids — exact, so the oracle is brute-force SQL over the same
+    stub vectors; partition pruning at n_probe < n_centroids is asserted
+    in tests/test_plans_export.py::test_chunk_ann_index_pruning."""
+    from ollama_ocr_spark.operators.similarity import (embed_text_stub,
+                                                       ivf_topk)
+    from ollama_ocr_spark.operators.textstats import chunk_documents
+
+    chunks = chunk_documents(_docs(spark, sf_dir), size=32, stride=24)
+    vecs = chunks.select(
+        (F.col("doc_id") * 1024 + F.col("chunk_id")).alias("ck"),
+        "doc_id",
+        embed_text_stub(F.col("chunk"), dim=16).alias("v"),
+    )
+    queries = vecs.filter(F.col("doc_id") % 100 == 0).drop("doc_id")
+    corpus = vecs.filter(F.col("doc_id") % 100 != 0).drop("doc_id")
+    return ivf_topk(
+        corpus, queries, k=3, key="ck", vec="v",
+        n_centroids=4, n_probe=4, dim=16,
+    ).withColumnRenamed("rank", "rnk")
+
+
 def q_training_batches(spark, sf_dir):
     """End-to-end training-batch prep composite: curation gates pick the
     keep set, kept docs are sliding-window chunked (32/24), and chunks
@@ -1398,6 +1501,12 @@ _QUERIES = {
         "chunk_documents": q_chunk_documents,
         "cross_corpus_dedup": q_cross_corpus_dedup,
         "training_batches": q_training_batches,
+        # --- round-4 additions (also inside the first-50 driver window) ---
+        "curate_corpus_incremental": q_curate_corpus_incremental,
+        "chunk_ann_topk": q_chunk_ann_topk,
+        "contamination_by_source": q_contamination_by_source,
+        "vocab_coverage": q_vocab_coverage,
+        "dedup_savings": q_dedup_savings,
         # --- previously driver-sampled (green in r2 and/or r3) ---
         "extract_text_roundtrip": q_extract_text_roundtrip,
         "extract_handwriting": q_extract_handwriting,
@@ -1659,6 +1768,8 @@ def _lsh_sig_sql(v: str) -> str:
            THEN (1::BIGINT << p::INT) ELSE 0 END))"""
 
 
+from ollama_ocr_spark.operators.similarity import \
+    embed_text_stub_sql as _embed_sql
 from ollama_ocr_spark.operators.textstats import PII_EMAIL_RE as _PII_EMAIL
 from ollama_ocr_spark.operators.textstats import PII_IPV4_RE as _PII_IPV4
 from ollama_ocr_spark.operators.textstats import PII_PHONE_RE as _PII_PHONE
@@ -2357,6 +2468,92 @@ def oracle_sql() -> dict[str, str]:
               JOIN flags f ON f.doc_id = b.doc_id)
             SELECT doc_id, reason, reason = 'ok' AS keep FROM verdict
         """,
+        "curate_corpus_incremental": f"""
+            WITH {_SHINGLES_CTE},
+            sig AS (
+              SELECT doc_id, g.j AS j,
+                     min(md5(g.j || '|' || shingle)) AS m
+              FROM sh, generate_series(0, 7) AS g(j)
+              GROUP BY doc_id, g.j
+            ),
+            bands AS (
+              SELECT doc_id, j // 2 AS band,
+                     md5(string_agg(m, '' ORDER BY j)) AS bucket
+              FROM sig GROUP BY doc_id, j // 2
+            ),
+            pairs AS (
+              SELECT DISTINCT n.doc_id AS k, r.doc_id AS ref
+              FROM bands n JOIN bands r
+                ON n.band = r.band AND n.bucket = r.bucket
+              WHERE n.doc_id % 10 = 0 AND r.doc_id % 10 <> 0
+            ),
+            hits AS (
+              SELECT k, count(*)::BIGINT AS n_ref_hits, min(ref) AS first_ref
+              FROM pairs GROUP BY k
+            ),
+            base AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+            keep AS (
+              SELECT md5(text) AS fp, min(doc_id) AS keeper
+              FROM base GROUP BY 1),
+            bw AS (SELECT doc_id, text, string_split(text, ' ') AS w
+                   FROM base),
+            q AS (
+              SELECT doc_id, w,
+                     len(w) AS n_words,
+                     round((length(text) - (len(w) - 1)) * 1.0 / len(w), 4)
+                       AS mean_wl,
+                     round(len(list_filter(w, x -> x IN
+                           ('the','a','of','to','and','in','is')))
+                           * 1.0 / len(w), 4) AS stop_ratio
+              FROM bw),
+            counts AS (
+              SELECT doc_id, count(*) AS c
+              FROM (SELECT doc_id, unnest(w) AS word FROM bw)
+              GROUP BY doc_id, word),
+            top AS (SELECT doc_id, max(c) AS topc FROM counts GROUP BY 1),
+            kg AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) >= 5
+                          THEN list_transform(range(1, len(w) - 3),
+                               i -> array_to_string(w[i : i + 4], ' '))
+                          ELSE [] END AS gs
+              FROM bw),
+            flags AS (
+              SELECT q.doc_id,
+                     (q.n_words >= 10 AND q.mean_wl >= 2.0
+                      AND q.mean_wl <= 12.0 AND q.stop_ratio >= 0.01)
+                       AS quality_ok,
+                     (round(len(list_distinct(q.w)) * 1.0 / q.n_words, 4)
+                        >= 0.2
+                      AND round(t.topc * 1.0 / q.n_words, 4) <= 0.3
+                      AND (CASE WHEN len(k.gs) > 0
+                           THEN round(1 - len(list_distinct(k.gs)) * 1.0
+                                      / len(k.gs), 4)
+                           ELSE 0.0 END) <= 0.6) AS repetition_ok
+              FROM q
+              JOIN top t ON t.doc_id = q.doc_id
+              JOIN kg k ON k.doc_id = q.doc_id),
+            verdict AS (
+              SELECT b.doc_id,
+                     CASE WHEN b.doc_id <> kk.keeper THEN 'duplicate'
+                          WHEN NOT f.quality_ok THEN 'quality'
+                          WHEN NOT f.repetition_ok THEN 'repetition'
+                          ELSE 'ok' END AS vreason
+              FROM base b
+              JOIN keep kk ON md5(b.text) = kk.fp
+              JOIN flags f ON f.doc_id = b.doc_id),
+            final AS (
+              SELECT v.doc_id,
+                     CASE WHEN h.k IS NOT NULL THEN 'near_duplicate'
+                          ELSE v.vreason END AS reason,
+                     coalesce(h.n_ref_hits, 0)::BIGINT AS n_ref_hits,
+                     coalesce(h.first_ref, -1)::BIGINT AS first_ref
+              FROM verdict v LEFT JOIN hits h ON h.k = v.doc_id)
+            SELECT doc_id, reason, reason = 'ok' AS keep,
+                   n_ref_hits, first_ref
+            FROM final
+        """,
         "curate_corpus": f"""
             WITH RECURSIVE {_SHINGLES_CTE},
             sig AS (
@@ -2443,6 +2640,83 @@ def oracle_sql() -> dict[str, str]:
               LEFT JOIN comp c ON c.node = d.doc_id
               JOIN verdict v ON v.doc_id = d.doc_id)
             SELECT doc_id, cluster, reason, reason = 'ok' AS keep FROM final
+        """,
+        "vocab_coverage": """
+            WITH toks AS (
+              SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                AS token
+              FROM documents
+            ),
+            counts AS (SELECT token, count(*) AS n FROM toks GROUP BY 1),
+            ranked AS (
+              SELECT row_number() OVER (ORDER BY n DESC, token) AS rn,
+                     sum(n) OVER (ORDER BY n DESC, token
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum
+              FROM counts
+            ),
+            tot AS (SELECT sum(n) AS total, count(*) AS v FROM counts),
+            ns AS (SELECT unnest([100, 1000, 10000]) AS n_vocab)
+            SELECT ns.n_vocab::INT AS n_vocab,
+                   least(ns.n_vocab, t.v)::BIGINT AS vocab_size,
+                   max(r.cum)::BIGINT AS covered_tokens,
+                   t.total::BIGINT AS total_tokens,
+                   round(max(r.cum) * 1.0 / t.total, 4) AS coverage
+            FROM ns
+            JOIN ranked r ON r.rn <= ns.n_vocab
+            CROSS JOIN tot t
+            GROUP BY ns.n_vocab, t.v, t.total
+        """,
+        "dedup_savings": f"""
+            WITH base AS (
+              SELECT source,
+                     CASE WHEN doc_id % 11 = 7 THEN '{_DUP_TEXT}'
+                          ELSE text END AS text
+              FROM documents
+            ),
+            per AS (
+              SELECT source, md5(text) AS d, count(*) AS c,
+                     min(len(string_split(text, ' '))) AS t
+              FROM base GROUP BY source, md5(text)
+            )
+            SELECT source,
+                   sum(c)::BIGINT AS n_docs,
+                   count(*)::BIGINT AS n_unique_docs,
+                   round(1.0 - count(*) * 1.0 / sum(c), 4) AS doc_savings,
+                   sum(c * t)::BIGINT AS n_tokens,
+                   sum(t)::BIGINT AS n_kept_tokens,
+                   round(1.0 - sum(t) * 1.0 / sum(c * t), 4)
+                     AS token_savings
+            FROM per GROUP BY source
+        """,
+        "contamination_by_source": f"""
+            WITH {_SHINGLES_CTE},
+            bsh AS (
+              SELECT DISTINCT shingle FROM sh WHERE doc_id % 101 = 0
+            ),
+            nsh AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+            hits AS (
+              SELECT sh.doc_id, count(*) AS n_h
+              FROM sh JOIN bsh USING (shingle) GROUP BY 1
+            ),
+            per AS (
+              SELECT d.source, d.doc_id,
+                     coalesce(h.n_h, 0) AS h, coalesce(n.n_sh, 0) AS s
+              FROM documents d
+              LEFT JOIN nsh n USING (doc_id)
+              LEFT JOIN hits h USING (doc_id)
+            )
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   sum(CASE WHEN h > 0 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_contaminated,
+                   round(sum(CASE WHEN h > 0 THEN 1 ELSE 0 END) * 1.0
+                         / count(*), 4) AS doc_rate,
+                   sum(s)::BIGINT AS n_shingles,
+                   sum(h)::BIGINT AS n_hit_shingles,
+                   CASE WHEN sum(s) > 0
+                        THEN round(sum(h) * 1.0 / sum(s), 4)
+                        ELSE 0.0 END AS hit_rate
+            FROM per GROUP BY source
         """,
         "benchmark_contamination": f"""
             WITH {_SHINGLES_CTE},
@@ -2679,6 +2953,49 @@ def oracle_sql() -> dict[str, str]:
         # ann_ivf_topk probes all cells in the driver query (exhaustive-
         # exact), so it shares the brute-force oracle:
         "ann_ivf_topk": _ANN_ORACLE,
+        "chunk_ann_topk": f"""
+            WITH dw AS (SELECT doc_id, string_split(text, ' ') AS w
+                        FROM documents),
+            ci AS (
+              SELECT doc_id, w,
+                     unnest(range(0, CASE WHEN len(w) <= 32 THEN 1
+                            ELSE ceil((len(w) - 32) / 24.0)::BIGINT + 1 END))
+                       AS i
+              FROM dw
+            ),
+            ch AS (
+              SELECT doc_id, i AS chunk_id,
+                     coalesce(array_to_string(w[24*i+1 : 24*i+32], ' '), '')
+                       AS chunk
+              FROM ci
+            ),
+            vecs AS (
+              SELECT doc_id * 1024 + chunk_id AS ck, doc_id,
+                     {_embed_sql('chunk', 16)} AS v
+              FROM ch
+            ),
+            q AS (SELECT ck AS query_id, v AS qv FROM vecs
+                  WHERE doc_id % 100 = 0),
+            c AS (SELECT ck AS neighbor_id, v AS cv FROM vecs
+                  WHERE doc_id % 100 <> 0),
+            scored AS (
+              SELECT query_id, neighbor_id,
+                round(
+                  list_sum(list_transform(range(1, 17),
+                           i -> qv[i]::DOUBLE * cv[i]::DOUBLE))
+                  / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+                     * sqrt(list_sum(list_transform(cv, x -> x * x)))),
+                  4) AS cosine
+              FROM q, c
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+                  AS rnk
+              FROM scored)
+            SELECT query_id, neighbor_id, cosine, rnk::INT AS rnk
+            FROM ranked WHERE rnk <= 3
+        """,
         "golden_compare": """
             SELECT doc_id, true AS matched
             FROM documents WHERE doc_id % 10 <= 6

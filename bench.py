@@ -149,7 +149,13 @@ EXTRA3 = (
 # Round-4 operators — timed FIRST among the extras (newest queries have the
 # least accumulated perf evidence, so budget-skips should fall on the old
 # suites whose numbers already exist in BENCH_r02/BENCH.md).
-EXTRA4: tuple[str, ...] = ()
+EXTRA4: tuple[str, ...] = (
+    "curate_corpus_incremental",
+    "chunk_ann_topk",
+    "contamination_by_source",
+    "vocab_coverage",
+    "dedup_savings",
+)
 
 
 def _session(cores: int):

@@ -755,10 +755,11 @@ def shingle_novelty(df: DataFrame, round_col: str = "crawl_round",
     )
 
 
-def cross_corpus_near_dupes(new_df: DataFrame, ref_df: DataFrame,
+def cross_corpus_near_dupes(new_df: DataFrame, ref_df: DataFrame | None,
                             key: str = "doc_id", col: str = "text",
                             k: int = SHINGLE_K, num_hashes: int = 8,
-                            bands: int = 4) -> DataFrame:
+                            bands: int = 4,
+                            ref_buckets: DataFrame | None = None) -> DataFrame:
     """Flag NEW documents that near-duplicate an EXISTING corpus — the
     incremental-ingest dedup shape (tonight's crawl vs the training set
     already on disk), as opposed to :func:`minhash_lsh_candidates` which
@@ -779,15 +780,26 @@ def cross_corpus_near_dupes(new_df: DataFrame, ref_df: DataFrame,
     (key, n_ref_hits = distinct ref docs sharing ≥1 band, first_ref =
     smallest colliding ref key). Non-colliding new docs are absent
     (anti-join this result against the new corpus to keep novel docs).
+
+    ``ref_buckets`` is the nightly fast path: pass the PERSISTED
+    (key, band, bucket) rows (written once with ``write_bucketed(...,
+    "band", "bucket")``) instead of ``ref_df``, and the reference side
+    reads its bucketed layout straight into the join — no signature
+    recompute and no ref-side exchange; only tonight's delta shuffles.
     """
+    if ref_buckets is not None:
+        ref_b = ref_buckets.withColumnRenamed(key, "__ref")
+    else:
+        if ref_df is None:
+            raise ValueError("pass ref_df or ref_buckets")
+        ref_b = band_buckets(
+            minhash_signatures(ref_df, key, col, k, num_hashes),
+            key, num_hashes, bands,
+        ).withColumnRenamed(key, "__ref")
     new_b = band_buckets(
         minhash_signatures(new_df, key, col, k, num_hashes),
         key, num_hashes, bands,
     ).withColumnRenamed(key, "__new")
-    ref_b = band_buckets(
-        minhash_signatures(ref_df, key, col, k, num_hashes),
-        key, num_hashes, bands,
-    ).withColumnRenamed(key, "__ref")
     pairs = (
         new_b.join(ref_b, ["band", "bucket"])
         .select("__new", "__ref")
@@ -801,6 +813,116 @@ def cross_corpus_near_dupes(new_df: DataFrame, ref_df: DataFrame,
         )
         .withColumnRenamed("__new", key)
     )
+
+
+def dedup_savings(df: DataFrame, group_col: str = "source",
+                  col: str = "text") -> DataFrame:
+    """Per-source exact-dedup savings report — what deduplication BUYS,
+    the before/after a data lead checks before paying for a training run:
+    docs and whitespace-token counts per source before vs after
+    within-source digest dedup, with the saved fractions.
+
+    Scale shape: digest and token count are map-side scan expressions;
+    one (source, digest) partial-agg shuffle of counter rows (hot dup
+    digests forward ONE partial per partition, never text), then a
+    per-source rollup. Output: (source, n_docs, n_unique_docs, doc_savings,
+    n_tokens, n_kept_tokens, token_savings).
+    """
+    per = (
+        df.select(
+            F.col(group_col),
+            F.md5(F.col(col)).alias("__d"),
+            F.size(F.split(F.col(col), " ")).cast("bigint").alias("__t"),
+        )
+        .groupBy(group_col, "__d")
+        .agg(F.count("*").alias("__c"), F.min("__t").alias("__t"))
+    )
+    n_docs = F.sum("__c").cast("bigint")
+    n_uniq = F.count("*").cast("bigint")
+    n_tok = F.sum(F.col("__c") * F.col("__t")).cast("bigint")
+    n_kept = F.sum("__t").cast("bigint")
+    return per.groupBy(group_col).agg(
+        n_docs.alias("n_docs"),
+        n_uniq.alias("n_unique_docs"),
+        F.round(F.lit(1.0) - n_uniq / n_docs, 4).alias("doc_savings"),
+        n_tok.alias("n_tokens"),
+        n_kept.alias("n_kept_tokens"),
+        F.round(F.lit(1.0) - n_kept / n_tok, 4).alias("token_savings"),
+    )
+
+
+def contamination_by_source(docs: DataFrame, benchmark: DataFrame,
+                            group_col: str = "source", key: str = "doc_id",
+                            col: str = "text", bench_col: str = "text",
+                            k: int = SHINGLE_K) -> DataFrame:
+    """Per-source decontamination drill-down — the report a data lead
+    reads before a training run: :func:`benchmark_contamination` rolled
+    up by source/host, so a contaminated SOURCE (a site mirroring eval
+    sets, a scrape of a benchmark hub) is visible as one row instead of
+    thousands of doc flags.
+
+    Same one-pass scale shape as the doc-level screen: benchmark shingles
+    broadcast, one corpus shingle explode, and the group column rides the
+    doc rows map-side — the per-doc agg keys on (source, doc) in a single
+    shuffle with partial combine, then collapses to one row per source.
+
+    Output: (source, n_docs, n_contaminated, doc_rate,
+    n_shingles, n_hit_shingles, hit_rate) — doc_rate = contaminated-doc
+    fraction, hit_rate = contaminated-shingle (≈ token) fraction.
+    """
+    bench_sh = (
+        benchmark.select(
+            F.explode(_shingle_set(bench_col, k)).alias("shingle"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    doc_sh = ensure_parallelism(docs).select(
+        F.col(group_col), F.col(key),
+        F.explode_outer(_shingle_set(col, k)).alias("shingle"),
+    )
+    per_doc = (
+        doc_sh.join(F.broadcast(bench_sh), "shingle", "left")
+        .groupBy(group_col, key)
+        .agg(
+            F.count("__hit").alias("__h"),
+            F.count("shingle").alias("__s"),
+        )
+    )
+    n_hits = F.sum("__h").cast("bigint")
+    n_sh = F.sum("__s").cast("bigint")
+    n_docs = F.count("*").cast("bigint")
+    n_cont = F.sum((F.col("__h") > 0).cast("int")).cast("bigint")
+    return per_doc.groupBy(group_col).agg(
+        n_docs.alias("n_docs"),
+        n_cont.alias("n_contaminated"),
+        F.round(n_cont / n_docs, 4).alias("doc_rate"),
+        n_sh.alias("n_shingles"),
+        n_hits.alias("n_hit_shingles"),
+        F.when(n_sh > 0, F.round(n_hits / n_sh, 4))
+        .otherwise(F.lit(0.0)).alias("hit_rate"),
+    )
+
+
+def write_band_buckets(df: DataFrame, table: str, key: str = "doc_id",
+                       col: str = "text", k: int = SHINGLE_K,
+                       num_hashes: int = 8, bands: int = 4,
+                       num_buckets: int = 16) -> None:
+    """Build step of the nightly incremental near-dedup: persist a
+    corpus's LSH band buckets as a table bucketed by ``(band, bucket)``.
+    Run once per reference corpus (and append per accepted delta);
+    every nightly :func:`cross_corpus_near_dupes` call then passes
+    ``spark.table(table)`` as ``ref_buckets`` and pays zero reference-side
+    signature compute and zero reference-side shuffle — only tonight's
+    delta hashes and exchanges. At 100 TB the reference bucket table is
+    ~1% the corpus bytes (ids + 32-char digests, no text).
+    """
+    from .maintenance import write_bucketed
+
+    b = band_buckets(
+        minhash_signatures(df, key, col, k, num_hashes), key, num_hashes,
+        bands,
+    )
+    write_bucketed(b, table, "band", "bucket", num_buckets=num_buckets)
 
 
 def boilerplate_paragraphs(df: DataFrame, key: str = "doc_id",

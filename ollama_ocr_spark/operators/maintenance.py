@@ -355,22 +355,42 @@ def salt_by_host(pages: DataFrame, num_partitions: int,
     )
 
 
-def write_bucketed(df: DataFrame, table: str, key: str,
+def write_bucketed(df: DataFrame, table: str, key: str, *more_keys: str,
                    num_buckets: int = 16, sort: bool = True) -> None:
-    """Persist a table bucketed (and optionally sorted) by ``key`` — the
-    co-location layout for repeated joins/aggregations on that key.
+    """Persist a table bucketed (and optionally sorted) by ``key`` (plus
+    any ``more_keys`` — composite bucketing, e.g. LSH ``(band, bucket)``)
+    — the co-location layout for repeated joins/aggregations on that key.
 
     Two tables bucketed on the same key with the same bucket count join
     with ZERO shuffle (plan-audited: no Exchange above either scan; with
-    sorted buckets the sort vanishes too). At 100 TB this is the
-    difference between re-shuffling the corpus on every join against its
-    metrics/results side tables and never shuffling it again after one
-    write. Spark bucketing requires the table catalog
-    (``saveAsTable``, hive-style layout under the warehouse dir).
+    sorted buckets the sort vanishes too), and a bucketed table joined
+    against an unbucketed delta shuffles ONLY the delta side into the
+    table's layout. At 100 TB this is the difference between re-shuffling
+    the corpus on every join against its metrics/results side tables and
+    never shuffling it again after one write. Spark bucketing requires
+    the table catalog (``saveAsTable``, hive-style layout under the
+    warehouse dir).
     """
-    writer = df.write.mode("overwrite").bucketBy(num_buckets, key)
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    # A PREVIOUS session's overwrite leaves the managed location on disk
+    # while this session's (in-memory derby) catalog has never heard of
+    # the table — saveAsTable then fails with LOCATION_ALREADY_EXISTS.
+    # mode("overwrite") semantically owns that location, so clear the
+    # stale directory when the catalog does not know the table.
+    if not spark.catalog.tableExists(table):
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir",
+                                     "spark-warehouse"))
+        if wh.scheme in ("", "file") and "." not in table:
+            stale = os.path.join(wh.path, table.lower())
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, key, *more_keys)
     if sort:
-        writer = writer.sortBy(key)
+        writer = writer.sortBy(key, *more_keys)
     writer.saveAsTable(table)
 
 

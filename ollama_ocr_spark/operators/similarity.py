@@ -394,6 +394,47 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def embed_text_stub(col, dim: int = 16):
+    """Deterministic text→vector stub — the SWAP SEAM where a production
+    pipeline plugs a real embedding model (a sentence-transformer behind
+    an Arrow ``mapInPandas`` kernel, same shape as the OCR_KERNELS seam in
+    functions/router.py). The stub keeps every downstream ANN/dedup plan,
+    schema, and partitioning real and testable without model weights:
+
+    component j = md5(j || '|' || text)'s first 8 hex digits scaled to
+    [-1, 1) — engine-portable (md5 is bit-identical across Spark, DuckDB,
+    Python), so oracle queries reproduce the vectors exactly. The division
+    is by a power of two (2^31): exact in IEEE doubles on every engine.
+    """
+    return F.array(*[
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{j}|"), col)), 1, 8),
+                16, 10,
+            ).cast("bigint").cast("double") / F.lit(2147483648.0)
+            - F.lit(1.0)
+        )
+        for j in range(dim)
+    ])
+
+
+def embed_text_stub_sql(text_expr: str, dim: int = 16) -> str:
+    """DuckDB twin of :func:`embed_text_stub`: a list literal of the same
+    components. Hex digits extract positionally (instr over the hex
+    alphabet) with exact integer-literal place values — no conv() needed.
+    """
+    comps = []
+    for j in range(dim):
+        h = f"md5({j} || '|' || {text_expr})"
+        digits = " + ".join(
+            f"(instr('0123456789abcdef', substr({h}, {b + 1}, 1)) - 1) "
+            f"* {16 ** (7 - b)}"
+            for b in range(8)
+        )
+        comps.append(f"(({digits}) / 2147483648.0 - 1.0)")
+    return "[" + ", ".join(comps) + "]"
+
+
 def normalize_embeddings(df: DataFrame, key: str = "vec_id",
                          vec: str = "embedding") -> DataFrame:
     """Unit-normalize an embedding column (map-side array lambdas; makes

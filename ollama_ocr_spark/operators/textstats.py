@@ -59,6 +59,69 @@ def vocab_topk(df: DataFrame, col: str = "text", k: int = 1000) -> DataFrame:
     )
 
 
+def vocab_coverage(df: DataFrame, col: str = "text",
+                   sizes: tuple = (100, 1000, 10000)) -> DataFrame:
+    """Tokenizer-sizing coverage curve: what fraction of all token
+    OCCURRENCES a top-N frequency vocabulary covers, at each candidate N
+    — the report that decides a tokenizer's vocab size (and predicts the
+    OOV rate a given budget buys) before BPE training starts.
+
+    Scale shape: one explode → groupBy(token) with map-side partial
+    aggregation (only (token, partial-count) shuffles, never documents);
+    the ranking window runs over the DISTINCT-TOKEN relation (vocab-sized,
+    ≪ corpus — same justification as group_holdout_split's group window).
+    Output: one row per N — (n_vocab, vocab_size, covered_tokens,
+    total_tokens, coverage); vocab_size = min(N, distinct tokens).
+    """
+    counts = (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col(col)), F.lit(TOKEN_RE), 0)
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    ranked = counts.select(
+        F.row_number().over(w).alias("rn"),
+        F.sum("n").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum"),
+        F.col("n"),
+    )
+    total = ranked.agg(
+        F.sum("n").alias("__total"), F.count("*").alias("__v")
+    )
+    # cum is monotone in rn, so coverage at N = cum at rank min(N, V):
+    # one conditional max per N collapses the curve without a per-N scan
+    aggs = []
+    for n in sizes:
+        aggs.append(
+            F.max(F.when(F.col("rn") <= n, F.col("cum"))).alias(f"__c{n}")
+        )
+    row = ranked.agg(*aggs).crossJoin(F.broadcast(total))
+    per_n = F.array(*[
+        F.struct(
+            F.lit(n).cast("int").alias("n_vocab"),
+            F.least(F.lit(n).cast("bigint"), F.col("__v")).alias("vocab_size"),
+            F.col(f"__c{n}").cast("bigint").alias("covered_tokens"),
+        )
+        for n in sizes
+    ])
+    return (
+        row.select(F.col("__total"), F.explode(per_n).alias("s"))
+        .select(
+            F.col("s.n_vocab").alias("n_vocab"),
+            F.col("s.vocab_size").alias("vocab_size"),
+            F.col("s.covered_tokens").alias("covered_tokens"),
+            F.col("__total").cast("bigint").alias("total_tokens"),
+            F.round(F.col("s.covered_tokens") / F.col("__total"), 4)
+            .alias("coverage"),
+        )
+    )
+
+
 def unigram_logprob_scores(df: DataFrame, key: str = "doc_id",
                            col: str = "text") -> DataFrame:
     """CCNet-style language-model quality proxy with the corpus itself as

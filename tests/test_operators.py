@@ -327,6 +327,76 @@ def test_benchmark_contamination_flags_and_broadcasts(spark):
     assert {1, 3} < more and 2 in more
 
 
+def test_contamination_by_source_rollup(spark):
+    """Per-source drill-down agrees with the doc-level screen rolled up by
+    hand; empty-shingle docs count in n_docs but contribute 0 shingles."""
+    from ollama_ocr_spark.operators.dedup import (benchmark_contamination,
+                                                  contamination_by_source)
+
+    docs = spark.createDataFrame(
+        [(1, "mirror", "the quick brown fox jumps over the lazy dog"),
+         (2, "mirror", "the quick brown fox jumps over something else"),
+         (3, "clean", "a completely different sentence about sailing ships"),
+         (4, "clean", "tiny")],
+        ["doc_id", "source", "text"],
+    )
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",)], ["text"])
+    per_doc = {r["doc_id"]: r
+               for r in benchmark_contamination(docs, bench).collect()}
+    got = {r["source"]: r
+           for r in contamination_by_source(docs, bench).collect()}
+    m = got["mirror"]
+    assert m["n_docs"] == 2 and m["n_contaminated"] == 2
+    assert m["n_hit_shingles"] == per_doc[1]["n_hits"] + per_doc[2]["n_hits"]
+    assert m["n_shingles"] == (per_doc[1]["n_shingles"]
+                               + per_doc[2]["n_shingles"])
+    c = got["clean"]
+    assert c["n_docs"] == 2 and c["n_contaminated"] == 0
+    assert c["doc_rate"] == 0.0 and c["hit_rate"] == 0.0
+    # all-shingle-less source: hit_rate guards the 0/0
+    empty = spark.createDataFrame([(9, "s", "x")],
+                                  ["doc_id", "source", "text"])
+    row = contamination_by_source(empty, bench).collect()[0]
+    assert row["n_shingles"] == 0 and row["hit_rate"] == 0.0
+
+
+def test_dedup_savings_per_source(spark):
+    from ollama_ocr_spark.operators.dedup import dedup_savings
+
+    docs = spark.createDataFrame(
+        [("a", "same text here"), ("a", "same text here"),
+         ("a", "unique one two"), ("b", "only row")],
+        ["source", "text"],
+    )
+    got = {r["source"]: r for r in dedup_savings(docs).collect()}
+    a = got["a"]
+    assert a["n_docs"] == 3 and a["n_unique_docs"] == 2
+    assert a["n_tokens"] == 9 and a["n_kept_tokens"] == 6
+    assert a["doc_savings"] == round(1 - 2 / 3, 4)
+    assert a["token_savings"] == round(1 - 6 / 9, 4)
+    b = got["b"]
+    assert b["n_docs"] == b["n_unique_docs"] == 1
+    assert b["doc_savings"] == 0.0 and b["token_savings"] == 0.0
+
+
+def test_vocab_coverage_curve(spark):
+    """Coverage is the cumulative top-N occurrence share: monotone in N,
+    saturating at 1.0 once N >= vocab size; vocab_size clamps to V."""
+    from ollama_ocr_spark.operators.textstats import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "aa aa aa bb bb cc"), (2, "aa dd")], ["doc_id", "text"])
+    got = {r["n_vocab"]: r
+           for r in vocab_coverage(docs, sizes=(1, 2, 10)).collect()}
+    # counts: aa=4, bb=2, cc=1, dd=1 → total 8, V=4
+    assert got[1]["covered_tokens"] == 4 and got[1]["coverage"] == 0.5
+    assert got[2]["covered_tokens"] == 6 and got[2]["coverage"] == 0.75
+    assert got[10]["covered_tokens"] == 8 and got[10]["coverage"] == 1.0
+    assert got[10]["vocab_size"] == 4 and got[2]["vocab_size"] == 2
+    assert all(r["total_tokens"] == 8 for r in got.values())
+
+
 def test_domain_mix_deterministic_and_weighted(spark):
     from ollama_ocr_spark.operators.maintenance import domain_mix
 

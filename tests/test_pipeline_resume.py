@@ -74,6 +74,55 @@ def test_open_table_flag_and_catalog_writeTo(spark, tmp_path, monkeypatch):
         spark.sql("DROP TABLE IF EXISTS default.graft_cat_test")
 
 
+def test_catalog_writeTo_iceberg_contract():
+    """Contract test for the documented icetbl → real-Iceberg swap: the
+    exact V2 call shapes the Iceberg branch issues — writeTo().append()
+    on an existing table, writeTo().using('iceberg').create() on a new
+    one, the `.snapshots` metadata query, and the `snapshot-id` read
+    option — run against spec'd mocks of the pyspark surface, so a drift
+    in CatalogTable's call chain (or in pyspark's API names) fails here
+    instead of only in a production deployment that has the jar."""
+    from unittest.mock import MagicMock
+
+    from pyspark.sql import DataFrame as SparkDF
+    from pyspark.sql import SparkSession as SparkSess
+
+    from ollama_ocr_spark.sources.icetbl import CatalogTable
+
+    mspark = MagicMock(spec=SparkSess)
+    tbl = CatalogTable(mspark, "cat.db.docs")
+
+    # existing table → append commits a snapshot; snapshot id comes from
+    # the <tbl>.snapshots metadata table, newest commit first
+    mspark.catalog.tableExists.return_value = True
+    mspark.sql.return_value.first.return_value = {"snapshot_id": 42}
+    df = MagicMock(spec=SparkDF)
+    assert tbl.append(df) == 42
+    df.writeTo.assert_called_once_with("cat.db.docs")
+    df.writeTo.return_value.append.assert_called_once_with()
+    q = mspark.sql.call_args[0][0]
+    assert "cat.db.docs.snapshots" in q and "committed_at DESC" in q
+
+    # absent table → writeTo().using('iceberg').create()
+    mspark.catalog.tableExists.return_value = False
+    df2 = MagicMock(spec=SparkDF)
+    tbl.append(df2)
+    df2.writeTo.assert_called_once_with("cat.db.docs")
+    df2.writeTo.return_value.using.assert_called_once_with("iceberg")
+    df2.writeTo.return_value.using.return_value.create.assert_called_once_with()
+
+    # time travel → the snapshot-id read option, value stringified
+    mspark.catalog.tableExists.return_value = True
+    tbl.read(snapshot_id=41)
+    mspark.read.option.assert_called_once_with("snapshot-id", "41")
+    mspark.read.option.return_value.table.assert_called_once_with(
+        "cat.db.docs")
+
+    # current read → plain catalog table read
+    tbl.read()
+    mspark.table.assert_called_once_with("cat.db.docs")
+
+
 def test_crash_between_results_and_metrics_is_repaired(
     spark, documents_smoke, tmp_path
 ):

@@ -239,6 +239,103 @@ def test_bucketed_tables_join_without_shuffle(spark, documents_smoke):
         spark.sql("DROP TABLE IF EXISTS bkt_right")
 
 
+def test_parallelism_guard_win_loss_boundary(spark, documents_smoke):
+    """Lock the MEASURED ensure_parallelism win/loss boundary into the
+    plan (BENCH.md round 3): the guard's round-robin repartition wins on
+    expression-heavy SINGLE-PASS text operators (curation_verdict 5.2 ->
+    2.1 s at sf0.1) but is a measured LOSS on small ITERATIVE vector
+    pipelines (semantic_dedup 8.8 -> 15.0 s: many short k-means/pair
+    passes each re-pay 32-task scheduling + a shuffle). A refactor that
+    'helpfully' adds the guard to semantic_dedup re-introduces that
+    regression — this test is the tripwire."""
+    from ollama_ocr_spark.operators.similarity import semantic_dedup
+    from ollama_ocr_spark.operators.textstats import curation_verdict
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    sd = plan_report(semantic_dedup(emb)).raw
+    assert "RoundRobinPartitioning" not in sd, (
+        "semantic_dedup gained a parallelism-guard repartition — this was "
+        "a measured 8.8 -> 15.0 s LOSS at sf0.1 (BENCH.md round 3); the "
+        "guard belongs on single-pass text operators only")
+    cv = plan_report(curation_verdict(documents_smoke)).raw
+    assert "RoundRobinPartitioning" in cv, (
+        "curation_verdict lost its parallelism guard — single-file scans "
+        "otherwise run the expression-heavy verdict on ONE core "
+        "(measured 5.2 -> 2.1 s win at sf0.1)")
+
+
+def test_chunk_ann_index_pruning(spark, documents_smoke, tmp_path):
+    """Chunk-to-retrieval path (RAG prep): chunk → stub-embed →
+    materialized IVF index → probe. Probing must partition-prune to the
+    probed cells and agree with the in-memory ivf_topk at the same
+    n_probe. Same contract as test_ivf_index_partition_pruning, over
+    CHUNK vectors built by the embed stub instead of the embeddings
+    table."""
+    from pyspark.sql import functions as F
+
+    from ollama_ocr_spark.operators.similarity import (
+        embed_text_stub, ivf_topk, ivf_topk_indexed, ivf_write_index)
+    from ollama_ocr_spark.operators.textstats import chunk_documents
+
+    chunks = chunk_documents(documents_smoke, size=32, stride=24)
+    vecs = chunks.select(
+        (F.col("doc_id") * 1024 + F.col("chunk_id")).alias("ck"),
+        "doc_id", embed_text_stub(F.col("chunk"), dim=16).alias("v"),
+    )
+    corpus = vecs.filter("doc_id % 100 != 0").drop("doc_id")
+    queries = vecs.filter("doc_id % 100 = 0").drop("doc_id").limit(3)
+    path = str(tmp_path / "chunk_ivf")
+    ivf_write_index(corpus, path, key="ck", vec="v", n_centroids=4, dim=16)
+
+    got_df = ivf_topk_indexed(spark, path, queries, k=3, key="ck", vec="v",
+                              n_probe=2)
+    got = {(r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+           for r in got_df.collect()}
+    want = {(r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+            for r in ivf_topk(corpus, queries, k=3, key="ck", vec="v",
+                              n_centroids=4, n_probe=2, dim=16).collect()}
+    assert got == want and got
+    report = plan_report(got_df)
+    assert any(
+        "cluster" in p and ("IN" in p or "in(" in p.lower())
+        for p in report.partition_filters
+    ), f"no cluster partition filter: {report.partition_filters}"
+
+
+def test_ref_bucket_join_no_ref_exchange(spark, documents_smoke):
+    """Nightly incremental dedup plan shape: the persisted (band, bucket)-
+    bucketed reference table reads straight into the cross-corpus join —
+    NO exchange above the ref-side scan; only tonight's delta shuffles.
+    This is the curate_corpus_incremental scale contract (nightly cost is
+    O(delta), not O(corpus))."""
+    from ollama_ocr_spark.operators.dedup import (cross_corpus_near_dupes,
+                                                  write_band_buckets)
+
+    ref = documents_smoke.filter("doc_id % 10 != 0")
+    delta = documents_smoke.filter("doc_id % 10 = 0")
+    write_band_buckets(ref, "ref_bkt_test", num_buckets=8)
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a non-broadcast join so the plan must use the bucket layout
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = cross_corpus_near_dupes(
+            delta, None, ref_buckets=spark.table("ref_bkt_test"))
+        raw = plan_report(out).raw
+        assert "SortMergeJoin" in raw, raw
+        # exactly ONE exchange on the (band, bucket) join key — the delta
+        # side entering the join. A second would mean the bucketed
+        # reference corpus re-shuffled. (The other two exchanges are the
+        # operator's own pair-distinct and per-new-doc groupBy, both over
+        # id-only pair rows, not the corpus.)
+        assert raw.count("Exchange hashpartitioning(band") == 1, raw
+        assert raw.count("Exchange hashpartitioning") <= 3, raw
+        assert "ref_bkt_test" in raw
+        assert out.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS ref_bkt_test")
+
+
 def test_vocab_and_curation_plan_shapes(spark, documents_smoke):
     """vocab_topk: token counts get map-side partial aggregation (two
     HashAggregate levels) so only (token, partial-count) shuffles;
