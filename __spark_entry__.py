@@ -818,6 +818,18 @@ def q_benchmark_contamination(spark, sf_dir):
     )
 
 
+def q_split_leakage(spark, sf_dir):
+    """Near-dup leakage across a ROW-level train/val/test split: LSH
+    candidate pairs counted per split combination — any train×{val,test}
+    mass is eval content leaking into train (the audit that motivates
+    group_holdout_split). Pairs ride id-only; labels join as (id, split)
+    rows."""
+    from ollama_ocr_spark.operators.dedup import split_leakage
+    from ollama_ocr_spark.operators.maintenance import hash_split
+
+    return split_leakage(hash_split(_docs(spark, sf_dir), key="doc_id"))
+
+
 def q_vocab_coverage(spark, sf_dir):
     """Tokenizer-sizing coverage curve: token-occurrence coverage of a
     top-N vocabulary at N in {100, 1k, 10k} — one partial-agg token
@@ -1334,11 +1346,17 @@ def q_chunk_ann_topk(spark, sf_dir):
     n_centroids — exact, so the oracle is brute-force SQL over the same
     stub vectors; partition pruning at n_probe < n_centroids is asserted
     in tests/test_plans_export.py::test_chunk_ann_index_pruning."""
+    from ollama_ocr_spark.operators.dedup import ensure_parallelism
     from ollama_ocr_spark.operators.similarity import (embed_text_stub,
                                                        ivf_topk)
     from ollama_ocr_spark.operators.textstats import chunk_documents
 
-    chunks = chunk_documents(_docs(spark, sf_dir), size=32, stride=24)
+    # single-partition trap: sf0.1 documents.parquet is ONE file, so the
+    # expression-heavy chunk+embed subtree (16 md5/conv per chunk) would
+    # run on one core (CLAUDE.md gotcha) — this is single-pass text work,
+    # the guard's WIN side (unlike semantic_dedup's iterative pipeline)
+    chunks = chunk_documents(ensure_parallelism(_docs(spark, sf_dir)),
+                             size=32, stride=24)
     vecs = chunks.select(
         (F.col("doc_id") * 1024 + F.col("chunk_id")).alias("ck"),
         "doc_id",
@@ -1507,6 +1525,7 @@ _QUERIES = {
         "contamination_by_source": q_contamination_by_source,
         "vocab_coverage": q_vocab_coverage,
         "dedup_savings": q_dedup_savings,
+        "split_leakage": q_split_leakage,
         # --- previously driver-sampled (green in r2 and/or r3) ---
         "extract_text_roundtrip": q_extract_text_roundtrip,
         "extract_handwriting": q_extract_handwriting,
@@ -2640,6 +2659,42 @@ def oracle_sql() -> dict[str, str]:
               LEFT JOIN comp c ON c.node = d.doc_id
               JOIN verdict v ON v.doc_id = d.doc_id)
             SELECT doc_id, cluster, reason, reason = 'ok' AS keep FROM final
+        """,
+        "split_leakage": f"""
+            WITH {_SHINGLES_CTE},
+            sig AS (
+              SELECT doc_id, g.j AS j,
+                     min(md5(g.j || '|' || shingle)) AS m
+              FROM sh, generate_series(0, 7) AS g(j)
+              GROUP BY doc_id, g.j
+            ),
+            bands AS (
+              SELECT doc_id, j // 2 AS band,
+                     md5(string_agg(m, '' ORDER BY j)) AS bucket
+              FROM sig GROUP BY doc_id, j // 2
+            ),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bucket = b.bucket
+                AND a.doc_id < b.doc_id
+            ),
+            sp AS (
+              SELECT doc_id,
+                     CASE WHEN substr(md5(doc_id::VARCHAR), 1, 4) < 'e666'
+                            THEN 'train'
+                          WHEN substr(md5(doc_id::VARCHAR), 1, 4) < 'f333'
+                            THEN 'val'
+                          ELSE 'test' END AS s
+              FROM documents
+            )
+            SELECT least(sa.s, sb.s) AS split_a,
+                   greatest(sa.s, sb.s) AS split_b,
+                   count(*)::BIGINT AS n_pairs
+            FROM pairs p
+            JOIN sp sa ON sa.doc_id = p.a
+            JOIN sp sb ON sb.doc_id = p.b
+            GROUP BY 1, 2
         """,
         "vocab_coverage": """
             WITH toks AS (

@@ -155,6 +155,7 @@ EXTRA4: tuple[str, ...] = (
     "contamination_by_source",
     "vocab_coverage",
     "dedup_savings",
+    "split_leakage",
 )
 
 

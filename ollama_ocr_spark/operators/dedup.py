@@ -815,6 +815,42 @@ def cross_corpus_near_dupes(new_df: DataFrame, ref_df: DataFrame | None,
     )
 
 
+def split_leakage(docs_with_split: DataFrame, split_col: str = "split",
+                  key: str = "doc_id", col: str = "text",
+                  k: int = SHINGLE_K, num_hashes: int = 8,
+                  bands: int = 4) -> DataFrame:
+    """Near-duplicate LEAKAGE audit across train/val/test splits — the
+    measurement that motivates group-level holdout: a row-level split
+    (hash_split) scatters near-duplicate pages across splits, so eval
+    content effectively appears in train. Counts LSH candidate pairs per
+    unordered split combination; any (train, test)/(train, val) mass is
+    the leak.
+
+    Scale shape: candidate pairs ride id-only out of
+    :func:`minhash_lsh_candidates`; the two split-label joins shuffle
+    (id, label) rows, never text; the final rollup groups a handful of
+    split combos. Output: (split_a, split_b, n_pairs), split_a <=
+    split_b lexicographically.
+    """
+    pairs = minhash_lsh_candidates(docs_with_split, key, col, k,
+                                   num_hashes, bands)
+    labels = docs_with_split.select(F.col(key), F.col(split_col))
+    joined = (
+        pairs.join(labels.select(F.col(key).alias("a"),
+                                 F.col(split_col).alias("__sa")), "a")
+        .join(labels.select(F.col(key).alias("b"),
+                            F.col(split_col).alias("__sb")), "b")
+    )
+    return (
+        joined.select(
+            F.least("__sa", "__sb").alias("split_a"),
+            F.greatest("__sa", "__sb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+    )
+
+
 def dedup_savings(df: DataFrame, group_col: str = "source",
                   col: str = "text") -> DataFrame:
     """Per-source exact-dedup savings report — what deduplication BUYS,

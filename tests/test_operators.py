@@ -361,6 +361,25 @@ def test_contamination_by_source_rollup(spark):
     assert row["n_shingles"] == 0 and row["hit_rate"] == 0.0
 
 
+def test_split_leakage_counts_cross_split_pairs(spark):
+    """Near-dup pairs crossing a split boundary surface as (train, test)
+    rows; the pair count matches the candidate generator's."""
+    from ollama_ocr_spark.operators.dedup import (minhash_lsh_candidates,
+                                                  split_leakage)
+
+    t = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        [(1, t, "train"), (2, t, "test"), (3, t, "train"),
+         (4, "a completely different sentence about sailing ships", "val")],
+        ["doc_id", "text", "split"],
+    )
+    got = {(r["split_a"], r["split_b"]): r["n_pairs"]
+           for r in split_leakage(docs).collect()}
+    # pairs (1,2) train-test, (1,3) train-train, (2,3) train-test
+    assert got == {("test", "train"): 2, ("train", "train"): 1}
+    assert sum(got.values()) == minhash_lsh_candidates(docs).count()
+
+
 def test_dedup_savings_per_source(spark):
     from ollama_ocr_spark.operators.dedup import dedup_savings
 
