@@ -818,6 +818,14 @@ def q_benchmark_contamination(spark, sf_dir):
     )
 
 
+def q_lsh_bucket_histogram(spark, sf_dir):
+    """LSH bucket-size histogram per band (exact integer size classes +
+    quadratic pair bound) — the pre-run skew diagnostic for banded dedup."""
+    from ollama_ocr_spark.operators.dedup import lsh_bucket_histogram
+
+    return lsh_bucket_histogram(_docs(spark, sf_dir))
+
+
 def q_split_leakage(spark, sf_dir):
     """Near-dup leakage across a ROW-level train/val/test split: LSH
     candidate pairs counted per split combination — any train×{val,test}
@@ -1526,6 +1534,7 @@ _QUERIES = {
         "vocab_coverage": q_vocab_coverage,
         "dedup_savings": q_dedup_savings,
         "split_leakage": q_split_leakage,
+        "lsh_bucket_histogram": q_lsh_bucket_histogram,
         # --- previously driver-sampled (green in r2 and/or r3) ---
         "extract_text_roundtrip": q_extract_text_roundtrip,
         "extract_handwriting": q_extract_handwriting,
@@ -2659,6 +2668,32 @@ def oracle_sql() -> dict[str, str]:
               LEFT JOIN comp c ON c.node = d.doc_id
               JOIN verdict v ON v.doc_id = d.doc_id)
             SELECT doc_id, cluster, reason, reason = 'ok' AS keep FROM final
+        """,
+        "lsh_bucket_histogram": f"""
+            WITH {_SHINGLES_CTE},
+            sig AS (
+              SELECT doc_id, g.j AS j,
+                     min(md5(g.j || '|' || shingle)) AS m
+              FROM sh, generate_series(0, 7) AS g(j)
+              GROUP BY doc_id, g.j
+            ),
+            bands AS (
+              SELECT doc_id, (j // 2)::INT AS band,
+                     md5(string_agg(m, '' ORDER BY j)) AS bucket
+              FROM sig GROUP BY doc_id, j // 2
+            ),
+            sizes AS (
+              SELECT band, bucket, count(*) AS n FROM bands GROUP BY 1, 2
+            )
+            SELECT band,
+                   CASE WHEN n <= 1 THEN '1' WHEN n <= 2 THEN '2'
+                        WHEN n <= 4 THEN '3-4' WHEN n <= 8 THEN '5-8'
+                        WHEN n <= 16 THEN '9-16' ELSE '17+' END
+                     AS size_class,
+                   count(*)::BIGINT AS n_buckets,
+                   sum(n)::BIGINT AS n_docs,
+                   sum(n * (n - 1) / 2)::BIGINT AS pair_bound
+            FROM sizes GROUP BY 1, 2
         """,
         "split_leakage": f"""
             WITH {_SHINGLES_CTE},

@@ -156,6 +156,7 @@ EXTRA4: tuple[str, ...] = (
     "vocab_coverage",
     "dedup_savings",
     "split_leakage",
+    "lsh_bucket_histogram",
 )
 
 

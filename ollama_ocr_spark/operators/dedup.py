@@ -815,6 +815,46 @@ def cross_corpus_near_dupes(new_df: DataFrame, ref_df: DataFrame | None,
     )
 
 
+def lsh_bucket_histogram(df: DataFrame, key: str = "doc_id",
+                         col: str = "text", k: int = SHINGLE_K,
+                         num_hashes: int = 8, bands: int = 4) -> DataFrame:
+    """LSH bucket-size histogram — the skew diagnostic for banded dedup
+    at scale: the in-bucket pair expansion is quadratic in posting-list
+    length, so ONE hot bucket (boilerplate-heavy shards, near-empty docs
+    hashing alike) can dominate a 100 TB candidate stage. This is the
+    report that says whether a hot-bucket cap is needed before the run.
+
+    Size classes are exact integer boundaries (1 / 2 / 3-4 / 5-8 / 9-16 /
+    17+) — no float log2, whose floor is not bit-portable at the class
+    edges. pair_bound = Σ n·(n−1)/2, the candidate pairs the class would
+    expand to (integer math, engine-exact).
+
+    Scale shape: map-side sigs → one (band, bucket) count agg (partial
+    combine) → a 6-row-per-band rollup. Output: (band, size_class,
+    n_buckets, n_docs, pair_bound).
+    """
+    sizes = (
+        band_buckets(minhash_signatures(df, key, col, k, num_hashes),
+                     key, num_hashes, bands)
+        .groupBy("band", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    n = F.col("n")
+    cls = (
+        F.when(n <= 1, "1").when(n <= 2, "2").when(n <= 4, "3-4")
+        .when(n <= 8, "5-8").when(n <= 16, "9-16").otherwise("17+")
+    )
+    return (
+        sizes.select("band", cls.alias("size_class"), n)
+        .groupBy("band", "size_class")
+        .agg(
+            F.count("*").cast("bigint").alias("n_buckets"),
+            F.sum(n).cast("bigint").alias("n_docs"),
+            F.sum(n * (n - 1) / 2).cast("bigint").alias("pair_bound"),
+        )
+    )
+
+
 def split_leakage(docs_with_split: DataFrame, split_col: str = "split",
                   key: str = "doc_id", col: str = "text",
                   k: int = SHINGLE_K, num_hashes: int = 8,

@@ -361,6 +361,26 @@ def test_contamination_by_source_rollup(spark):
     assert row["n_shingles"] == 0 and row["hit_rate"] == 0.0
 
 
+def test_lsh_bucket_histogram_classes(spark):
+    """Identical docs collapse into one bucket per band; the pair bound is
+    the quadratic in-bucket expansion n*(n-1)/2."""
+    from ollama_ocr_spark.operators.dedup import lsh_bucket_histogram
+
+    t = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        [(i, t) for i in range(3)]
+        + [(9, "a completely different sentence about sailing ships")],
+        ["doc_id", "text"],
+    )
+    rows = lsh_bucket_histogram(docs).collect()
+    got = {(r["band"], r["size_class"]): (r["n_buckets"], r["n_docs"],
+                                          r["pair_bound"])
+           for r in rows}
+    # per band: one 3-doc bucket (identical texts) + one singleton
+    assert all(got[(b, "3-4")] == (1, 3, 3) for b in range(4)), got
+    assert all(got[(b, "1")] == (1, 1, 0) for b in range(4)), got
+
+
 def test_split_leakage_counts_cross_split_pairs(spark):
     """Near-dup pairs crossing a split boundary surface as (train, test)
     rows; the pair count matches the candidate generator's."""
