@@ -1456,6 +1456,15 @@ def q_unigram_logprob(spark, sf_dir):
     return unigram_logprob_scores(_docs(spark, sf_dir))
 
 
+def q_remove_dup_spans(spark, sf_dir):
+    """Exact-substring dedup CUT: drop every word position covered by a
+    cross-document duplicated 8-gram, keep order — the removal stage the
+    coverage report (ngram_span_coverage) only measures."""
+    from ollama_ocr_spark.operators.dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(_docs(spark, sf_dir), k=8)
+
+
 def q_ngram_span_coverage(spark, sf_dir):
     """Exact-substring dedup coverage (Lee et al. analog): fraction of each
     doc covered by cross-document duplicated 8-grams (interval union)."""
@@ -1535,6 +1544,7 @@ _QUERIES = {
         "dedup_savings": q_dedup_savings,
         "split_leakage": q_split_leakage,
         "lsh_bucket_histogram": q_lsh_bucket_histogram,
+        "remove_dup_spans": q_remove_dup_spans,
         # --- previously driver-sampled (green in r2 and/or r3) ---
         "extract_text_roundtrip": q_extract_text_roundtrip,
         "extract_handwriting": q_extract_handwriting,
@@ -2668,6 +2678,46 @@ def oracle_sql() -> dict[str, str]:
               LEFT JOIN comp c ON c.node = d.doc_id
               JOIN verdict v ON v.doc_id = d.doc_id)
             SELECT doc_id, cluster, reason, reason = 'ok' AS keep FROM final
+        """,
+        "remove_dup_spans": """
+            WITH wn AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
+              FROM wn WHERE len(w) >= 8
+            ),
+            pg AS (
+              SELECT doc_id, i,
+                     md5(array_to_string(w[i : i + 7], ' ')) AS d
+              FROM pos
+            ),
+            dup AS (
+              SELECT d FROM pg GROUP BY d
+              HAVING count(DISTINCT doc_id) >= 2
+            ),
+            cov AS (
+              SELECT DISTINCT doc_id, unnest(range(i, i + 8)) AS p
+              FROM pg JOIN dup USING (d)
+            ),
+            allp AS (
+              SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS p FROM wn
+            ),
+            kept AS (
+              SELECT a.doc_id, a.p, a.w[a.p::INT] AS word
+              FROM allp a
+              ANTI JOIN cov c ON a.doc_id = c.doc_id AND a.p = c.p
+            ),
+            agg AS (
+              SELECT doc_id, count(*) AS n_kept,
+                     string_agg(word, ' ' ORDER BY p) AS clean_text
+              FROM kept GROUP BY doc_id
+            )
+            SELECT wn.doc_id, len(wn.w)::BIGINT AS n_words,
+                   (len(wn.w) - coalesce(agg.n_kept, 0))::BIGINT
+                     AS n_removed,
+                   coalesce(agg.clean_text, '') AS clean_text
+            FROM wn LEFT JOIN agg USING (doc_id)
         """,
         "lsh_bucket_histogram": f"""
             WITH {_SHINGLES_CTE},

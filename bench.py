@@ -157,6 +157,7 @@ EXTRA4: tuple[str, ...] = (
     "dedup_savings",
     "split_leakage",
     "lsh_bucket_histogram",
+    "remove_dup_spans",
 )
 
 

@@ -259,6 +259,70 @@ def duplicated_ngram_coverage(df: DataFrame, key: str = "doc_id",
     )
 
 
+def remove_duplicate_spans(df: DataFrame, key: str = "doc_id",
+                           col: str = "text", k: int = 8) -> DataFrame:
+    """Exact-substring dedup CUT (the removal stage of Lee et al.'s
+    "Deduplicating Training Data Makes Language Models Better"):
+    :func:`duplicated_ngram_coverage` measures cross-document duplicated
+    spans; this operator actually removes them — every word position
+    covered by a k-gram that also occurs in ANOTHER document is dropped,
+    the remaining words keep their order.
+
+    Scale shape mirrors the coverage operator: positional span digests
+    map-side (text never shuffles), the cross-doc flag is a counter-only
+    digest agg (no posting lists — a stopword-hot span costs one
+    counter), hit STARTS equi-join back as (id, int) rows, and the cut
+    itself is one array pass per doc inside codegen (positions filtered
+    against the sorted start list, O(n·|starts|) within the row).
+
+    Output: (key, n_words, n_removed, clean_text). Docs shorter than k
+    words pass through uncut.
+    """
+    words = F.split(F.col(col), " ")
+    n_words = F.size(words)
+    idx = F.when(
+        n_words >= k, F.sequence(F.lit(1), n_words - F.lit(k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    spans = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.md5(F.array_join(F.slice(words, i, k), " ")).alias("d"),
+            i.alias("pos"),
+        ),
+    )
+    exploded = (
+        ensure_parallelism(df)
+        .select(F.col(key), F.explode(spans).alias("s"))
+        .select(key, F.col("s.d").alias("d"), F.col("s.pos").alias("pos"))
+    )
+    dups = (
+        exploded.groupBy("d")
+        .agg(F.countDistinct(key).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("d")
+    )
+    starts = (
+        exploded.join(dups, "d")
+        .groupBy(key)
+        .agg(F.array_sort(F.collect_list("pos")).alias("__starts"))
+    )
+    base = df.join(starts, key, "left")
+    st = F.coalesce(F.col("__starts"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.sequence(F.lit(1), n_words),
+        lambda p: ~F.exists(st, lambda s: (s <= p) & (p < s + k)),
+    )
+    clean = F.array_join(
+        F.transform(kept, lambda p: F.element_at(words, p)), " "
+    )
+    return base.select(
+        F.col(key),
+        n_words.cast("bigint").alias("n_words"),
+        (n_words - F.size(kept)).cast("bigint").alias("n_removed"),
+        clean.alias("clean_text"),
+    )
+
+
 def benchmark_contamination(docs: DataFrame, benchmark: DataFrame,
                             key: str = "doc_id", col: str = "text",
                             bench_col: str = "text",

@@ -361,6 +361,34 @@ def test_contamination_by_source_rollup(spark):
     assert row["n_shingles"] == 0 and row["hit_rate"] == 0.0
 
 
+def test_remove_duplicate_spans_cut(spark):
+    """The cut removes exactly the interval-union the coverage operator
+    measures; kept words stay in order; within-doc-only repeats survive."""
+    from ollama_ocr_spark.operators.dedup import (duplicated_ngram_coverage,
+                                                  remove_duplicate_spans)
+
+    shared = "one two three four"          # k=4 span shared across docs
+    docs = spark.createDataFrame(
+        [(1, shared + " alpha beta gamma"),
+         (2, "prefix words here " + shared),
+         (3, "totally novel text with no overlap at all"),
+         (4, "loop loop loop loop loop loop")],   # within-doc only
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r
+           for r in remove_duplicate_spans(docs, k=4).collect()}
+    assert got[1]["clean_text"] == "alpha beta gamma"
+    assert got[1]["n_removed"] == 4
+    assert got[2]["clean_text"] == "prefix words here"
+    assert got[3]["n_removed"] == 0 and got[3]["clean_text"].startswith(
+        "totally novel")
+    # 'loop loop loop loop' repeats only WITHIN doc 4 — not removed
+    assert got[4]["n_removed"] == 0
+    cov = {r["doc_id"]: r["covered"]
+           for r in duplicated_ngram_coverage(docs, k=4).collect()}
+    assert all(got[d]["n_removed"] == cov[d] for d in cov)
+
+
 def test_lsh_bucket_histogram_classes(spark):
     """Identical docs collapse into one bucket per band; the pair bound is
     the quadratic in-bucket expansion n*(n-1)/2."""
