@@ -239,6 +239,34 @@ def test_bucketed_tables_join_without_shuffle(spark, documents_smoke):
         spark.sql("DROP TABLE IF EXISTS bkt_right")
 
 
+def test_round4_report_plan_shapes(spark, documents_smoke):
+    """Scale-shape audits for the round-4 report operators: the
+    contamination drill-down broadcasts the benchmark shingles (never a
+    big-big join); dedup_savings and the bucket histogram get map-side
+    partial aggregation (two HashAggregate levels — counter rows shuffle,
+    never text); the span cut never degrades to a nested-loop join."""
+    from pyspark.sql import functions as F
+
+    from ollama_ocr_spark.operators.dedup import (contamination_by_source,
+                                                  dedup_savings,
+                                                  lsh_bucket_histogram,
+                                                  remove_duplicate_spans)
+
+    docs = documents_smoke.select("doc_id", "source", "text")
+    bench = documents_smoke.filter("doc_id % 101 = 0").select("text")
+    cont = plan_report(contamination_by_source(docs, bench))
+    assert cont.n_broadcasts >= 1
+
+    sav = plan_report(dedup_savings(docs)).raw
+    assert sav.count("HashAggregate") >= 2
+    hist = plan_report(lsh_bucket_histogram(docs)).raw
+    assert hist.count("HashAggregate") >= 2
+
+    cut = plan_report(remove_duplicate_spans(docs)).raw
+    assert "CartesianProduct" not in cut
+    assert "BroadcastNestedLoopJoin" not in cut
+
+
 def test_parallelism_guard_win_loss_boundary(spark, documents_smoke):
     """Lock the MEASURED ensure_parallelism win/loss boundary into the
     plan (BENCH.md round 3): the guard's round-robin repartition wins on
