@@ -1053,6 +1053,20 @@ def q_ann_ivf_topk(spark, sf_dir):
     ).withColumnRenamed("rank", "rnk")
 
 
+def q_ann_recall_eval(spark, sf_dir):
+    """Recall@k audit of the IVF path vs the exact baseline at a
+    genuinely pruned probe set (n_probe=2 of 8 cells) — the portable
+    codebook makes the pruned cell assignment oracle-reproducible."""
+    from ollama_ocr_spark.operators.similarity import ivf_recall_eval
+
+    emb = _emb(spark, sf_dir)
+    return ivf_recall_eval(
+        emb.filter(F.col("vec_id") >= 10),
+        emb.filter(F.col("vec_id") < 10),
+        k=5, n_centroids=8, n_probe=2,
+    )
+
+
 def q_golden_compare(spark, sf_dir):
     """N1: byte-identity verdict per doc — extraction joined to goldens."""
     from ollama_ocr_spark.operators.maintenance import golden_compare
@@ -1545,6 +1559,7 @@ _QUERIES = {
         "split_leakage": q_split_leakage,
         "lsh_bucket_histogram": q_lsh_bucket_histogram,
         "remove_dup_spans": q_remove_dup_spans,
+        "ann_recall_eval": q_ann_recall_eval,
         # --- previously driver-sampled (green in r2 and/or r3) ---
         "extract_text_roundtrip": q_extract_text_roundtrip,
         "extract_handwriting": q_extract_handwriting,
@@ -3090,6 +3105,108 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "ann_cosine_topk": _ANN_ORACLE,
+        # ann_recall_eval: portable k-means codebook (seeds = 8 lowest
+        # corpus keys + one decimal-exact Lloyd refinement, the
+        # semantic_dedup machinery), corpus assigned to cells, per-query
+        # top-2 probed cells, in-cell exact top-5 vs brute-force top-5.
+        "ann_recall_eval": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < 10),
+            c AS (SELECT vec_id AS neighbor_id, embedding AS cv
+                  FROM embeddings WHERE vec_id >= 10),
+            seeds AS (
+              SELECT row_number() OVER (ORDER BY neighbor_id) AS cluster,
+                     cv AS cv0
+              FROM c ORDER BY neighbor_id LIMIT 8),
+            s0 AS (
+              SELECT p.neighbor_id, s.cluster,
+                list_sum(list_transform(range(1, 1 + len(p.cv)),
+                         i -> p.cv[i]::DOUBLE * s.cv0[i]::DOUBLE))
+                / (sqrt(list_sum(list_transform(p.cv, x -> x::DOUBLE * x::DOUBLE)))
+                   * sqrt(list_sum(list_transform(s.cv0, x -> x::DOUBLE * x::DOUBLE)))
+                   + 1e-12) AS sim
+              FROM c p, seeds s),
+            a0 AS (
+              SELECT neighbor_id, cluster FROM (
+                SELECT neighbor_id, cluster, row_number() OVER (
+                  PARTITION BY neighbor_id ORDER BY sim DESC, cluster) AS rn
+                FROM s0) WHERE rn = 1),
+            pv AS (
+              SELECT a.cluster, p.cv AS v, unnest(range(len(p.cv))) AS pos
+              FROM a0 a JOIN c p USING (neighbor_id)),
+            means AS (
+              SELECT cluster, pos,
+                     (sum(CAST(v[(pos + 1)::INT]::DOUBLE AS DECIMAL(28,12))))::DOUBLE
+                     / count(*) AS m
+              FROM pv GROUP BY cluster, pos),
+            cents AS (
+              SELECT cluster, list(m ORDER BY pos) AS ctv
+              FROM means GROUP BY cluster),
+            s1 AS (
+              SELECT p.neighbor_id, ct.cluster,
+                list_sum(list_transform(range(1, 1 + len(p.cv)),
+                         i -> p.cv[i]::DOUBLE * ct.ctv[i]))
+                / (sqrt(list_sum(list_transform(p.cv, x -> x::DOUBLE * x::DOUBLE)))
+                   * sqrt(list_sum(list_transform(ct.ctv, x -> x * x)))
+                   + 1e-12) AS sim
+              FROM c p, cents ct),
+            a1 AS (
+              SELECT neighbor_id, cluster FROM (
+                SELECT neighbor_id, cluster, row_number() OVER (
+                  PARTITION BY neighbor_id ORDER BY sim DESC, cluster) AS rn
+                FROM s1) WHERE rn = 1),
+            qs AS (
+              SELECT q.query_id, ct.cluster,
+                list_sum(list_transform(range(1, 1 + len(q.qv)),
+                         i -> q.qv[i]::DOUBLE * ct.ctv[i]))
+                / (sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE)))
+                   * sqrt(list_sum(list_transform(ct.ctv, x -> x * x)))
+                   + 1e-12) AS sim
+              FROM q, cents ct),
+            probes AS (
+              SELECT query_id, cluster FROM (
+                SELECT query_id, cluster, row_number() OVER (
+                  PARTITION BY query_id ORDER BY sim DESC, cluster) AS rn
+                FROM qs) WHERE rn <= 2),
+            cand AS (
+              SELECT pr.query_id, a.neighbor_id,
+                round(
+                  list_sum(list_transform(range(1, 1 + len(q.qv)),
+                           i -> q.qv[i]::DOUBLE * p.cv[i]::DOUBLE))
+                  / (sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE)))
+                     * sqrt(list_sum(list_transform(p.cv, x -> x::DOUBLE * x::DOUBLE)))),
+                  4) AS cosine
+              FROM probes pr
+              JOIN a1 a ON a.cluster = pr.cluster
+              JOIN q ON q.query_id = pr.query_id
+              JOIN c p ON p.neighbor_id = a.neighbor_id),
+            approx AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id, row_number() OVER (
+                  PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+                FROM cand) WHERE rnk <= 5),
+            brute AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id, row_number() OVER (
+                  PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+                FROM (
+                  SELECT q.query_id, p.neighbor_id,
+                    round(
+                      list_sum(list_transform(range(1, 1 + len(q.qv)),
+                               i -> q.qv[i]::DOUBLE * p.cv[i]::DOUBLE))
+                      / (sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE)))
+                         * sqrt(list_sum(list_transform(p.cv, x -> x::DOUBLE * x::DOUBLE)))),
+                      4) AS cosine
+                  FROM q, c p)) WHERE rnk <= 5),
+            hits AS (
+              SELECT query_id, count(*) AS n_hits
+              FROM approx JOIN brute USING (query_id, neighbor_id)
+              GROUP BY 1)
+            SELECT q.query_id,
+                   coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+                   round(coalesce(h.n_hits, 0) / 5, 4) AS recall_at_k
+            FROM q LEFT JOIN hits h USING (query_id)
+        """,
         # ann_ivf_topk probes all cells in the driver query (exhaustive-
         # exact), so it shares the brute-force oracle:
         "ann_ivf_topk": _ANN_ORACLE,

@@ -233,7 +233,7 @@ def _assign(points: DataFrame, centroids: DataFrame, key: str, vec: str,
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              key: str = "vec_id", vec: str = "embedding",
              n_centroids: int = 16, n_probe: int = 4,
-             dim: int = 64) -> DataFrame:
+             dim: int = 64, portable: bool = False) -> DataFrame:
     """IVF (inverted-file) ANN: coarse-quantize the corpus into centroid
     cells, probe only the n_probe nearest cells per query, exact-rerank
     inside them.
@@ -243,12 +243,20 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     probing is partition pruning); per-query work drops from |corpus| to
     ~|corpus|·n_probe/n_centroids. Recall < 1 by design — cosine_topk is
     the exactness oracle.
+
+    ``portable=True`` swaps the codebook to :func:`kmeans_centroids`
+    (decimal-exact coordinate means) so the CELL ASSIGNMENT — and
+    therefore which neighbors a pruned probe can see — is reproducible
+    by a SQL oracle even at n_probe < n_centroids. Same plan shape;
+    only the mean arithmetic differs.
     """
     # k-row codebook cached: consumed by BOTH the probe-set collect and
     # the corpus assign — without the cache each materialization re-runs
     # the centroid subtree's two corpus passes (same trick, same reason
     # as semantic_dedup's codebook cache)
-    cents = _centroids(corpus, key, vec, n_centroids, dim).cache()
+    cb = (kmeans_centroids(corpus, key, vec, n_centroids) if portable
+          else _centroids(corpus, key, vec, n_centroids, dim))
+    cents = cb.cache()
     c_assigned = _assign(
         corpus.select(F.col(key).alias("neighbor_id"), F.col(vec).alias("cv")),
         cents.select("cluster", F.col("centroid").alias("cvec")),
@@ -426,6 +434,52 @@ def ivf_topk_indexed(spark, path: str, queries: DataFrame, k: int = 5,
                 _norm(F.col(vec)).alias("__cn"), "cluster")
     )
     return _topk_pairs(data, q_probes, k)
+
+
+def ivf_recall_eval(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                    key: str = "vec_id", vec: str = "embedding",
+                    n_centroids: int = 8, n_probe: int = 2,
+                    dim: int = 64) -> DataFrame:
+    """Recall@k audit of the IVF scale path against the exact baseline —
+    the acceptance report a retrieval pipeline runs before trusting a
+    pruned index (recall/latency trade-off is THE tunable of IVF; FAISS
+    ships the same evaluation).
+
+    Runs :func:`ivf_topk` with a genuinely pruned probe set
+    (``n_probe < n_centroids``, ``portable=True`` so cell assignment is
+    engine-portable) and :func:`cosine_topk` on the same (corpus,
+    queries), then scores per query::
+
+        recall_at_k = |approx_topk ∩ exact_topk| / k
+
+    Output: (query_id, n_hits, recall_at_k) — one row per query.
+
+    Scale shape: both inputs stream the corpus once (the exact side is
+    the audit's cost — run it on a sampled query set, not production
+    traffic); the intersection is a left-semi join on (query_id,
+    neighbor_id), k·|Q| rows a side, followed by a tiny aggregate.
+    """
+    approx = ivf_topk(corpus, queries, k=k, key=key, vec=vec,
+                      n_centroids=n_centroids, n_probe=n_probe, dim=dim,
+                      portable=True)
+    exact = cosine_topk(corpus, queries, k=k, key=key, vec=vec)
+    hits = (
+        approx.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"),
+              ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        queries.select(F.col(key).alias("query_id"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(k), 4)
+            .alias("recall_at_k"),
+        )
+    )
 
 
 def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,

@@ -117,6 +117,26 @@ def test_ivf_topk_recall(spark):
     assert len(part & exact) / len(exact) >= 0.3
 
 
+def test_ivf_recall_eval_report(spark):
+    from ollama_ocr_spark.operators.similarity import ivf_recall_eval
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    corpus = emb.filter("vec_id >= 10")
+    queries = emb.filter("vec_id < 10")
+    # full probe: IVF is a pure partition of the corpus, recall == 1.0
+    full = ivf_recall_eval(corpus, queries, k=5,
+                           n_centroids=8, n_probe=8).collect()
+    assert len(full) == 10
+    assert all(r["recall_at_k"] == 1.0 and r["n_hits"] == 5 for r in full)
+    # pruned probe: exactly one row per query, recall in [0, 1] and
+    # genuinely < 1 for at least one query (the pruning is exercised)
+    part = ivf_recall_eval(corpus, queries, k=5,
+                           n_centroids=8, n_probe=2).collect()
+    assert {r["query_id"] for r in part} == set(range(10))
+    assert all(0.0 <= r["recall_at_k"] <= 1.0 for r in part)
+    assert any(r["recall_at_k"] < 1.0 for r in part)
+
+
 def test_winnow_fingerprints_shape(spark):
     from ollama_ocr_spark.operators.dedup import winnow_fingerprints
 
