@@ -1294,6 +1294,17 @@ def q_dsir_importance(spark, sf_dir):
     )
 
 
+def q_nb_quality(spark, sf_dir):
+    """Seed-based Naive-Bayes quality classifier: src0/src1 as the
+    positive seed, per-doc mean-token log-odds over the whole corpus
+    (8dp-quantized ln + decimal per-doc sum for engine parity)."""
+    from ollama_ocr_spark.operators.textstats import nb_quality_scores
+
+    return nb_quality_scores(
+        _docs(spark, sf_dir), F.col("source").isin("src0", "src1")
+    )
+
+
 def q_group_holdout_split(spark, sf_dir):
     """Leakage-safe split at SOURCE granularity honoring row fractions:
     groups laid out in md5 order, each split takes a contiguous cumulative-
@@ -1560,6 +1571,7 @@ _QUERIES = {
         "lsh_bucket_histogram": q_lsh_bucket_histogram,
         "remove_dup_spans": q_remove_dup_spans,
         "ann_recall_eval": q_ann_recall_eval,
+        "nb_quality": q_nb_quality,
         # --- previously driver-sampled (green in r2 and/or r3) ---
         "extract_text_roundtrip": q_extract_text_roundtrip,
         "extract_handwriting": q_extract_handwriting,
@@ -3713,6 +3725,41 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_feats, round(lw::DOUBLE, 4) AS log_weight,
                    lw > 0 AS keep
+            FROM sc
+        """,
+        "nb_quality": """
+            WITH toks AS (
+              SELECT doc_id, source IN ('src0', 'src1') AS pos,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                       AS tok
+              FROM documents
+            ),
+            dt AS (
+              SELECT doc_id, tok, count(*) AS n, bool_or(pos) AS pos
+              FROM toks GROUP BY 1, 2
+            ),
+            cls AS (
+              SELECT tok,
+                     sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+                     sum(CASE WHEN pos THEN 0 ELSE 1 END) AS cn
+              FROM toks GROUP BY 1
+            ),
+            tot AS (SELECT sum(cp) AS tp, sum(cn) AS tn, count(*) AS v
+                    FROM cls),
+            llr AS (
+              SELECT tok,
+                     round(ln((cp + 1) / (tp + v)), 8)
+                     - round(ln((cn + 1) / (tn + v)), 8) AS llr
+              FROM cls CROSS JOIN tot
+            ),
+            sc AS (
+              SELECT doc_id, bool_or(pos) AS is_seed,
+                     sum(n)::BIGINT AS n_tokens,
+                     sum(CAST(n * llr AS DECIMAL(18, 8))) AS lo
+              FROM dt JOIN llr USING (tok) GROUP BY doc_id
+            )
+            SELECT doc_id, is_seed, n_tokens,
+                   round(lo::DOUBLE, 4) AS log_odds, lo > 0 AS nb_keep
             FROM sc
         """,
         "chunk_documents": """

@@ -643,6 +643,71 @@ def dsir_importance_weights(df: DataFrame, target, key: str = "doc_id",
     )
 
 
+def nb_quality_scores(df: DataFrame, label, key: str = "doc_id",
+                      col: str = "text") -> DataFrame:
+    """GPT-3/CCNet-style seed-based quality classifier, the Naive-Bayes
+    (aggregable) analog of the logistic-regression quality filter: train
+    per-token log-odds on a labeled seed split, score every document by
+    its mean token log-odds. ``label`` is a boolean Column over ``df``
+    marking the positive (high-quality / in-domain) seed — e.g.
+    ``F.col("source").isin("wiki", "books")``.
+
+        llr(tok) = ln p(tok|pos) - ln p(tok|neg)   (add-one smoothed)
+        log_odds(d) = Σ_tok n_d(tok) * llr(tok)
+
+    Output: (key, is_seed, n_tokens, log_odds, nb_keep) — nb_keep is the
+    log_odds > 0 verdict a pipeline thresholds on.
+
+    Scale shape: ONE tokenization scan feeds both aggregations (per-(doc,
+    token) counts and per-token class counts — the class counts aggregate
+    in the same pass via conditional sums, no pivot, no second scan); one
+    token equi-join scores docs (the LLR table is ≤ vocab and broadcasts
+    once capped à la :func:`vocab_topk`). Engine parity: per-class token
+    log-probs round to 8dp (Spark/DuckDB ``ln`` bit-agreement), the
+    per-doc sum runs in DECIMAL(18,8) so it is order-insensitive — the
+    :func:`dsir_importance_weights` conventions.
+    """
+    from ollama_ocr_spark.operators.dedup import ensure_parallelism
+
+    toks = ensure_parallelism(df).select(
+        F.col(key),
+        label.alias("__pos"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(col)), F.lit(TOKEN_RE), 0)
+        ).alias("tok"),
+    )
+    doc_tok = toks.groupBy(key, "tok").agg(
+        F.count("*").alias("n"), F.first("__pos").alias("__pos")
+    )
+    cls = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("__pos"), 1).otherwise(0)).alias("cp"),
+        F.sum(F.when(F.col("__pos"), 0).otherwise(1)).alias("cn"),
+    )
+    totals = cls.agg(
+        F.sum("cp").alias("tp"), F.sum("cn").alias("tn"),
+        F.count("*").alias("v"),
+    )
+    llr = cls.crossJoin(F.broadcast(totals)).select(
+        "tok",
+        (
+            F.round(F.log((F.col("cp") + 1) / (F.col("tp") + F.col("v"))), 8)
+            - F.round(F.log((F.col("cn") + 1) / (F.col("tn") + F.col("v"))), 8)
+        ).alias("llr"),
+    )
+    scored = doc_tok.join(llr, "tok").groupBy(key).agg(
+        F.first("__pos").alias("is_seed"),
+        F.sum("n").alias("n_tokens"),
+        F.sum((F.col("n") * F.col("llr")).cast("decimal(18,8)")).alias("__lo"),
+    )
+    return scored.select(
+        key,
+        "is_seed",
+        "n_tokens",
+        F.round(F.col("__lo").cast("double"), 4).alias("log_odds"),
+        (F.col("__lo") > 0).alias("nb_keep"),
+    )
+
+
 def chunk_documents(df: DataFrame, key: str = "doc_id", col: str = "text",
                     size: int = 64, stride: int = 48) -> DataFrame:
     """Sliding-window chunking — the context-window prep between curation

@@ -137,6 +137,33 @@ def test_ivf_recall_eval_report(spark):
     assert any(r["recall_at_k"] < 1.0 for r in part)
 
 
+def test_nb_quality_separates_seed_tokens(spark):
+    from ollama_ocr_spark.operators.textstats import nb_quality_scores
+
+    rows = (
+        [(i, "alpha alpha beam alpha", "wiki") for i in range(4)]
+        + [(i + 10, "spam spam junk spam", "web") for i in range(4)]
+        # held-out docs written in each side's vocabulary
+        + [(20, "alpha beam alpha", "web"), (21, "spam junk junk", "web")]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {
+        r["doc_id"]: r
+        for r in nb_quality_scores(df, F.col("source") == "wiki").collect()
+    }
+    assert len(out) == 10
+    # seed flag echoes the label; token counts are real
+    assert out[0]["is_seed"] and not out[10]["is_seed"]
+    assert out[0]["n_tokens"] == 4
+    # the classifier separates its own vocabulary: seed-voc docs score
+    # positive (nb_keep), spam-voc docs negative — including held-out
+    # docs NOT in the positive seed
+    assert out[20]["log_odds"] > 0 and out[20]["nb_keep"]
+    assert out[21]["log_odds"] < 0 and not out[21]["nb_keep"]
+    assert all(out[i]["nb_keep"] for i in range(4))
+    assert not any(out[i + 10]["nb_keep"] for i in range(4))
+
+
 def test_winnow_fingerprints_shape(spark):
     from ollama_ocr_spark.operators.dedup import winnow_fingerprints
 
