@@ -968,6 +968,28 @@ def q_url_filter(spark, sf_dir):
     return url_filter(dirty, blocked_pattern="/draft-")
 
 
+_ROBOTS_RULES = [
+    # both match every h0 /src0/ url (src0 ≡ doc_id%20==0 → stem is
+    # always 'article'); the LONGER one must be the reported rule
+    ("h0.example.com", "/src0/"),
+    ("h0.example.com", "/src0/article"),
+    ("h1.example.com", "/"),               # root rule blocks the host
+    ("h2.example.com", "/src2/"),          # narrow source slice on h2
+    ("h0.example.com", "/src4/"),          # memo pages on h0
+]
+
+
+def q_robots_filter(spark, sf_dir):
+    """robots.txt disallow gate over the corpus urls: per-host path-prefix
+    rules, longest (most-specific) matching rule reported per url."""
+    from ollama_ocr_spark.operators.maintenance import robots_filter
+
+    rules = spark.createDataFrame(
+        _ROBOTS_RULES, "host string, disallow string"
+    )
+    return robots_filter(_latest_pages(spark, sf_dir), rules)
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher-style repetition filters: distinct/top-word/dup-kgram mass."""
     from ollama_ocr_spark.operators.textstats import with_repetition_stats
@@ -1572,6 +1594,7 @@ _QUERIES = {
         "remove_dup_spans": q_remove_dup_spans,
         "ann_recall_eval": q_ann_recall_eval,
         "nb_quality": q_nb_quality,
+        "robots_filter": q_robots_filter,
         # --- previously driver-sampled (green in r2 and/or r3) ---
         "extract_text_roundtrip": q_extract_text_roundtrip,
         "extract_handwriting": q_extract_handwriting,
@@ -3036,6 +3059,34 @@ def oracle_sql() -> dict[str, str]:
               FROM u
             )
             SELECT url, reason, reason = 'ok' AS keep FROM r
+        """,
+        "robots_filter": f"""
+            WITH u AS (
+              SELECT DISTINCT
+                     'https://' || {_HOST_CASE} || '/' || source || '/' ||
+                     {_STEM_CASE} || '-' || doc_id || {_EXT_CASE} AS url,
+                     {_HOST_CASE} AS host,
+                     '/' || source || '/' || {_STEM_CASE} || '-' || doc_id
+                     || {_EXT_CASE} AS path
+              FROM documents
+            ),
+            r AS (
+              SELECT * FROM (VALUES {", ".join(
+                  f"('{h}', '{d}')" for h, d in _ROBOTS_RULES
+              )}) t(rhost, dis)
+            ),
+            m AS (
+              SELECT u.url, u.host, u.path,
+                     max(CASE WHEN r.dis IS NOT NULL
+                         THEN lpad(length(r.dis)::VARCHAR, 3, '0') || r.dis
+                         END) AS rk
+              FROM u LEFT JOIN r
+                ON r.rhost = u.host AND starts_with(u.path, r.dis)
+              GROUP BY 1, 2, 3
+            )
+            SELECT url, host, path, substr(rk, 4) AS rule,
+                   rk IS NULL AS allowed
+            FROM m
         """,
         "repetition_stats": """
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS w

@@ -101,6 +101,64 @@ def url_filter(df: DataFrame, url_col: str = "url", max_len: int = 90,
     )
 
 
+def robots_filter(df: DataFrame, rules: DataFrame,
+                  url_col: str = "url") -> DataFrame:
+    """robots.txt-style disallow filter: classify each DISTINCT url
+    against a per-host rule table (host, disallow) of path prefixes — the
+    politeness gate every compliant crawler runs between the frontier and
+    the fetcher. A url is blocked when ANY of its host's disallow
+    prefixes matches its path; the reported ``rule`` is the LONGEST
+    matching prefix (most-specific rule, the robots.txt convention),
+    ties broken lexicographically.
+
+    Output: (url, host, path, rule, allowed) — rule NULL when allowed.
+
+    Scale shape: the rule table is tiny by nature (a crawl's parsed
+    robots corpus is |hosts| × a few rules) and broadcasts; the prefix
+    match rides the broadcast join's ON clause so unmatched urls never
+    duplicate. One shuffle of (url, host, path) string triples for the
+    per-url verdict aggregate — no payloads.
+    """
+    u = F.col(url_col)
+    base = (
+        df.select(
+            u.alias("url"),
+            F.regexp_extract(u, r"^[a-z]+://([^/]+)", 1).alias("host"),
+            F.regexp_replace(
+                F.regexp_replace(u, r"^[a-z]+://[^/]+", ""), r"[?#].*$", ""
+            ).alias("path"),
+        )
+        .distinct()
+    )
+    r = rules.select(
+        F.col("host").alias("__rhost"), F.col("disallow").alias("__dis")
+    )
+    joined = base.join(
+        F.broadcast(r),
+        (base["host"] == F.col("__rhost"))
+        & F.col("path").startswith(F.col("__dis")),
+        "left",
+    )
+    # longest-match rule via an order-portable string key: zero-padded
+    # prefix length then the prefix itself (max over it == max over
+    # (length, prefix) lexicographic pairs in any engine)
+    rule_key = F.when(
+        F.col("__dis").isNotNull(),
+        F.concat(
+            F.lpad(F.length("__dis").cast("string"), 3, "0"), F.col("__dis")
+        ),
+    )
+    return (
+        joined.groupBy("url", "host", "path")
+        .agg(F.max(rule_key).alias("__rk"))
+        .select(
+            "url", "host", "path",
+            F.substring(F.col("__rk"), 4, 2048).alias("rule"),
+            F.col("__rk").isNull().alias("allowed"),
+        )
+    )
+
+
 def golden_text_expr(doc_id_col: str = "doc_id", text_col: str = "text"):
     """Native-expression twin of ``corpus.golden_text`` for the HTML
     archetypes (k <= 6): identity for prose pages, markdown rendering for

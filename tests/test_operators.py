@@ -137,6 +137,33 @@ def test_ivf_recall_eval_report(spark):
     assert any(r["recall_at_k"] < 1.0 for r in part)
 
 
+def test_robots_filter_longest_match(spark):
+    from ollama_ocr_spark.operators.maintenance import robots_filter
+
+    pages = spark.createDataFrame(
+        [("https://a.com/docs/guide-1.html",),
+         ("https://a.com/docs/guide-1.html",),   # duplicate capture
+         ("https://a.com/blog/post-2.html",),
+         ("https://b.com/docs/guide-3.html",),   # host with no rules
+         ("https://a.com/docs/api-4.html?x=1",)],
+        ["url"],
+    )
+    rules = spark.createDataFrame(
+        [("a.com", "/docs/"), ("a.com", "/docs/guide")],
+        ["host", "disallow"],
+    )
+    out = {r["url"]: r for r in robots_filter(pages, rules).collect()}
+    assert len(out) == 4  # distinct urls, duplicate capture collapsed
+    g = out["https://a.com/docs/guide-1.html"]
+    # most-specific (longest) rule wins
+    assert not g["allowed"] and g["rule"] == "/docs/guide"
+    a = out["https://a.com/docs/api-4.html?x=1"]
+    # query string stripped before the prefix match
+    assert not a["allowed"] and a["rule"] == "/docs/" and a["path"] == "/docs/api-4.html"
+    assert out["https://a.com/blog/post-2.html"]["allowed"]
+    assert out["https://b.com/docs/guide-3.html"]["allowed"]
+
+
 def test_nb_quality_separates_seed_tokens(spark):
     from ollama_ocr_spark.operators.textstats import nb_quality_scores
 
