@@ -1287,6 +1287,19 @@ def q_recrawl_schedule(spark, sf_dir):
     )
 
 
+def q_crawl_budget(spark, sf_dir):
+    """Per-host fetch-budget allocation for the next crawl round:
+    integer per-mille churn weights over recrawl_schedule's per-url
+    change evidence, bit-identical integer div allocation."""
+    from ollama_ocr_spark.operators.extract import synthesize_stage
+    from ollama_ocr_spark.operators.maintenance import crawl_budget
+
+    _ensure_shipped(spark)
+    return crawl_budget(
+        synthesize_stage(_docs(spark, sf_dir)), total_budget=10000
+    )
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Per-document top-3 TF-IDF terms (8dp-quantized idf for engine-
     exact ln, deterministic double product for the ranking score)."""
@@ -1595,6 +1608,7 @@ _QUERIES = {
         "ann_recall_eval": q_ann_recall_eval,
         "nb_quality": q_nb_quality,
         "robots_filter": q_robots_filter,
+        "crawl_budget": q_crawl_budget,
         # --- previously driver-sampled (green in r2 and/or r3) ---
         "extract_text_roundtrip": q_extract_text_roundtrip,
         "extract_handwriting": q_extract_handwriting,
@@ -3664,6 +3678,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT host, interval_hours, count(*)::BIGINT AS n_urls
             FROM d GROUP BY 1, 2
+        """,
+        # crawl_budget: the synthesized capture pattern reduces to doc_id
+        # arithmetic — doc_id%10==5 is a changed re-crawl, %10==0 a
+        # stable re-crawl, the rest single captures (corpus.captures).
+        "crawl_budget": f"""
+            WITH d AS (
+              SELECT doc_id, {_HOST_CASE} AS host,
+                     (doc_id % 10 = 5)::INT AS changed,
+                     (doc_id % 10 IN (0, 5))::INT AS recrawled
+              FROM documents
+            ),
+            h AS (
+              SELECT host, count(*)::BIGINT AS n_urls,
+                     sum(changed)::BIGINT AS n_changed,
+                     sum(recrawled)::BIGINT AS n_recrawled
+              FROM d GROUP BY 1
+            ),
+            w AS (
+              SELECT host, n_urls, n_changed,
+                     CASE WHEN n_recrawled > 0
+                          THEN round(n_changed * 1000.0 / n_recrawled)::BIGINT
+                          ELSE 0 END AS churn_pm
+              FROM h
+            ),
+            ww AS (
+              SELECT *, n_urls * (1000 + churn_pm) AS weight FROM w
+            )
+            SELECT host, n_urls, n_changed, churn_pm, weight,
+                   ((10000 * weight)
+                    // (SELECT sum(weight)::BIGINT FROM ww))::BIGINT
+                     AS budget
+            FROM ww
         """,
         "phrase_search": """
             WITH toks AS (

@@ -633,6 +633,55 @@ def recrawl_schedule(pages: DataFrame, key: str = "url", ts: str = "warc_ts",
     )
 
 
+def crawl_budget(pages: DataFrame, total_budget: int = 10000,
+                 key: str = "url", ts: str = "warc_ts") -> DataFrame:
+    """Per-host fetch-budget allocation for the next crawl round — the
+    scheduler step between :func:`recrawl_schedule` (per-url change
+    evidence) and :func:`politeness_waves` (per-host pacing): hosts earn
+    budget proportional to how many urls they own and how much their
+    content churns, so a fixed crawler capacity chases change instead of
+    re-fetching static pages.
+
+        churn_pm  = round(1000 * changed_urls / recrawled_urls)  (0 if none)
+        weight    = n_urls * (1000 + churn_pm)
+        budget    = (total_budget * weight) div Σ weight
+
+    ALL-INTEGER arithmetic (per-mille churn, integer div) so the
+    allocation is bit-identical on any engine — no floor-on-double
+    boundary risk. Output: (host, n_urls, n_changed, churn_pm, weight,
+    budget), one row per host.
+
+    Scale shape: rides recrawl_schedule's single digest-only url window,
+    then one tiny per-host aggregate; the 1-row grand total broadcasts.
+    """
+    per_url = recrawl_schedule(pages, key=key, ts=ts)
+    per_host = per_url.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum("changed").alias("n_changed"),
+        F.sum((F.col("n_caps") > 1).cast("int")).alias("n_recrawled"),
+    )
+    churn_pm = F.when(
+        F.col("n_recrawled") > 0,
+        F.round(F.col("n_changed") * 1000.0 / F.col("n_recrawled"), 0)
+        .cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    weighted = per_host.select(
+        "host", "n_urls", "n_changed",
+        churn_pm.alias("churn_pm"),
+        (F.col("n_urls") * (F.lit(1000) + churn_pm)).alias("weight"),
+    )
+    totals = weighted.agg(F.sum("weight").alias("total_weight"))
+    return (
+        weighted.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "budget",
+            F.expr(f"(CAST({int(total_budget)} AS BIGINT) * weight) "
+                   "div total_weight"),
+        )
+        .drop("total_weight")
+    )
+
+
 def group_holdout_split(df: DataFrame, group_col: str = "host",
                         boundaries: tuple = (("train", 0.9), ("val", 0.05),
                                              ("test", 0.05)),

@@ -137,6 +137,33 @@ def test_ivf_recall_eval_report(spark):
     assert any(r["recall_at_k"] < 1.0 for r in part)
 
 
+def test_crawl_budget_integer_allocation(spark):
+    from datetime import datetime
+
+    from ollama_ocr_spark.operators.maintenance import crawl_budget
+
+    t0, t1 = datetime(2024, 1, 1), datetime(2024, 1, 2)
+    rows = [
+        # host a: one changed recrawl + one single-capture url
+        ("https://a.com/x", t0, b"v1"), ("https://a.com/x", t1, b"v2"),
+        ("https://a.com/y", t0, b"s"),
+        # host b: one stable recrawl + one single-capture url
+        ("https://b.com/x", t0, b"same"), ("https://b.com/x", t1, b"same"),
+        ("https://b.com/y", t0, b"s"),
+    ]
+    pages = spark.createDataFrame(rows, ["url", "warc_ts", "html"])
+    out = {r["host"]: r for r in crawl_budget(pages, 1000).collect()}
+    a, b = out["a.com"], out["b.com"]
+    assert a["n_urls"] == 2 and b["n_urls"] == 2
+    assert a["n_changed"] == 1 and b["n_changed"] == 0
+    # churn per-mille: 1 changed of 1 recrawled vs 0 of 1
+    assert a["churn_pm"] == 1000 and b["churn_pm"] == 0
+    assert a["weight"] == 4000 and b["weight"] == 2000
+    # integer div allocation: 1000*4000//6000=666, 1000*2000//6000=333
+    assert a["budget"] == 666 and b["budget"] == 333
+    assert a["budget"] + b["budget"] <= 1000
+
+
 def test_robots_filter_longest_match(spark):
     from ollama_ocr_spark.operators.maintenance import robots_filter
 
