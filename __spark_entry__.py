@@ -1287,6 +1287,15 @@ def q_recrawl_schedule(spark, sf_dir):
     )
 
 
+def q_bigram_logprob(spark, sf_dir):
+    """Order-2 LM quality proxy: per-doc mean conditional-bigram nats
+    (add-one smoothed, corpus-trained; 8dp-quantized ln + decimal per-doc
+    sum for engine parity)."""
+    from ollama_ocr_spark.operators.textstats import bigram_logprob_scores
+
+    return bigram_logprob_scores(_docs(spark, sf_dir))
+
+
 def q_crawl_budget(spark, sf_dir):
     """Per-host fetch-budget allocation for the next crawl round:
     integer per-mille churn weights over recrawl_schedule's per-url
@@ -1609,6 +1618,7 @@ _QUERIES = {
         "nb_quality": q_nb_quality,
         "robots_filter": q_robots_filter,
         "crawl_budget": q_crawl_budget,
+        "bigram_logprob": q_bigram_logprob,
         # --- previously driver-sampled (green in r2 and/or r3) ---
         "extract_text_roundtrip": q_extract_text_roundtrip,
         "extract_handwriting": q_extract_handwriting,
@@ -3982,6 +3992,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, sum(n)::BIGINT AS n_tokens,
                    round(-sum(n * logp) / sum(n), 4) AS nats_per_token
             FROM sc GROUP BY doc_id
+        """,
+        "bigram_logprob": """
+            WITH tl AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents
+            ),
+            v AS (
+              SELECT count(DISTINCT tok) AS v
+              FROM (SELECT unnest(t) AS tok FROM tl)
+            ),
+            unn AS (
+              SELECT doc_id, t, unnest(range(1, len(t))) AS i
+              FROM tl WHERE len(t) >= 2
+            ),
+            bg AS (
+              SELECT doc_id, t[i::INT] AS w1,
+                     t[i::INT] || ' ' || t[(i + 1)::INT] AS g
+              FROM unn
+            ),
+            dbg AS (
+              SELECT doc_id, g, w1, count(*) AS n FROM bg GROUP BY 1, 2, 3
+            ),
+            ctx AS (SELECT w1, sum(n) AS cctx FROM dbg GROUP BY 1),
+            lm AS (
+              SELECT g, round(ln((c + 1) / (cctx + v)), 8) AS logp
+              FROM (SELECT g, w1, sum(n) AS c FROM dbg GROUP BY 1, 2) b
+              JOIN ctx USING (w1) CROSS JOIN v
+            ),
+            sc AS (
+              SELECT doc_id, sum(n)::BIGINT AS n_bigrams,
+                     sum(CAST(n * logp AS DECIMAL(18, 8))) AS lo
+              FROM dbg JOIN lm USING (g) GROUP BY 1
+            )
+            SELECT doc_id, n_bigrams,
+                   round((-lo)::DOUBLE / n_bigrams, 4) AS nats_per_bigram
+            FROM sc
         """,
         # ngram_span_coverage: k=8 positional shingles; dup = digest seen
         # in >= 2 distinct docs; covered = interval union of sorted starts

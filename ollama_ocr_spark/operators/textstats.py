@@ -172,6 +172,76 @@ def unigram_logprob_scores(df: DataFrame, key: str = "doc_id",
     )
 
 
+def bigram_logprob_scores(df: DataFrame, key: str = "doc_id",
+                          col: str = "text") -> DataFrame:
+    """Conditional-bigram LM quality proxy — the order-2 companion of
+    :func:`unigram_logprob_scores` (KenLM-style scorers are n-gram
+    models; the unigram proxy misses scrambled-word-order junk that a
+    bigram LM flags):
+
+        nats_per_bigram = -(1/B_d) * Σ_bg n_d(bg) * ln p(w2|w1)
+        p(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V)   (add-one smoothed)
+
+    Docs with fewer than 2 tokens have no bigrams and emit no row.
+
+    Scale shape: ONE tokenization scan; per-(doc, bigram) counts feed
+    BOTH the bigram LM and the context totals (map-side partial combine;
+    integers identical by construction), so the corpus is never
+    re-tokenized; one equi-join on the bigram string scores docs. Engine
+    parity: 8dp-quantized ln, DECIMAL(18,8) per-doc sum — the
+    :func:`dsir_importance_weights` conventions.
+    """
+    from ollama_ocr_spark.operators.dedup import ensure_parallelism
+
+    toks = F.regexp_extract_all(F.lower(F.col(col)), F.lit(TOKEN_RE), 0)
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = ensure_parallelism(df)
+    vtot = base.select(
+        F.explode(toks).alias("tok")
+    ).agg(F.count_distinct("tok").alias("v"))
+    doc_bg = (
+        base.select(F.col(key), F.explode(bigrams).alias("g"))
+        .select(
+            F.col(key), F.col("g"),
+            F.split(F.col("g"), " ").getItem(0).alias("w1"),
+        )
+        .groupBy(key, "g", "w1")
+        .agg(F.count("*").alias("n"))
+    )
+    ctx = doc_bg.groupBy("w1").agg(F.sum("n").alias("cctx"))
+    bglm = doc_bg.groupBy("g", "w1").agg(F.sum("n").alias("c"))
+    lm = (
+        bglm.join(ctx, "w1")
+        .crossJoin(F.broadcast(vtot))
+        .select(
+            "g",
+            F.round(
+                F.log((F.col("c") + 1) / (F.col("cctx") + F.col("v"))), 8
+            ).alias("logp"),
+        )
+    )
+    scored = doc_bg.join(lm, "g").groupBy(key).agg(
+        F.sum("n").alias("n_bigrams"),
+        F.sum((F.col("n") * F.col("logp")).cast("decimal(18,8)"))
+        .alias("__lo"),
+    )
+    return scored.select(
+        key,
+        "n_bigrams",
+        F.round(
+            -F.col("__lo").cast("double") / F.col("n_bigrams"), 4
+        ).alias("nats_per_bigram"),
+    )
+
+
 def with_quality_score(df: DataFrame, col: str = "text") -> DataFrame:
     """Deterministic quality features: length, word count, mean word length,
     stopword ratio, and a composite score. (Gopher/C4-style filters use the

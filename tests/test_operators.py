@@ -137,6 +137,26 @@ def test_ivf_recall_eval_report(spark):
     assert any(r["recall_at_k"] < 1.0 for r in part)
 
 
+def test_bigram_logprob_flags_scrambled_order(spark):
+    from ollama_ocr_spark.operators.textstats import (
+        bigram_logprob_scores, unigram_logprob_scores)
+
+    typical = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, typical) for i in range(8)]
+    # same unigram distribution, scrambled order
+    rows.append((100, "dog the lazy over jumps fox brown quick the"))
+    rows.append((101, "hi"))  # single token → no bigrams, no row
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    bg = {r["doc_id"]: r for r in bigram_logprob_scores(df).collect()}
+    assert 101 not in bg
+    assert bg[0]["n_bigrams"] == 8
+    # the scrambled doc's bigrams are all rare → clearly higher nats
+    assert bg[100]["nats_per_bigram"] > bg[0]["nats_per_bigram"] + 0.5
+    # ...while the unigram proxy cannot tell them apart
+    ug = {r["doc_id"]: r for r in unigram_logprob_scores(df).collect()}
+    assert ug[100]["nats_per_token"] == ug[0]["nats_per_token"]
+
+
 def test_crawl_budget_integer_allocation(spark):
     from datetime import datetime
 
