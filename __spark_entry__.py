@@ -1287,6 +1287,32 @@ def q_recrawl_schedule(spark, sf_dir):
     )
 
 
+def q_zipf_slope(spark, sf_dir):
+    """Zipf-law OLS fit over the top-500 token frequencies (ln freq vs
+    ln rank): the one-row corpus-health report. TakeOrdered rank cut, no
+    global vocab sort; decimal moment sums for engine parity."""
+    from ollama_ocr_spark.operators.textstats import zipf_slope
+
+    return zipf_slope(_docs(spark, sf_dir))
+
+
+def q_quality_deciles(spark, sf_dir):
+    """CCNet perplexity-bucket report: unigram-LM nats → NTILE(10)
+    deciles → per-decile doc count, token mass, mean nats."""
+    from ollama_ocr_spark.operators.textstats import quality_deciles
+
+    return quality_deciles(_docs(spark, sf_dir))
+
+
+def q_dedup_representatives(spark, sf_dir):
+    """Best-member keeper per near-dup cluster (longest doc, tie-break
+    min id) with the token mass the drop saves — minhash-LSH pairs →
+    components → broadcast label join → per-cluster rank."""
+    from ollama_ocr_spark.operators.dedup import dedup_representatives
+
+    return dedup_representatives(_docs(spark, sf_dir))
+
+
 def q_bigram_logprob(spark, sf_dir):
     """Order-2 LM quality proxy: per-doc mean conditional-bigram nats
     (add-one smoothed, corpus-trained; 8dp-quantized ln + decimal per-doc
@@ -1619,6 +1645,9 @@ _QUERIES = {
         "robots_filter": q_robots_filter,
         "crawl_budget": q_crawl_budget,
         "bigram_logprob": q_bigram_logprob,
+        "zipf_slope": q_zipf_slope,
+        "quality_deciles": q_quality_deciles,
+        "dedup_representatives": q_dedup_representatives,
         # --- previously driver-sampled (green in r2 and/or r3) ---
         "extract_text_roundtrip": q_extract_text_roundtrip,
         "extract_handwriting": q_extract_handwriting,
@@ -4029,6 +4058,124 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_bigrams,
                    round((-lo)::DOUBLE / n_bigrams, 4) AS nats_per_bigram
             FROM sc
+        """,
+        # zipf_slope: OLS of ln(freq) on ln(rank) over the top-500 tokens;
+        # 8dp-quantized lns, decimal moment sums, double arithmetic after.
+        "zipf_slope": """
+            WITH tok AS (
+              SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                       AS tok
+              FROM documents
+            ),
+            c AS (SELECT tok, count(*) AS n FROM tok GROUP BY 1),
+            top AS (SELECT tok, n FROM c ORDER BY n DESC, tok LIMIT 500),
+            r AS (
+              SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rank
+              FROM top
+            ),
+            xy AS (
+              SELECT round(ln(rank), 8) AS x, round(ln(n), 8) AS y FROM r
+            ),
+            m AS (
+              SELECT count(*) AS cnt,
+                     sum(CAST(x AS DECIMAL(20, 8))) AS sx,
+                     sum(CAST(y AS DECIMAL(20, 8))) AS sy,
+                     sum(CAST(x * y AS DECIMAL(30, 12))) AS sxy,
+                     sum(CAST(x * x AS DECIMAL(30, 12))) AS sxx
+              FROM xy
+            ),
+            s AS (
+              SELECT cnt, sx::DOUBLE AS sx, sy::DOUBLE AS sy,
+                     (cnt::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                     / (cnt::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                       AS slope
+              FROM m
+            )
+            SELECT cnt AS n_ranked, round(slope, 4) AS slope,
+                   round((sy - slope * sx) / cnt::DOUBLE, 4) AS intercept
+            FROM s
+        """,
+        # quality_deciles: NTILE(10) over the unigram-LM doc scores
+        # (ties on doc_id); per-decile doc/token mass + decimal mean nats.
+        "quality_deciles": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                       AS tok
+              FROM documents
+            ),
+            dt AS (SELECT doc_id, tok, count(*) AS n FROM toks GROUP BY 1, 2),
+            vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+            tot AS (SELECT sum(c) AS t_tokens, count(*) AS v_size FROM vocab),
+            sc AS (
+              SELECT dt.doc_id, dt.n,
+                     round(ln((vocab.c + 1) / (tot.t_tokens + tot.v_size)),
+                           8) AS logp
+              FROM dt JOIN vocab USING (tok) CROSS JOIN tot
+            ),
+            scores AS (
+              SELECT doc_id, sum(n)::BIGINT AS n_tokens,
+                     round(-sum(n * logp) / sum(n), 4) AS nats_per_token
+              FROM sc GROUP BY doc_id
+            ),
+            b AS (
+              SELECT *, ntile(10) OVER (ORDER BY nats_per_token, doc_id)
+                       AS decile
+              FROM scores
+            )
+            SELECT decile, count(*)::BIGINT AS n_docs,
+                   sum(n_tokens)::BIGINT AS n_tokens,
+                   round(sum(CAST(nats_per_token AS DECIMAL(18, 4)))::DOUBLE
+                         / count(*), 4) AS mean_nats
+            FROM b GROUP BY decile
+        """,
+        # dedup_representatives: LSH pairs -> recursive closure (the
+        # curate_corpus CTE chain) -> per-cluster longest-doc keeper.
+        "dedup_representatives": f"""
+            WITH RECURSIVE {_SHINGLES_CTE},
+            sig AS (
+              SELECT doc_id, g.j AS j,
+                     min(md5(g.j || '|' || shingle)) AS m
+              FROM sh, generate_series(0, 7) AS g(j)
+              GROUP BY doc_id, g.j
+            ),
+            bands AS (
+              SELECT doc_id, j // 2 AS band,
+                     md5(string_agg(m, '' ORDER BY j)) AS bucket
+              FROM sig GROUP BY doc_id, j // 2
+            ),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bucket = b.bucket
+                AND a.doc_id < b.doc_id
+            ),
+            edges AS (
+              SELECT a AS src, b AS dst FROM pairs
+              UNION
+              SELECT b AS src, a AS dst FROM pairs),
+            reach(node, r) AS (
+              SELECT src AS node, src AS r FROM edges
+              UNION
+              SELECT e.dst AS node, reach.r
+              FROM reach JOIN edges e ON reach.node = e.src),
+            comp AS (SELECT node, min(r) AS label FROM reach GROUP BY node),
+            mem AS (
+              SELECT c.label AS cluster, d.doc_id,
+                     len(string_split(d.text, ' ')) AS n_tokens
+              FROM comp c JOIN documents d ON d.doc_id = c.node),
+            rk AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY cluster ORDER BY n_tokens DESC, doc_id) AS rn
+              FROM mem)
+            SELECT cluster,
+                   max(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc,
+                   count(*)::BIGINT AS n_members,
+                   max(CASE WHEN rn = 1 THEN n_tokens END)::INT
+                     AS kept_tokens,
+                   coalesce(sum(CASE WHEN rn > 1 THEN n_tokens END),
+                            0)::BIGINT AS tokens_dropped
+            FROM rk GROUP BY cluster
         """,
         # ngram_span_coverage: k=8 positional shingles; dup = digest seen
         # in >= 2 distinct docs; covered = interval union of sorted starts

@@ -150,6 +150,14 @@ EXTRA3 = (
 # least accumulated perf evidence, so budget-skips should fall on the old
 # suites whose numbers already exist in BENCH_r02/BENCH.md).
 EXTRA4: tuple[str, ...] = (
+    "zipf_slope",
+    "quality_deciles",
+    "dedup_representatives",
+    "bigram_logprob",
+    "crawl_budget",
+    "robots_filter",
+    "nb_quality",
+    "ann_recall_eval",
     "curate_corpus_incremental",
     "chunk_ann_topk",
     "contamination_by_source",

@@ -22,7 +22,7 @@ Scale notes (the point of each design):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 SHINGLE_K = 5  # words per shingle
@@ -775,6 +775,46 @@ def dedup_components(pairs: DataFrame, a: str = "a", b: str = "b",
             stacklevel=2,
         )
     return labels
+
+
+def dedup_representatives(df: DataFrame, key: str = "doc_id",
+                          col: str = "text") -> DataFrame:
+    """Per near-dup cluster, the member a curation pipeline KEEPS — the
+    longest doc (most whitespace tokens), tie-break lowest id — instead of
+    the min-id keeper `curate_corpus` uses; CCNet/C4-style pipelines keep
+    the best member, not an arbitrary one. One row per multi-member
+    cluster: cluster, kept_doc, n_members, kept_tokens, tokens_dropped.
+
+    Scale shape: clusters exist only for docs that appeared in an LSH
+    candidate pair (a tiny fraction of the corpus), so the label join
+    BROADCASTS and the ranking window partitions by cluster over that
+    small relation — no corpus-sized sort. Token counts come from one
+    map-side `size(split(...))` projection.
+    """
+    pairs = minhash_lsh_candidates(df, key=key, col=col)
+    comps = dedup_components(pairs)
+    members = (
+        df.select(F.col(key), F.size(F.split(F.col(col), " ")).alias("n_tokens"))
+        .join(F.broadcast(comps), F.col(key) == F.col("node"))
+        .select(F.col("label").alias("cluster"), F.col(key), F.col("n_tokens"))
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("n_tokens").desc(), F.col(key).asc())
+    ranked = members.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("cluster")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col(key))).alias("kept_doc"),
+            F.count("*").alias("n_members"),
+            F.max(F.when(F.col("rn") == 1, F.col("n_tokens")))
+            .alias("kept_tokens"),
+            F.coalesce(
+                F.sum(F.when(F.col("rn") > 1, F.col("n_tokens"))), F.lit(0)
+            ).cast("bigint").alias("tokens_dropped"),
+        )
+        .select("cluster", "kept_doc", "n_members", "kept_tokens",
+                "tokens_dropped")
+    )
 
 
 def shingle_novelty(df: DataFrame, round_col: str = "crawl_round",

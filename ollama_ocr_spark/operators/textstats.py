@@ -242,6 +242,91 @@ def bigram_logprob_scores(df: DataFrame, key: str = "doc_id",
     )
 
 
+def zipf_slope(df: DataFrame, col: str = "text", top_n: int = 500) -> DataFrame:
+    """Corpus-health report: OLS fit of ln(freq) on ln(rank) over the
+    ``top_n`` most frequent tokens — natural text follows Zipf's law with
+    slope ≈ -1; a corpus drifting toward machine-generated or deduped-
+    to-death text shows it here first (slope flattens or steepens).
+
+    Output is ONE row: ``n_ranked``, ``slope``, ``intercept``.
+
+    Scale shape: token counts partial-aggregate map-side; the rank cut is
+    ``orderBy().limit(top_n)`` — Spark's TakeOrdered (per-partition top-k
+    then a k-row merge on the driver side of the exchange), NEVER a global
+    sort of the vocabulary. The OLS moments then aggregate ``top_n`` rows.
+    Engine parity: ln values quantized to 8dp, moment sums in DECIMAL
+    (exact, order-free), slope/intercept computed in doubles from the
+    decimal sums and rounded to 4dp.
+    """
+    counts = (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col(col)), F.lit(TOKEN_RE), 0)
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col("tok").asc()).limit(top_n)
+    w = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
+    xy = top.select(
+        F.round(F.log(F.row_number().over(w).cast("double")), 8).alias("x"),
+        F.round(F.log(F.col("n").cast("double")), 8).alias("y"),
+    )
+    m = xy.agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("x").cast("decimal(20,8)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(20,8)")).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(30,12)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(30,12)")).alias("sxx"),
+    )
+    cnt = F.col("cnt").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = (cnt * sxy - sx * sy) / (cnt * sxx - sx * sx)
+    return m.select(
+        F.col("cnt").alias("n_ranked"),
+        F.round(slope, 4).alias("slope"),
+        F.round((sy - slope * sx) / cnt, 4).alias("intercept"),
+    )
+
+
+def quality_deciles(df: DataFrame, key: str = "doc_id",
+                    col: str = "text") -> DataFrame:
+    """CCNet's perplexity-bucket report: docs ranked by the unigram-LM
+    score (:func:`unigram_logprob_scores`) and cut into 10 equal-count
+    buckets; per decile the doc count, token mass, and mean nats — the
+    table a data lead reads to pick the head/middle/tail keep thresholds
+    (CCNet keeps the best-perplexity third).
+
+    Scale shape: the ranked relation is ONE ROW PER DOC (scores, not
+    text), but NTILE is still a global sort of those rows; at 10^9+ docs
+    swap the window for `approx_percentile(nats, array(0.1..0.9))`
+    boundaries + a `width_bucket`-style comparison — one aggregate and a
+    map-side assignment, no sort. The exact NTILE form is kept here
+    because the driver oracle-compares bucket membership bit-for-bit
+    (ties break on doc_id).
+    """
+    scores = unigram_logprob_scores(df, key=key, col=col)
+    w = Window.orderBy(F.col("nats_per_token").asc(), F.col(key).asc())
+    bucketed = scores.withColumn("decile", F.ntile(10).over(w))
+    return (
+        bucketed.groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("nats_per_token").cast("decimal(18,4)"))
+                .cast("double") / F.count("*"),
+                4,
+            ).alias("mean_nats"),
+        )
+        .select("decile", "n_docs", "n_tokens", "mean_nats")
+    )
+
+
 def with_quality_score(df: DataFrame, col: str = "text") -> DataFrame:
     """Deterministic quality features: length, word count, mean word length,
     stopword ratio, and a composite score. (Gopher/C4-style filters use the

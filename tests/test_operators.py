@@ -157,6 +157,77 @@ def test_bigram_logprob_flags_scrambled_order(spark):
     assert ug[100]["nats_per_token"] == ug[0]["nats_per_token"]
 
 
+def test_zipf_slope_ols_fit(spark):
+    from ollama_ocr_spark.operators.textstats import zipf_slope
+
+    # freq(token_r) = 2^(5-r): a perfect power law — OLS on ln/ln is an
+    # exact line through the points, slope = -5*ln2/ln5 on ranks 1..5? No:
+    # x = ln(rank) is NOT equispaced, so just check against numpy-free
+    # closed form via the moments on 3 well-separated points.
+    rows = []
+    did = 0
+    for rank, (tok, n) in enumerate([("aa", 64), ("bb", 16), ("cc", 4)], 1):
+        for _ in range(n):
+            rows.append((did, tok))
+            did += 1
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    r = zipf_slope(df).collect()[0]
+    assert r["n_ranked"] == 3
+    # ln(freq) vs ln(rank): points (0, ln64), (ln2, ln16), (ln3, ln4).
+    import math
+
+    xs = [0.0, math.log(2), math.log(3)]
+    ys = [math.log(64), math.log(16), math.log(4)]
+    n = 3
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert abs(r["slope"] - round(slope, 4)) <= 1e-4
+    assert abs(r["intercept"] - round((sy - slope * sx) / n, 4)) <= 1e-4
+    # flat distribution → zero slope
+    flat = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(["xx", "yy", "zz"])],
+        ["doc_id", "text"],
+    )
+    assert zipf_slope(flat).collect()[0]["slope"] == 0.0
+
+
+def test_quality_deciles_equal_cut(spark):
+    from ollama_ocr_spark.operators.textstats import quality_deciles
+
+    # 20 docs from two populations → 10 deciles of 2 docs each; decile 1
+    # holds the most typical (lowest-nats) docs.
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(10)]
+    rows += [(100 + i, f"zq{i}x gibberish{i} qqq{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["decile"]: r for r in quality_deciles(df).collect()}
+    assert sorted(out) == list(range(1, 11))
+    assert all(out[d]["n_docs"] == 2 for d in out)
+    assert sum(r["n_tokens"] for r in out.values()) == 10 * 9 + 10 * 3
+    assert out[1]["mean_nats"] < out[10]["mean_nats"]
+
+
+def test_dedup_representatives_keeps_longest(spark):
+    from ollama_ocr_spark.operators.dedup import dedup_representatives
+
+    base = " ".join(f"alpha{i}" for i in range(20))
+    rows = [
+        (1, base),
+        (2, base + " omega extra"),  # near-dup of 1, longer → keeper
+        (3, "totally different words here about nothing shared at all"),
+        (10, "beta " + " ".join(f"g{i}" for i in range(15))),
+        (11, "beta " + " ".join(f"g{i}" for i in range(15))),  # exact dup
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["cluster"]: r for r in dedup_representatives(df).collect()}
+    assert set(out) == {1, 10}
+    assert out[1]["kept_doc"] == 2 and out[1]["n_members"] == 2
+    assert out[1]["kept_tokens"] == 22 and out[1]["tokens_dropped"] == 20
+    # identical lengths tie-break to the lowest doc_id
+    assert out[10]["kept_doc"] == 10 and out[10]["tokens_dropped"] == 16
+
+
 def test_crawl_budget_integer_allocation(spark):
     from datetime import datetime
 
