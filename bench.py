@@ -520,6 +520,13 @@ def main() -> None:
         import __spark_entry__ as entry
 
         qs = entry.queries()
+        # One UNTIMED full-scale pass before the loop: the session is
+        # fresh, and the first timed extra otherwise absorbs the C2 JIT
+        # ramp for the shared scan/shuffle/codegen infrastructure
+        # (measured: bigram_logprob read 11.7 s as the first extra vs
+        # 3.6 s warm — a 3.3x artifact of list position, not plan cost).
+        qs[EXTRA4[0]](spark, SF_DIR).write.mode("overwrite").format(
+            "noop").save()
         for names, sink in ((EXTRA4, qtimes_r4), (EXTRA, qtimes_r2),
                             (EXTRA3, qtimes_r3)):
             for name in names:

@@ -267,6 +267,38 @@ def test_round4_report_plan_shapes(spark, documents_smoke):
     assert "BroadcastNestedLoopJoin" not in cut
 
 
+def test_zipf_deciles_representatives_plan_shapes(spark, documents_smoke):
+    """Scale-shape audits for the late-round-4 reports: the Zipf rank cut
+    must be TakeOrdered (per-partition top-k, never a global sort of the
+    vocabulary); the window then sorts only the 500 surviving rows.
+    dedup_representatives must BROADCAST the component labels (clusters
+    cover only candidate-pair docs) and never degrade to a nested loop;
+    bigram_logprob's LM join must stay a hash/merge join with map-side
+    partial aggregation on the bigram counts."""
+    from ollama_ocr_spark.operators.dedup import dedup_representatives
+    from ollama_ocr_spark.operators.textstats import (bigram_logprob_scores,
+                                                      quality_deciles,
+                                                      zipf_slope)
+
+    docs = documents_smoke.select("doc_id", "text")
+    z = plan_report(zipf_slope(docs)).raw
+    assert "TakeOrderedAndProject" in z, (
+        "zipf_slope's top-N cut lost TakeOrdered — a global vocab sort "
+        "does not survive a 100x vocabulary")
+
+    rep = plan_report(dedup_representatives(docs))
+    assert rep.n_broadcasts >= 1
+    assert "CartesianProduct" not in rep.raw
+    assert "BroadcastNestedLoopJoin" not in rep.raw
+
+    bg = plan_report(bigram_logprob_scores(docs)).raw
+    assert bg.count("HashAggregate") >= 4  # partial+final on both aggs
+    assert "CartesianProduct" not in bg
+
+    qd = plan_report(quality_deciles(docs)).raw
+    assert qd.count("HashAggregate") >= 4
+
+
 def test_parallelism_guard_win_loss_boundary(spark, documents_smoke):
     """Lock the MEASURED ensure_parallelism win/loss boundary into the
     plan (BENCH.md round 3): the guard's round-robin repartition wins on
