@@ -1590,7 +1590,6 @@ _QUERIES = {
         # gate samples the first 50 entries in dict order, and these
         # have only judge-run (softer) evidence so far — rotating
         # coverage, per round-3 VERDICT item 2.
-        "vocab_topk": q_vocab_topk,
         "oov_rate": q_oov_rate,
         "quality_scores": q_quality_scores,
         "repetition_stats": q_repetition_stats,
@@ -1603,15 +1602,9 @@ _QUERIES = {
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
-        "golden_compare": q_golden_compare,
         "embedding_near_dupes": q_embedding_near_dupes,
         "embedding_near_dupes_lsh": q_embedding_near_dupes_lsh,
         "semantic_dedup": q_semantic_dedup,
-        "tpch_shipping_revenue": q_tpch_shipping_revenue,
-        "nation_revenue": q_nation_revenue,
-        "events_daily": q_events_daily,
-        "sessionize": q_sessionize,
-        "session_windows": q_session_windows,
         "host_link_graph": q_host_link_graph,
         "host_pagerank": q_host_pagerank,
         "crawl_diff": q_crawl_diff,
@@ -1649,6 +1642,13 @@ _QUERIES = {
         "quality_deciles": q_quality_deciles,
         "dedup_representatives": q_dedup_representatives,
         # --- previously driver-sampled (green in r2 and/or r3) ---
+        "vocab_topk": q_vocab_topk,
+        "golden_compare": q_golden_compare,
+        "tpch_shipping_revenue": q_tpch_shipping_revenue,
+        "nation_revenue": q_nation_revenue,
+        "events_daily": q_events_daily,
+        "sessionize": q_sessionize,
+        "session_windows": q_session_windows,
         "extract_text_roundtrip": q_extract_text_roundtrip,
         "extract_handwriting": q_extract_handwriting,
         "extract_pdf_fold": q_extract_pdf_fold,
