@@ -1287,6 +1287,71 @@ def q_recrawl_schedule(spark, sf_dir):
     )
 
 
+def q_lsh_precision_eval(spark, sf_dir):
+    """MinHash-LSH candidate quality vs exact n-gram Jaccard ground
+    truth: precision/recall at true-Jaccard >= 0.5 — the banding-tuning
+    report (the near-dup twin of ann_recall_eval)."""
+    from ollama_ocr_spark.operators.dedup import lsh_precision_eval
+
+    return lsh_precision_eval(_docs(spark, sf_dir))
+
+
+def q_curation_funnel(spark, sf_dir):
+    """Ordered gate-survival funnel over curation_verdict's first-failing
+    reasons: per gate the docs it removes and the cumulative survivors.
+    Same injected-duplicate input shaping as q_curation_verdict (whose
+    oracle statement this one composes as a CTE)."""
+    from ollama_ocr_spark.operators.textstats import curation_funnel
+
+    docs = _docs(spark, sf_dir)
+    t = F.when(F.col("doc_id") % 11 == 7, F.lit(_DUP_TEXT)).otherwise(
+        F.col("text")
+    )
+    return curation_funnel(docs.select("doc_id", t.alias("text")))
+
+
+def q_dedup_lines(spark, sf_dir):
+    """Within-doc repeated-line removal: both engines wrap documents.text
+    into a 4-line doc whose first line repeats at the end (nav header/
+    footer shape) plus a 1-in-3 repeated middle; the operator must keep
+    first occurrences, preserve order, and rebuild the text."""
+    from ollama_ocr_spark.operators.dedup import drop_repeated_lines
+
+    did = F.col("doc_id")
+    header = F.concat(F.lit("nav "), (did % 5).cast("string"))
+    t = F.concat(
+        header, F.lit("\n"), F.col("text"), F.lit("\n"),
+        F.when(did % 3 == 0, header)
+        .otherwise(F.concat(F.lit("mid "), did.cast("string"))),
+        F.lit("\n"), header,
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", t.alias("text"))
+    return drop_repeated_lines(docs).select(
+        "doc_id", "text",
+        F.col("n_lines_in").cast("int").alias("n_lines_in"),
+        F.col("n_lines_kept").cast("int").alias("n_lines_kept"),
+    )
+
+
+def q_encoding_health(spark, sf_dir):
+    """Per-source encoding-damage report: both engines inject mojibake
+    ('â€™') into doc_id%7==0, U+FFFD into %11==0, and a control byte into
+    %13==0 — the operator's per-source counters must attribute exactly
+    those."""
+    from ollama_ocr_spark.operators.textstats import encoding_health
+
+    did = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.when(did % 7 == 0, F.lit(" cafÃ© itâ€™s"))
+        .otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.lit(" bad�byte")).otherwise(F.lit("")),
+        F.when(did % 13 == 0, F.lit(" ctl\x01end")).otherwise(F.lit("")),
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", "source", t.alias("text"))
+    return encoding_health(docs)
+
+
 def q_zipf_slope(spark, sf_dir):
     """Zipf-law OLS fit over the top-500 token frequencies (ln freq vs
     ln rank): the one-row corpus-health report. TakeOrdered rank cut, no
@@ -1641,6 +1706,10 @@ _QUERIES = {
         "zipf_slope": q_zipf_slope,
         "quality_deciles": q_quality_deciles,
         "dedup_representatives": q_dedup_representatives,
+        "lsh_precision_eval": q_lsh_precision_eval,
+        "curation_funnel": q_curation_funnel,
+        "dedup_lines": q_dedup_lines,
+        "encoding_health": q_encoding_health,
         # --- previously driver-sampled (green in r2 and/or r3) ---
         "vocab_topk": q_vocab_topk,
         "golden_compare": q_golden_compare,
@@ -1917,7 +1986,7 @@ from ollama_ocr_spark.operators.textstats import PII_PHONE_RE as _PII_PHONE
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "extract_text_roundtrip": f"""
             WITH {_RENDER_CTES}
             SELECT doc_id, gtext AS text, length(gtext)::BIGINT AS chars
@@ -4177,6 +4246,119 @@ def oracle_sql() -> dict[str, str]:
                             0)::BIGINT AS tokens_dropped
             FROM rk GROUP BY cluster
         """,
+        # lsh_precision_eval: exact-Jaccard ground truth (same hot-shingle
+        # cap as ngram_jaccard_pairs) scored against the banded LSH
+        # candidate set.
+        "lsh_precision_eval": f"""
+            WITH {_SHINGLES_CTE},
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            ok AS (SELECT shingle FROM sh GROUP BY 1
+                   HAVING count(*) BETWEEN 2 AND 1000),
+            inter AS (
+              SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              JOIN ok ON ok.shingle = a.shingle
+              GROUP BY 1, 2
+            ),
+            jac AS (
+              SELECT a, b,
+                     round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = a
+              JOIN sizes sb ON sb.doc_id = b
+            ),
+            truth AS (SELECT a, b FROM jac WHERE jaccard >= 0.5),
+            sig AS (
+              SELECT doc_id, g.j AS j,
+                     min(md5(g.j || '|' || shingle)) AS m
+              FROM sh, generate_series(0, 7) AS g(j)
+              GROUP BY doc_id, g.j
+            ),
+            bands AS (
+              SELECT doc_id, j // 2 AS band,
+                     md5(string_agg(m, '' ORDER BY j)) AS bucket
+              FROM sig GROUP BY doc_id, j // 2
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bucket = b.bucket
+                AND a.doc_id < b.doc_id
+            ),
+            m AS (
+              SELECT (SELECT count(*) FROM cand) AS n_candidates,
+                     (SELECT count(*) FROM truth) AS n_true_pairs,
+                     (SELECT count(*) FROM cand JOIN truth USING (a, b))
+                       AS n_hits
+            )
+            SELECT 0.5::DOUBLE AS threshold,
+                   n_candidates, n_true_pairs, n_hits,
+                   round(n_hits * 1.0 / nullif(n_candidates, 0), 4)
+                     AS precision_at_t,
+                   round(n_hits * 1.0 / nullif(n_true_pairs, 0), 4)
+                     AS recall_at_t
+            FROM m
+        """,
+        # dedup_lines: 4-line synthetic doc (header repeats at lines 1,
+        # 2-or-mid, and tail) — keep first occurrences, preserve order.
+        # DuckDB list lambdas index 1-based; Spark 0-based (i+1).
+        "dedup_lines": """
+            WITH inp AS (
+              SELECT doc_id,
+                     'nav ' || (doc_id % 5)::VARCHAR || chr(10) || text ||
+                     chr(10) ||
+                     CASE WHEN doc_id % 3 = 0
+                          THEN 'nav ' || (doc_id % 5)::VARCHAR
+                          ELSE 'mid ' || doc_id::VARCHAR END ||
+                     chr(10) || 'nav ' || (doc_id % 5)::VARCHAR AS t
+              FROM documents),
+            l AS (SELECT doc_id, string_split(t, chr(10)) AS lines FROM inp),
+            k AS (
+              SELECT doc_id, lines,
+                     list_filter(lines,
+                                 (x, i) -> list_position(lines, x) = i)
+                       AS kept
+              FROM l)
+            SELECT doc_id, array_to_string(kept, chr(10)) AS text,
+                   len(lines)::INT AS n_lines_in,
+                   len(kept)::INT AS n_lines_kept
+            FROM k
+        """,
+        # encoding_health: injected mojibake / U+FFFD / control-byte
+        # damage, attributed per source.
+        "encoding_health": """
+            WITH inp AS (
+              SELECT source,
+                     text
+                     || CASE WHEN doc_id % 7 = 0
+                             THEN ' cafÃ© itâ€™s' ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0
+                             THEN ' bad' || chr(65533) || 'byte'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 13 = 0
+                             THEN ' ctl' || chr(1) || 'end'
+                             ELSE '' END AS t
+              FROM documents),
+            f AS (
+              SELECT source,
+                     CASE WHEN regexp_matches(t, '(â€|Ã[©¨¤¶¼])')
+                          THEN 1 ELSE 0 END AS moji,
+                     CASE WHEN contains(t, chr(65533))
+                          THEN 1 ELSE 0 END AS repl,
+                     CASE WHEN regexp_matches(
+                              t, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')
+                          THEN 1 ELSE 0 END AS ctrl
+              FROM inp)
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   sum(moji)::BIGINT AS mojibake_docs,
+                   sum(repl)::BIGINT AS replacement_docs,
+                   sum(ctrl)::BIGINT AS control_docs,
+                   round(sum(CASE WHEN moji + repl + ctrl > 0
+                             THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+                     AS damaged_frac
+            FROM f GROUP BY source
+        """,
         # ngram_span_coverage: k=8 positional shingles; dup = digest seen
         # in >= 2 distinct docs; covered = interval union of sorted starts
         # (Σ min(k, next - cur), last span counts k).
@@ -4218,3 +4400,21 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN cov c USING (doc_id)
         """,
     }
+    # curation_funnel composes the full curation_verdict statement as a
+    # CTE (single source of truth for the gate semantics) and folds the
+    # reason histogram through an inline 3-row gate table.
+    d["curation_funnel"] = f'''
+        WITH verdict AS ({d["curation_verdict"]}),
+        hist AS (SELECT reason, count(*) AS n FROM verdict GROUP BY 1),
+        gates(stage, gate) AS (
+          VALUES (1, 'duplicate'), (2, 'quality'), (3, 'repetition')),
+        j AS (
+          SELECT stage, gate, coalesce(n, 0) AS n_failed
+          FROM gates LEFT JOIN hist ON gate = reason),
+        tot AS (SELECT sum(n) AS n_total FROM hist)
+        SELECT stage, gate, n_failed::BIGINT AS n_failed,
+               (n_total - sum(n_failed) OVER (ORDER BY stage))::BIGINT
+                 AS n_surviving
+        FROM j CROSS JOIN tot
+    '''
+    return d

@@ -150,6 +150,10 @@ EXTRA3 = (
 # least accumulated perf evidence, so budget-skips should fall on the old
 # suites whose numbers already exist in BENCH_r02/BENCH.md).
 EXTRA4: tuple[str, ...] = (
+    "lsh_precision_eval",
+    "curation_funnel",
+    "dedup_lines",
+    "encoding_health",
     "zipf_slope",
     "quality_deciles",
     "dedup_representatives",

@@ -777,6 +777,83 @@ def dedup_components(pairs: DataFrame, a: str = "a", b: str = "b",
     return labels
 
 
+def lsh_precision_eval(df: DataFrame, key: str = "doc_id",
+                       col: str = "text",
+                       threshold: float = 0.5) -> DataFrame:
+    """Candidate-quality evaluation for the MinHash-LSH tuning loop — the
+    near-dup twin of :func:`similarity.ann_recall_eval`: score the LSH
+    candidate set against exact n-gram Jaccard ground truth and report
+
+    - ``precision_at_t`` — fraction of LSH candidate pairs whose TRUE
+      Jaccard clears ``threshold`` (wasted verify work when low),
+    - ``recall_at_t``    — fraction of true >=threshold pairs LSH
+      surfaced (silent dup leakage into training data when low).
+
+    One row out. Changing bands/rows-per-band moves this trade-off; this
+    report is how you pick them before a 100 TB run.
+
+    Scale shape: both sides are the existing bounded plans (inverted-index
+    Jaccard with the hot-shingle cap; banded LSH pairs); the verdict join
+    is pair-key longs, and the three counters reduce to 1-row relations
+    that cross-join via broadcast.
+    """
+    exact = jaccard_pairs(df, key=key, col=col)
+    truth = exact.filter(F.col("jaccard") >= threshold).select("a", "b")
+    cands = minhash_lsh_candidates(df, key=key, col=col)
+    n_c = cands.agg(F.count("*").alias("n_candidates"))
+    n_t = truth.agg(F.count("*").alias("n_true_pairs"))
+    n_h = cands.join(truth, ["a", "b"]).agg(F.count("*").alias("n_hits"))
+    return (
+        n_c.crossJoin(F.broadcast(n_t))
+        .crossJoin(F.broadcast(n_h))
+        .select(
+            F.lit(float(threshold)).alias("threshold"),
+            "n_candidates", "n_true_pairs", "n_hits",
+            F.round(
+                F.col("n_hits") / F.nullif(F.col("n_candidates"), F.lit(0)),
+                4,
+            ).alias("precision_at_t"),
+            F.round(
+                F.col("n_hits") / F.nullif(F.col("n_true_pairs"), F.lit(0)),
+                4,
+            ).alias("recall_at_t"),
+        )
+    )
+
+
+def drop_repeated_lines(df: DataFrame, key: str = "doc_id",
+                        col: str = "text") -> DataFrame:
+    """Within-document repeated-line removal (the intra-doc half of C4's
+    line dedup; :func:`drop_duplicate_paragraphs` is the cross-doc half):
+    keep each line's FIRST occurrence, preserve order, rebuild the text.
+    Output: (key, col, n_lines_in, n_lines_kept).
+
+    Scale shape: pure map-side array lambdas — zero shuffles, zero UDFs.
+    The first-occurrence test is ``array_position(lines, x) == i+1``
+    (O(n²) per doc in the worst case, on in-memory arrays; documents are
+    pages, not books). DuckDB mirrors with ``list_filter(l, (x,i) ->
+    list_position(l,x) = i)`` — DuckDB lambda indices are 1-based.
+    """
+    # Two projections, NOT one: with a single select that aliases the
+    # rebuilt text back to `col`, sibling expressions' inner F.col(col)
+    # references resolve against the NEW alias while others still see the
+    # input column (Spark 4 select-item resolution) — the kept-count came
+    # out computed over a MIX of old and new line arrays.
+    base = df.select(
+        F.col(key), F.split(F.col(col), "\n").alias("__lines")
+    )
+    lines = F.col("__lines")
+    kept = F.filter(
+        lines, lambda x, i: F.array_position(lines, x) == i + F.lit(1)
+    )
+    return base.select(
+        F.col(key),
+        F.array_join(kept, "\n").alias(col),
+        F.size(lines).alias("n_lines_in"),
+        F.size(kept).alias("n_lines_kept"),
+    )
+
+
 def dedup_representatives(df: DataFrame, key: str = "doc_id",
                           col: str = "text") -> DataFrame:
     """Per near-dup cluster, the member a curation pipeline KEEPS — the

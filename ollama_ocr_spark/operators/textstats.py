@@ -517,6 +517,84 @@ def curation_verdict(df: DataFrame, key: str = "doc_id",
     )
 
 
+def curation_funnel(df: DataFrame, key: str = "doc_id",
+                    col: str = "text") -> DataFrame:
+    """The gate-survival funnel a data lead reads before a training run:
+    docs entering the pipeline, docs each ordered curation gate removes
+    (first-failing attribution, from :func:`curation_verdict`), and the
+    cumulative survivor count after each gate:
+
+        stage 1 duplicate  → 2 quality → 3 repetition
+
+    Output: (stage, gate, n_failed, n_surviving) — ``n_surviving`` of the
+    last stage is the kept-set size.
+
+    Scale shape: rides curation_verdict's single digest shuffle down to a
+    ≤4-row reason histogram; the cumulative window runs on those ≤4 rows
+    joined against an inline 3-row gate table (no driver collect).
+    """
+    gates = F.array(*[
+        F.struct(F.lit(i).alias("stage"), F.lit(g).alias("gate"))
+        for i, g in enumerate(("duplicate", "quality", "repetition"), 1)
+    ])
+    gate_rows = df.sparkSession.range(1).select(
+        F.explode(gates).alias("g")
+    ).select("g.stage", "g.gate")
+    counts = (
+        curation_verdict(df, key=key, col=col)
+        .groupBy("reason").agg(F.count("*").alias("n"))
+    )
+    joined = gate_rows.join(
+        F.broadcast(counts), gate_rows.gate == counts.reason, "left"
+    ).select("stage", "gate", F.coalesce(F.col("n"), F.lit(0)).alias("n_failed"))
+    total = counts.agg(F.sum("n").alias("n_total"))
+    w = (
+        Window.orderBy("stage")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        joined.crossJoin(F.broadcast(total))
+        .withColumn("n_surviving", F.col("n_total") - F.sum("n_failed").over(w))
+        .select("stage", "gate", "n_failed", "n_surviving")
+    )
+
+
+# ftfy-style encoding-damage signatures: UTF-8 bytes read as Latin-1/cp1252
+# ('â€™', 'Ã©'), the replacement character, and stray C0 control bytes.
+MOJIBAKE_RE = "(â€|Ã[©¨¤¶¼])"
+REPLACEMENT_CHAR = "�"
+CONTROL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
+
+
+def encoding_health(df: DataFrame, source_col: str = "source",
+                    col: str = "text") -> DataFrame:
+    """Per-source encoding-health report (the detect half of an
+    ftfy-style fixer): documents showing UTF-8-as-Latin-1 mojibake
+    signatures, U+FFFD replacement characters, or stray C0 control
+    bytes — upstream fetch/decode bugs surface here as a per-source
+    spike long before they poison a tokenizer vocabulary.
+
+    Scale shape: three native regexps folded into one scan, partial-agg
+    counters per source — no text ever shuffles.
+    """
+    moji = (F.regexp_count(F.col(col), F.lit(MOJIBAKE_RE)) > 0).cast("int")
+    repl = F.contains(F.col(col), F.lit(REPLACEMENT_CHAR)).cast("int")
+    ctrl = (F.regexp_count(F.col(col), F.lit(CONTROL_RE)) > 0).cast("int")
+    return (
+        df.groupBy(F.col(source_col).alias("source"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(moji).cast("bigint").alias("mojibake_docs"),
+            F.sum(repl).cast("bigint").alias("replacement_docs"),
+            F.sum(ctrl).cast("bigint").alias("control_docs"),
+            F.round(
+                F.sum(((moji + repl + ctrl) > 0).cast("int")) / F.count("*"),
+                4,
+            ).alias("damaged_frac"),
+        )
+    )
+
+
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PII_PHONE_RE = r"\+\d{1,3}[- ]\d{3}[- ]\d{3}[- ]\d{4}"

@@ -228,6 +228,72 @@ def test_dedup_representatives_keeps_longest(spark):
     assert out[10]["kept_doc"] == 10 and out[10]["tokens_dropped"] == 16
 
 
+def test_lsh_precision_eval_perfect_on_exact_dups(spark):
+    from ollama_ocr_spark.operators.dedup import lsh_precision_eval
+
+    base = " ".join(f"tok{i}" for i in range(20))
+    other = " ".join(f"zzz{i}" for i in range(20))
+    rows = [(1, base), (2, base), (3, other), (4, other), (5, "short one")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    r = lsh_precision_eval(df).collect()[0]
+    # identical texts: LSH surfaces both pairs, both clear jaccard 1.0
+    assert r["n_candidates"] == 2 and r["n_true_pairs"] == 2
+    assert r["n_hits"] == 2
+    assert r["precision_at_t"] == 1.0 and r["recall_at_t"] == 1.0
+    assert r["threshold"] == 0.5
+
+
+def test_curation_funnel_rows_and_cumulative(spark):
+    from ollama_ocr_spark.operators.textstats import curation_funnel
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away to the old stone house in the valley")
+    rows = [
+        (1, good),
+        (2, good),            # exact dup of 1 → duplicate
+        (3, "tiny"),          # < 10 words → quality
+        (4, good + " extra words to stay unique and long enough here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["stage"]: r for r in curation_funnel(df).collect()}
+    assert [out[s]["gate"] for s in (1, 2, 3)] == [
+        "duplicate", "quality", "repetition"]
+    assert out[1]["n_failed"] == 1 and out[1]["n_surviving"] == 3
+    assert out[2]["n_failed"] == 1 and out[2]["n_surviving"] == 2
+    # zero-failure gates still emit a row (inline gate table, left join)
+    assert out[3]["n_failed"] == 0 and out[3]["n_surviving"] == 2
+
+
+def test_drop_repeated_lines_keeps_first_occurrence(spark):
+    from ollama_ocr_spark.operators.dedup import drop_repeated_lines
+
+    df = spark.createDataFrame(
+        [(1, "a\nb\na\nc\nb"), (2, "solo")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in drop_repeated_lines(df).collect()}
+    assert out[1]["text"] == "a\nb\nc"
+    assert out[1]["n_lines_in"] == 5 and out[1]["n_lines_kept"] == 3
+    assert out[2]["text"] == "solo" and out[2]["n_lines_kept"] == 1
+
+
+def test_encoding_health_attributes_damage(spark):
+    from ollama_ocr_spark.operators.textstats import encoding_health
+
+    rows = [
+        (1, "s1", "clean text"),
+        (2, "s1", "itâ€™s broken"),   # 'â€™' mojibake
+        (3, "s1", "lost � char"),
+        (4, "s2", "ctl \x07 byte"),
+        (5, "s2", "fine"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {r["source"]: r for r in encoding_health(df).collect()}
+    assert out["s1"]["mojibake_docs"] == 1
+    assert out["s1"]["replacement_docs"] == 1
+    assert out["s1"]["control_docs"] == 0
+    assert out["s1"]["damaged_frac"] == round(2 / 3, 4)
+    assert out["s2"]["control_docs"] == 1 and out["s2"]["n_docs"] == 2
+
+
 def test_crawl_budget_integer_allocation(spark):
     from datetime import datetime
 
