@@ -1352,6 +1352,45 @@ def q_encoding_health(spark, sf_dir):
     return encoding_health(docs)
 
 
+def q_fix_encoding(spark, sf_dir):
+    """Repair twin of encoding_health: the same injected damage (mojibake
+    into %7, U+FFFD into %11, a control byte into %13, plus garbled curly
+    quotes into %5) must come back repaired byte-for-byte, with
+    was_damaged attributing exactly the injected rows."""
+    from ollama_ocr_spark.operators.textstats import fix_encoding
+
+    did = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.when(did % 7 == 0, F.lit(" cafÃ© itâ€™s"))
+        .otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.lit(" bad�byte")).otherwise(F.lit("")),
+        F.when(did % 13 == 0, F.lit(" ctl\x01end")).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit(" â€œquotedâ€"))
+        .otherwise(F.lit("")),
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", t.alias("text"))
+    return fix_encoding(docs)
+
+
+def q_hapax_rate(spark, sf_dir):
+    """Per-source vocabulary health: type/token counts, hapax legomena
+    fraction (the OCR-noise signal), type-token ratio."""
+    from ollama_ocr_spark.operators.textstats import hapax_rate
+
+    return hapax_rate(_docs(spark, sf_dir))
+
+
+def q_packing_efficiency(spark, sf_dir):
+    """Context-length sweep for sequence packing: bins, padding waste and
+    overflow at each candidate budget, from ONE shared per-bucket cumsum."""
+    from ollama_ocr_spark.operators.textstats import (
+        packing_efficiency, with_token_counts)
+
+    docs = with_token_counts(_docs(spark, sf_dir))
+    return packing_efficiency(docs, buckets=8)
+
+
 def q_zipf_slope(spark, sf_dir):
     """Zipf-law OLS fit over the top-500 token frequencies (ln freq vs
     ln rank): the one-row corpus-health report. TakeOrdered rank cut, no
@@ -1710,6 +1749,9 @@ _QUERIES = {
         "curation_funnel": q_curation_funnel,
         "dedup_lines": q_dedup_lines,
         "encoding_health": q_encoding_health,
+        "fix_encoding": q_fix_encoding,
+        "hapax_rate": q_hapax_rate,
+        "packing_efficiency": q_packing_efficiency,
         # --- previously driver-sampled (green in r2 and/or r3) ---
         "vocab_topk": q_vocab_topk,
         "golden_compare": q_golden_compare,
@@ -4358,6 +4400,112 @@ def oracle_sql() -> dict[str, str]:
                              THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
                      AS damaged_frac
             FROM f GROUP BY source
+        """,
+        # fix_encoding: the repair twin — identical injected damage, the
+        # closed cp1252 repair table as a nested replace chain (innermost
+        # = first fix, same order as textstats.MOJIBAKE_FIXES, spelled in
+        # chr() codepoints so no editor can re-encode the sequences),
+        # then U+FFFD removal, then C0-control strip.
+        "fix_encoding": """
+            WITH inp AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 7 = 0
+                             THEN ' cafÃ© itâ€™s' ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0
+                             THEN ' bad' || chr(65533) || 'byte'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 13 = 0
+                             THEN ' ctl' || chr(1) || 'end'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0
+                             THEN ' ' || chr(226)||chr(8364)||chr(339)
+                               || 'quoted'
+                               || chr(226)||chr(8364)||chr(157)
+                             ELSE '' END AS t
+              FROM documents),
+            f AS (
+              SELECT doc_id, t,
+                regexp_replace(
+                  replace(
+                  replace(replace(replace(replace(replace(
+                  replace(replace(replace(replace(replace(
+                    t,
+                    chr(226)||chr(8364)||chr(8482), chr(8217)),
+                    chr(226)||chr(8364)||chr(339),  chr(8220)),
+                    chr(226)||chr(8364)||chr(157),  chr(8221)),
+                    chr(226)||chr(8364)||chr(8220), chr(8211)),
+                    chr(226)||chr(8364)||chr(8221), chr(8212)),
+                    chr(195)||chr(169), chr(233)),
+                    chr(195)||chr(168), chr(232)),
+                    chr(195)||chr(164), chr(228)),
+                    chr(195)||chr(182), chr(246)),
+                    chr(195)||chr(188), chr(252)),
+                  chr(65533), ''),
+                '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g') AS fixed
+              FROM inp)
+            SELECT doc_id, fixed AS text,
+                   length(t)::INT AS n_chars_in,
+                   length(fixed)::INT AS n_chars_out,
+                   (regexp_matches(t, '(â€|Ã[©¨¤¶¼])')
+                    OR contains(t, chr(65533))
+                    OR regexp_matches(
+                         t, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]'))
+                     AS was_damaged
+            FROM f
+        """,
+        # hapax_rate: per-source type/token counts from collapsed
+        # (source, token) rows; hapax = types with count 1.
+        "hapax_rate": """
+            WITH tok AS (
+              SELECT source,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                       AS token
+              FROM documents),
+            ty AS (
+              SELECT source, token, count(*) AS n
+              FROM tok GROUP BY source, token)
+            SELECT source, count(*)::BIGINT AS n_types,
+                   sum(n)::BIGINT AS n_tokens,
+                   sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_hapax,
+                   round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1.0
+                         / count(*), 4) AS hapax_frac,
+                   round(count(*) * 1.0 / sum(n), 4) AS ttr
+            FROM ty GROUP BY source
+        """,
+        # packing_efficiency: every budget's bins derive from ONE shared
+        # per-bucket running sum (the pack_sequences window), so the
+        # sweep is an unnest of constants, not extra corpus passes.
+        "packing_efficiency": """
+            WITH t AS (
+              SELECT doc_id, doc_id % 8 AS bucket,
+                     len(string_split(text, ' '))::BIGINT AS tokens
+              FROM documents),
+            c AS (
+              SELECT bucket, tokens,
+                     sum(tokens) OVER (PARTITION BY bucket
+                                       ORDER BY doc_id) AS cum
+              FROM t),
+            s AS (
+              SELECT bucket, tokens, cum, budget
+              FROM c CROSS JOIN (
+                SELECT unnest([512, 1024, 2048, 4096]) AS budget) u),
+            b AS (
+              SELECT budget, bucket,
+                     floor((cum - tokens) * 1.0 / budget) AS bin_id,
+                     sum(tokens) AS bin_tokens, count(*) AS bin_docs
+              FROM s GROUP BY budget, bucket, bin_id)
+            SELECT budget::INT AS budget, count(*)::BIGINT AS n_bins,
+                   sum(bin_docs)::BIGINT AS n_docs,
+                   sum(bin_tokens)::BIGINT AS total_tokens,
+                   sum(greatest(budget - bin_tokens, 0))::BIGINT
+                     AS padding_tokens,
+                   sum(greatest(bin_tokens - budget, 0))::BIGINT
+                     AS overflow_tokens,
+                   round(sum(greatest(budget - bin_tokens, 0)) * 1.0
+                         / (count(*) * budget), 4) AS waste_frac
+            FROM b GROUP BY budget
         """,
         # ngram_span_coverage: k=8 positional shingles; dup = digest seen
         # in >= 2 distinct docs; covered = interval union of sorted starts

@@ -150,6 +150,9 @@ EXTRA3 = (
 # least accumulated perf evidence, so budget-skips should fall on the old
 # suites whose numbers already exist in BENCH_r02/BENCH.md).
 EXTRA4: tuple[str, ...] = (
+    "fix_encoding",
+    "hapax_rate",
+    "packing_efficiency",
     "lsh_precision_eval",
     "curation_funnel",
     "dedup_lines",

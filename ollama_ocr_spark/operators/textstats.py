@@ -595,6 +595,88 @@ def encoding_health(df: DataFrame, source_col: str = "source",
     )
 
 
+# Closed repair table for the commonest UTF-8-read-as-cp1252 sequences,
+# longest-first so 'â€™' wins over its 'â€' prefix. Production swaps in a
+# full ftfy table; the operator's plumbing (chained native replace, no
+# UDF) is what scales.
+MOJIBAKE_FIXES = (
+    ("â€™", "’"), ("â€œ", "“"), ("â€", "”"),
+    ("â€“", "–"), ("â€”", "—"),
+    ("Ã©", "é"), ("Ã¨", "è"), ("Ã¤", "ä"), ("Ã¶", "ö"), ("Ã¼", "ü"),
+)
+
+
+def fix_encoding(df: DataFrame, key: str = "doc_id",
+                 col: str = "text") -> DataFrame:
+    """The repair half of :func:`encoding_health` (detect): apply the
+    closed cp1252-mojibake table, drop U+FFFD replacement characters, and
+    strip stray C0 control bytes. Output: (key, col fixed, n_chars_in,
+    n_chars_out, was_damaged) — ``was_damaged`` uses the SAME signatures
+    as encoding_health, so ``fix → detect`` rates can be compared
+    before/after in one pipeline.
+
+    Scale shape: a chain of native string replaces + one regexp_replace,
+    fully map-side inside one codegen stage; no UDF, no shuffle. DuckDB
+    mirrors with nested ``replace()`` in the identical order.
+    """
+    damaged = (
+        (F.regexp_count(F.col(col), F.lit(MOJIBAKE_RE)) > 0)
+        | F.contains(F.col(col), F.lit(REPLACEMENT_CHAR))
+        | (F.regexp_count(F.col(col), F.lit(CONTROL_RE)) > 0)
+    )
+    fixed = F.col(col)
+    for bad, good in MOJIBAKE_FIXES:
+        fixed = F.replace(fixed, F.lit(bad), F.lit(good))
+    fixed = F.replace(fixed, F.lit(REPLACEMENT_CHAR), F.lit(""))
+    fixed = F.regexp_replace(fixed, CONTROL_RE, "")
+    return df.select(
+        F.col(key),
+        fixed.alias(col),
+        F.length(F.col(col)).alias("n_chars_in"),
+        F.length(fixed).alias("n_chars_out"),
+        damaged.alias("was_damaged"),
+    )
+
+
+def hapax_rate(df: DataFrame, source_col: str = "source",
+               col: str = "text") -> DataFrame:
+    """Per-source vocabulary-health report: distinct token types, total
+    token occurrences, hapax legomena (types seen exactly once), and the
+    type/token ratio. A hapax-fraction spike in one source is the classic
+    OCR-noise / boilerplate-explosion signal — garbage tokens are almost
+    always singletons — and TTR drift flags template-heavy sources whose
+    text is cheap to dedup. Same ``TOKEN_RE`` pre-tokenizer as
+    :func:`vocab_topk`.
+
+    Output: (source, n_types, n_tokens, n_hapax, hapax_frac, ttr).
+
+    Scale shape: one token explode → groupBy(source, token) with map-side
+    partial aggregation (only (source, token, partial-count) rows
+    shuffle); the per-source rollup aggregates the already-collapsed type
+    rows, never re-reading text.
+    """
+    tokens = df.select(
+        F.col(source_col).alias("source"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(col)), F.lit(TOKEN_RE), 0)
+        ).alias("token"),
+    )
+    types = tokens.groupBy("source", "token").agg(F.count("*").alias("n"))
+    return (
+        types.groupBy("source")
+        .agg(
+            F.count("*").alias("n_types"),
+            F.sum("n").alias("n_tokens"),
+            F.sum((F.col("n") == 1).cast("int")).cast("bigint").alias("n_hapax"),
+        )
+        .select(
+            "source", "n_types", "n_tokens", "n_hapax",
+            F.round(F.col("n_hapax") / F.col("n_types"), 4).alias("hapax_frac"),
+            F.round(F.col("n_types") / F.col("n_tokens"), 4).alias("ttr"),
+        )
+    )
+
+
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PII_PHONE_RE = r"\+\d{1,3}[- ]\d{3}[- ]\d{3}[- ]\d{4}"
@@ -687,6 +769,66 @@ def pack_sequences(df: DataFrame, key: str = "doc_id",
         "bin_id",
         F.floor((cum - F.col("tokens")) / F.lit(budget)).cast("int"),
     ).select(key, "bucket", "bin_id", "tokens")
+
+
+def packing_efficiency(df: DataFrame, key: str = "doc_id",
+                       tokens_col: str = "n_ws_tokens",
+                       budgets: tuple = (512, 1024, 2048, 4096),
+                       buckets: int = 32) -> DataFrame:
+    """Sequence-length sweep for :func:`pack_sequences`: for each
+    candidate token budget, how many bins greedy per-bucket packing
+    produces, how many padding tokens the under-filled bins waste, and
+    how many tokens overflow past the budget (bins a loader must split or
+    truncate). ``waste_frac = padding / (n_bins * budget)`` is the number
+    a data lead compares across budgets before locking a context length.
+
+    Output: (budget, n_bins, n_docs, total_tokens, padding_tokens,
+    overflow_tokens, waste_frac), one row per budget.
+
+    Scale shape: the per-bucket running sum is computed ONCE (one window
+    over the narrow (key, tokens) table — the same shuffle
+    pack_sequences already pays); every budget's bin assignment is a
+    pure expression over that shared cumsum, so sweeping 4 budgets adds
+    an explode of 4 constants plus one (budget, bucket, bin) partial-agg
+    shuffle of counter rows, never a second pass over text.
+    """
+    b = F.pmod(F.col(key), F.lit(buckets))
+    w = Window.partitionBy("bucket").orderBy(key)
+    base = df.select(F.col(key), F.col(tokens_col).alias("tokens"),
+                     b.alias("bucket"))
+    with_cum = base.withColumn("cum", F.sum("tokens").over(w))
+    swept = with_cum.select(
+        "bucket", "tokens", "cum",
+        F.explode(F.array(*[F.lit(int(x)) for x in budgets])).alias("budget"),
+    ).withColumn(
+        "bin_id", F.floor((F.col("cum") - F.col("tokens")) / F.col("budget"))
+    )
+    bins = swept.groupBy("budget", "bucket", "bin_id").agg(
+        F.sum("tokens").alias("bin_tokens"),
+        F.count("*").alias("bin_docs"),
+    )
+    return (
+        bins.groupBy("budget")
+        .agg(
+            F.count("*").alias("n_bins"),
+            F.sum("bin_docs").alias("n_docs"),
+            F.sum("bin_tokens").alias("total_tokens"),
+            F.sum(
+                F.greatest(F.col("budget") - F.col("bin_tokens"), F.lit(0))
+            ).alias("padding_tokens"),
+            F.sum(
+                F.greatest(F.col("bin_tokens") - F.col("budget"), F.lit(0))
+            ).alias("overflow_tokens"),
+        )
+        .select(
+            "budget", "n_bins", "n_docs", "total_tokens",
+            "padding_tokens", "overflow_tokens",
+            F.round(
+                F.col("padding_tokens") / (F.col("n_bins") * F.col("budget")),
+                4,
+            ).alias("waste_frac"),
+        )
+    )
 
 
 def tfidf_top_terms(df: DataFrame, k: int = 3, key: str = "doc_id",

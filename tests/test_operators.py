@@ -1215,3 +1215,70 @@ def test_zorder_bucket_partition_pruning(spark, tmp_path):
     # pruning must not change the answer
     full = rd.filter((F.col("x") < 8) & (F.col("y") < 8))
     assert pruned.count() == full.count() == 64
+
+
+def test_fix_encoding_repairs_bytes(spark):
+    from ollama_ocr_spark.operators.textstats import fix_encoding
+
+    garbled_rdq = "â€"  # cp1252-garbled right double quote
+    rows = [
+        (1, "cafÃ© itâ€™s fine"),
+        (2, "â€œquoted" + garbled_rdq + " end"),
+        (3, "lost � char"),
+        (4, "ctl \x01 byte"),
+        (5, "already clean"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in fix_encoding(df).collect()}
+    assert out[1]["text"] == "café it’s fine"
+    assert out[2]["text"] == "“quoted” end"
+    assert out[3]["text"] == "lost  char"
+    assert out[4]["text"] == "ctl  byte"
+    assert out[5]["text"] == "already clean"
+    assert [out[i]["was_damaged"] for i in (1, 2, 3, 4, 5)] == [
+        True, True, True, True, False]
+    # char accounting: out lengths match the repaired strings
+    for i in (1, 2, 3, 4, 5):
+        assert out[i]["n_chars_out"] == len(out[i]["text"])
+        assert out[i]["n_chars_in"] == len(rows[i - 1][1])
+
+
+def test_hapax_rate_counts(spark):
+    from ollama_ocr_spark.operators.textstats import hapax_rate
+
+    rows = [
+        (1, "s1", "the cat sat"),       # s1 tokens: the cat sat the dog
+        (2, "s1", "the dog"),
+        (3, "s2", "aa aa aa"),          # s2: one type, 3 occurrences
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {r["source"]: r for r in hapax_rate(df).collect()}
+    # s1: types {the:2, cat:1, sat:1, dog:1} -> 4 types, 5 tokens, 3 hapax
+    assert out["s1"]["n_types"] == 4 and out["s1"]["n_tokens"] == 5
+    assert out["s1"]["n_hapax"] == 3
+    assert out["s1"]["hapax_frac"] == 0.75
+    assert out["s1"]["ttr"] == 0.8
+    assert out["s2"]["n_types"] == 1 and out["s2"]["n_hapax"] == 0
+
+
+def test_packing_efficiency_invariants(spark):
+    from ollama_ocr_spark.operators.textstats import (
+        packing_efficiency, with_token_counts)
+
+    rows = [(i, "w " * (i % 37 + 1) + "end") for i in range(200)]
+    df = with_token_counts(
+        spark.createDataFrame(rows, ["doc_id", "text"]))
+    out = packing_efficiency(df, budgets=(64, 256), buckets=4).collect()
+    by_budget = {r["budget"]: r for r in out}
+    assert set(by_budget) == {64, 256}
+    for b, r in by_budget.items():
+        # every doc lands in exactly one bin; token mass is conserved
+        assert r["n_docs"] == 200
+        # capacity identity: bins*budget = tokens + padding - overflow
+        assert r["n_bins"] * b == (
+            r["total_tokens"] + r["padding_tokens"] - r["overflow_tokens"])
+    # a bigger budget never needs more bins
+    assert by_budget[256]["n_bins"] <= by_budget[64]["n_bins"]
+    # both budgets pack the same token mass
+    assert (by_budget[64]["total_tokens"]
+            == by_budget[256]["total_tokens"])
