@@ -1282,3 +1282,30 @@ def test_packing_efficiency_invariants(spark):
     # both budgets pack the same token mass
     assert (by_budget[64]["total_tokens"]
             == by_budget[256]["total_tokens"])
+
+
+def test_round4_report_plan_shapes(spark):
+    """Scale-shape audits for the newest operators: fix_encoding must stay
+    a pure codegen map stage (no Python eval, no exchange); hapax_rate is
+    two partial-agg shuffles; packing_efficiency's budget sweep must reuse
+    ONE window (one cumsum shuffle), never one per budget."""
+    from ollama_ocr_spark.operators.textstats import (
+        fix_encoding, hapax_rate, packing_efficiency, with_token_counts)
+    from ollama_ocr_spark.plans.audit import audit_plan, plan_report
+
+    docs = spark.createDataFrame(
+        [(i, "some text %d" % i, f"s{i % 3}") for i in range(40)],
+        ["doc_id", "text", "source"],
+    )
+    rep = audit_plan(fix_encoding(docs), max_exchanges=0,
+                     forbid_ops=["BatchEvalPython", "ArrowEvalPython"])
+    assert rep.has_wholestage_codegen
+    audit_plan(hapax_rate(docs),
+               forbid_ops=["BatchEvalPython", "ArrowEvalPython",
+                           "BroadcastNestedLoopJoin", "CartesianProduct"])
+    sweep = packing_efficiency(
+        with_token_counts(docs), budgets=(64, 128, 256, 512), buckets=4)
+    rep = plan_report(sweep)
+    assert rep.raw.count("Window") == 1, rep.raw
+    # one exchange for the bucket window + the two agg exchanges at most
+    assert rep.n_exchanges <= 3, rep.raw
