@@ -1690,10 +1690,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _QUERIES = {
-        # Never-driver-sampled queries lead: the driver's CORRECTNESS
-        # gate samples the first 50 entries in dict order, and these
-        # have only judge-run (softer) evidence so far — rotating
-        # coverage, per round-3 VERDICT item 2.
+        # Least-evidenced queries lead: the driver's CORRECTNESS gate
+        # samples the first 50 entries in dict order (round-3 VERDICT
+        # item 2 — rotating coverage). Round-4 additions first (zero
+        # evidence from ANY driver or judge round), then the round-3
+        # queries that have only judge-run (softer) evidence so far.
+        "curate_corpus_incremental": q_curate_corpus_incremental,
+        "chunk_ann_topk": q_chunk_ann_topk,
+        "contamination_by_source": q_contamination_by_source,
+        "vocab_coverage": q_vocab_coverage,
+        "dedup_savings": q_dedup_savings,
+        "split_leakage": q_split_leakage,
+        "lsh_bucket_histogram": q_lsh_bucket_histogram,
+        "remove_dup_spans": q_remove_dup_spans,
+        "ann_recall_eval": q_ann_recall_eval,
+        "nb_quality": q_nb_quality,
+        "robots_filter": q_robots_filter,
+        "crawl_budget": q_crawl_budget,
+        "bigram_logprob": q_bigram_logprob,
+        "zipf_slope": q_zipf_slope,
+        "quality_deciles": q_quality_deciles,
+        "dedup_representatives": q_dedup_representatives,
+        "lsh_precision_eval": q_lsh_precision_eval,
+        "curation_funnel": q_curation_funnel,
+        "dedup_lines": q_dedup_lines,
+        "encoding_health": q_encoding_health,
+        "fix_encoding": q_fix_encoding,
+        "hapax_rate": q_hapax_rate,
+        "packing_efficiency": q_packing_efficiency,
+        # --- round-3 queries, judge-verified but never driver-sampled ---
         "oov_rate": q_oov_rate,
         "quality_scores": q_quality_scores,
         "repetition_stats": q_repetition_stats,
@@ -1728,30 +1753,6 @@ _QUERIES = {
         "chunk_documents": q_chunk_documents,
         "cross_corpus_dedup": q_cross_corpus_dedup,
         "training_batches": q_training_batches,
-        # --- round-4 additions (also inside the first-50 driver window) ---
-        "curate_corpus_incremental": q_curate_corpus_incremental,
-        "chunk_ann_topk": q_chunk_ann_topk,
-        "contamination_by_source": q_contamination_by_source,
-        "vocab_coverage": q_vocab_coverage,
-        "dedup_savings": q_dedup_savings,
-        "split_leakage": q_split_leakage,
-        "lsh_bucket_histogram": q_lsh_bucket_histogram,
-        "remove_dup_spans": q_remove_dup_spans,
-        "ann_recall_eval": q_ann_recall_eval,
-        "nb_quality": q_nb_quality,
-        "robots_filter": q_robots_filter,
-        "crawl_budget": q_crawl_budget,
-        "bigram_logprob": q_bigram_logprob,
-        "zipf_slope": q_zipf_slope,
-        "quality_deciles": q_quality_deciles,
-        "dedup_representatives": q_dedup_representatives,
-        "lsh_precision_eval": q_lsh_precision_eval,
-        "curation_funnel": q_curation_funnel,
-        "dedup_lines": q_dedup_lines,
-        "encoding_health": q_encoding_health,
-        "fix_encoding": q_fix_encoding,
-        "hapax_rate": q_hapax_rate,
-        "packing_efficiency": q_packing_efficiency,
         # --- previously driver-sampled (green in r2 and/or r3) ---
         "vocab_topk": q_vocab_topk,
         "golden_compare": q_golden_compare,
