@@ -798,14 +798,26 @@ def lsh_precision_eval(df: DataFrame, key: str = "doc_id",
     that cross-join via broadcast.
     """
     exact = jaccard_pairs(df, key=key, col=col)
-    truth = exact.filter(F.col("jaccard") >= threshold).select("a", "b")
-    cands = minhash_lsh_candidates(df, key=key, col=col)
-    n_c = cands.agg(F.count("*").alias("n_candidates"))
-    n_t = truth.agg(F.count("*").alias("n_true_pairs"))
-    n_h = cands.join(truth, ["a", "b"]).agg(F.count("*").alias("n_hits"))
+    truth = exact.filter(F.col("jaccard") >= threshold).select(
+        "a", "b", F.lit(1).alias("__true"))
+    cands = minhash_lsh_candidates(df, key=key, col=col).select(
+        "a", "b", F.lit(1).alias("__cand"))
+    # ONE execution of each (expensive) pair pipeline: a full-outer join
+    # on the pair key, then a single counter agg — the three-separate-agg
+    # form ran both pipelines twice (measured 15.9 s vs ~8 s at sf0.1).
+    joined = cands.join(truth, ["a", "b"], "full_outer")
+    counts = joined.agg(
+        F.sum(F.coalesce(F.col("__cand"), F.lit(0))).alias("n_candidates"),
+        F.sum(F.coalesce(F.col("__true"), F.lit(0))).alias("n_true_pairs"),
+        F.sum(
+            F.when(
+                F.col("__cand").isNotNull() & F.col("__true").isNotNull(),
+                1,
+            ).otherwise(0)
+        ).alias("n_hits"),
+    )
     return (
-        n_c.crossJoin(F.broadcast(n_t))
-        .crossJoin(F.broadcast(n_h))
+        counts
         .select(
             F.lit(float(threshold)).alias("threshold"),
             "n_candidates", "n_true_pairs", "n_hits",
