@@ -354,6 +354,52 @@ def crawl_diff(pages: DataFrame, key: str = "url",
     )
 
 
+def url_aliases(pages: DataFrame, key: str = "url",
+                ts: str = "warc_ts") -> DataFrame:
+    """Mirror / duplicate-URL detection: clusters of DISTINCT urls whose
+    LATEST captures carry byte-identical payloads — the same page served
+    from mirrors, CDN hostnames, or un-canonicalized URL variants. A
+    crawl that fetches every alias pays bandwidth and dedup work for
+    content it already has; this report is the evidence feeding the
+    canonicalization rules (``normalize_url_expr``) and the frontier
+    blocklist.
+
+    Output: (canonical_url, n_urls, n_hosts) per alias cluster — the
+    canonical member is the lexicographic min; singleton urls are
+    dropped.
+
+    Scale shape: ``md5(html)`` computed map-side in the scan stage, so
+    only (url, host, ts, 32-char digest) crosses the wire — payload
+    bytes never shuffle. One window shuffle on url picks the latest
+    capture (digest desc tie-break keeps identical-ts captures
+    deterministic), then the digest groupBy aggregates ~1 counter row
+    per url.
+    """
+    w = Window.partitionBy(key).orderBy(
+        F.col(ts).desc(), F.col("__digest").desc())
+    latest = (
+        pages.select(
+            F.col(key), host_expr(key).alias("host"),
+            F.col(ts), F.md5(F.col("html")).alias("__digest"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        # a missing payload is absent content, not identical content —
+        # NULL digests must not pool into one giant pseudo-cluster
+        .filter(F.col("__digest").isNotNull())
+    )
+    return (
+        latest.groupBy("__digest")
+        .agg(
+            F.min(key).alias("canonical_url"),
+            F.count("*").alias("n_urls"),
+            F.count_distinct("host").alias("n_hosts"),
+        )
+        .filter(F.col("n_urls") >= 2)
+        .select("canonical_url", "n_urls", "n_hosts")
+    )
+
+
 def politeness_waves(pages: DataFrame, per_host_burst: int = 16,
                      key: str = "url") -> DataFrame:
     """Per-host politeness-aware scheduling (crawl/recrawl hygiene): assign

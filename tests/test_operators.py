@@ -1284,6 +1284,33 @@ def test_packing_efficiency_invariants(spark):
             == by_budget[256]["total_tokens"])
 
 
+def test_url_aliases_mirror_clusters(spark):
+    from datetime import datetime
+
+    from ollama_ocr_spark.operators.maintenance import url_aliases
+
+    t1, t2 = datetime(2024, 1, 1), datetime(2024, 1, 2)
+    rows = [
+        # a.com and b.com serve identical latest content -> one cluster
+        ("https://a.com/x", t1, b"same"),
+        ("https://b.com/x", t1, b"same"),
+        # c.com's OLD capture matched, but its LATEST differs -> no alias
+        ("https://c.com/x", t1, b"same"),
+        ("https://c.com/x", t2, b"changed"),
+        # NULL payloads never cluster, even together
+        ("https://d.com/x", t1, None),
+        ("https://e.com/x", t1, None),
+        # singleton content -> dropped
+        ("https://f.com/x", t1, b"unique"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary")
+    out = url_aliases(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["canonical_url"] == "https://a.com/x"
+    assert r["n_urls"] == 2 and r["n_hosts"] == 2
+
+
 def test_round4_report_plan_shapes(spark):
     """Scale-shape audits for the newest operators: fix_encoding must stay
     a pure codegen map stage (no Python eval, no exchange); hapax_rate is
