@@ -1277,6 +1277,15 @@ def q_url_aliases(spark, sf_dir):
     return url_aliases(both)
 
 
+def q_dedup_cluster_sizes(spark, sf_dir):
+    """Near-dup family-size histogram: LSH candidates → components →
+    per-cluster size → (cluster_size, n_clusters, n_docs); singleton
+    count from corpus arithmetic, n_docs sums to the corpus size."""
+    from ollama_ocr_spark.operators.dedup import dedup_cluster_sizes
+
+    return dedup_cluster_sizes(_docs(spark, sf_dir))
+
+
 def q_crawl_diff(spark, sf_dir):
     """Per-host re-crawl change summary: md5-digest compare of the two
     newest captures per url (corpus.capture_rows: k=0 re-crawls are
@@ -1744,6 +1753,7 @@ _QUERIES = {
         "hapax_rate": q_hapax_rate,
         "packing_efficiency": q_packing_efficiency,
         "url_aliases": q_url_aliases,
+        "dedup_cluster_sizes": q_dedup_cluster_sizes,
         # --- round-3 queries, judge-verified but never driver-sampled ---
         "oov_rate": q_oov_rate,
         "quality_scores": q_quality_scores,
@@ -3832,6 +3842,55 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT,
                    count(DISTINCT {_HOST_CASE})::BIGINT
             FROM documents WHERE doc_id % 20 = 19
+        """,
+        # dedup_cluster_sizes: the minhash-LSH pair CTEs (sig/bands, as
+        # in curate_corpus) → recursive closure → per-label sizes →
+        # histogram; singletons from count arithmetic.
+        "dedup_cluster_sizes": f"""
+            WITH RECURSIVE {_SHINGLES_CTE},
+            sig AS (
+              SELECT doc_id, g.j AS j,
+                     min(md5(g.j || '|' || shingle)) AS m
+              FROM sh, generate_series(0, 7) AS g(j)
+              GROUP BY doc_id, g.j
+            ),
+            bands AS (
+              SELECT doc_id, j // 2 AS band,
+                     md5(string_agg(m, '' ORDER BY j)) AS bucket
+              FROM sig GROUP BY doc_id, j // 2
+            ),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bucket = b.bucket
+                AND a.doc_id < b.doc_id
+            ),
+            edges AS (
+              SELECT a AS src, b AS dst FROM pairs
+              UNION
+              SELECT b AS src, a AS dst FROM pairs),
+            reach(node, r) AS (
+              SELECT src AS node, src AS r FROM edges
+              UNION
+              SELECT e.dst AS node, reach.r
+              FROM reach JOIN edges e ON reach.node = e.src),
+            comp AS (SELECT node, min(r) AS label FROM reach GROUP BY node),
+            sizes AS (
+              SELECT label, count(*) AS cluster_size FROM comp
+              GROUP BY label),
+            hist AS (
+              SELECT cluster_size, count(*) AS n_clusters FROM sizes
+              GROUP BY cluster_size),
+            tot AS (SELECT count(*) AS n_total FROM documents),
+            clus AS (SELECT count(*) AS n_clustered FROM comp)
+            SELECT cluster_size::BIGINT AS cluster_size,
+                   n_clusters::BIGINT AS n_clusters,
+                   (cluster_size * n_clusters)::BIGINT AS n_docs
+            FROM hist
+            UNION ALL
+            SELECT 1::BIGINT, (n_total - n_clustered)::BIGINT,
+                   (n_total - n_clustered)::BIGINT
+            FROM tot, clus
         """,
         # anchor_text_stats: corpus arithmetic — every html page carries
         # 6 nav "Section i" + footer Terms/Privacy self-anchors; non-memo

@@ -866,6 +866,40 @@ def drop_repeated_lines(df: DataFrame, key: str = "doc_id",
     )
 
 
+def dedup_cluster_sizes(df: DataFrame, key: str = "doc_id",
+                        col: str = "text") -> DataFrame:
+    """Near-duplicate family-size histogram — the report that says
+    whether a corpus's duplication is a long tail of pairs (cheap to
+    drop) or a few giant boilerplate families (worth a template rule):
+    minhash-LSH candidate pairs → connected components → per-cluster
+    size → histogram, with unclustered docs counted as size-1 families
+    from corpus-count arithmetic (no corpus-sized join).
+
+    Output: (cluster_size, n_clusters, n_docs) — ``n_docs`` column sums
+    to the corpus size.
+
+    Scale shape: everything after candidate generation operates on the
+    (node, label) table, which is bounded by the candidate-pair doc set,
+    not the corpus; the histogram is two counter aggs; the singleton row
+    is a 1-row broadcast cross of two counts.
+    """
+    pairs = minhash_lsh_candidates(df, key=key, col=col)
+    labels = dedup_components(pairs)
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"))
+    total = df.agg(F.count("*").alias("__n_total"))
+    clustered = labels.agg(F.count("*").alias("__n_clustered"))
+    singles = total.crossJoin(F.broadcast(clustered)).select(
+        F.lit(1).cast("bigint").alias("cluster_size"),
+        (F.col("__n_total") - F.col("__n_clustered")).alias("n_clusters"),
+    )
+    return hist.unionByName(singles).select(
+        "cluster_size", "n_clusters",
+        (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+    )
+
+
 def dedup_representatives(df: DataFrame, key: str = "doc_id",
                           col: str = "text") -> DataFrame:
     """Per near-dup cluster, the member a curation pipeline KEEPS — the

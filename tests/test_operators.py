@@ -1284,6 +1284,30 @@ def test_packing_efficiency_invariants(spark):
             == by_budget[256]["total_tokens"])
 
 
+def test_dedup_cluster_sizes_histogram(spark):
+    from ollama_ocr_spark.operators.dedup import dedup_cluster_sizes
+
+    tri = "alpha beta gamma delta epsilon zeta eta theta"
+    duo = "one two three four five six seven eight nine"
+    uniq = [
+        "red orange yellow green blue indigo violet colors here",
+        "north south east west compass points navigation chart maps",
+        "apple banana cherry date elderberry fig grape kiwi lemon",
+    ]
+    rows = (
+        [(i, tri) for i in range(3)]
+        + [(10 + i, duo) for i in range(2)]
+        + [(20 + i, t) for i, t in enumerate(uniq)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["cluster_size"]: r for r in dedup_cluster_sizes(df).collect()}
+    assert out[3]["n_clusters"] == 1 and out[3]["n_docs"] == 3
+    assert out[2]["n_clusters"] == 1 and out[2]["n_docs"] == 2
+    assert out[1]["n_clusters"] == 3 and out[1]["n_docs"] == 3
+    # n_docs column must sum to the corpus size
+    assert sum(r["n_docs"] for r in out.values()) == len(rows)
+
+
 def test_url_aliases_mirror_clusters(spark):
     from datetime import datetime
 
