@@ -1425,6 +1425,14 @@ def q_packing_efficiency(spark, sf_dir):
     return packing_efficiency(docs, buckets=8)
 
 
+def q_tokenizer_fertility(spark, sf_dir):
+    """Per-language tokenizer-fit report: fertility (regex pre-tokens per
+    whitespace word) and chars-per-token — map-side counters only."""
+    from ollama_ocr_spark.operators.textstats import tokenizer_fertility
+
+    return tokenizer_fertility(_docs(spark, sf_dir))
+
+
 def q_zipf_slope(spark, sf_dir):
     """Zipf-law OLS fit over the top-500 token frequencies (ln freq vs
     ln rank): the one-row corpus-health report. TakeOrdered rank cut, no
@@ -1754,6 +1762,7 @@ _QUERIES = {
         "packing_efficiency": q_packing_efficiency,
         "url_aliases": q_url_aliases,
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
+        "tokenizer_fertility": q_tokenizer_fertility,
         # --- round-3 queries, judge-verified but never driver-sampled ---
         "oov_rate": q_oov_rate,
         "quality_scores": q_quality_scores,
@@ -4563,6 +4572,23 @@ def oracle_sql() -> dict[str, str]:
                          t, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]'))
                      AS was_damaged
             FROM f
+        """,
+        # tokenizer_fertility: per-lang map-side counters.
+        "tokenizer_fertility": """
+            SELECT lang, count(*)::BIGINT AS n_docs,
+                   sum(length(text))::BIGINT AS n_chars,
+                   sum(len(string_split(text, ' ')))::BIGINT
+                     AS n_ws_tokens,
+                   sum(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+                     ::BIGINT AS n_re_tokens,
+                   round(sum(len(regexp_extract_all(lower(text),
+                                 '[a-z0-9]+'))) * 1.0
+                         / sum(len(string_split(text, ' '))), 4)
+                     AS fertility,
+                   round(sum(length(text)) * 1.0
+                         / sum(len(regexp_extract_all(lower(text),
+                               '[a-z0-9]+'))), 4) AS chars_per_token
+            FROM documents GROUP BY lang
         """,
         # hapax_rate: per-source type/token counts from collapsed
         # (source, token) rows; hapax = types with count 1.

@@ -677,6 +677,43 @@ def hapax_rate(df: DataFrame, source_col: str = "source",
     )
 
 
+def tokenizer_fertility(df: DataFrame, lang_col: str = "lang",
+                        col: str = "text") -> DataFrame:
+    """Tokenizer-fit-by-language report: fertility (regex pre-tokens per
+    whitespace word) and compression (chars per pre-token) per language.
+    A language whose fertility runs far above the corpus mean is being
+    shredded by the tokenizer — it pays more sequence positions for the
+    same content, the classic multilingual-vocab-sizing signal.
+
+    Output: (lang, n_docs, n_chars, n_ws_tokens, n_re_tokens,
+    fertility, chars_per_token). Same ``TOKEN_RE`` pre-tokenizer as
+    :func:`with_token_counts`.
+
+    Scale shape: pure map-side counters (two sizes + a length per row)
+    into one per-lang partial agg — text never shuffles.
+    """
+    ws = F.size(_words(col))
+    re_t = F.size(
+        F.regexp_extract_all(F.lower(F.col(col)), F.lit(TOKEN_RE), 0)
+    )
+    return (
+        df.groupBy(F.col(lang_col).alias("lang"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length(F.col(col))).alias("n_chars"),
+            F.sum(ws).alias("n_ws_tokens"),
+            F.sum(re_t).alias("n_re_tokens"),
+        )
+        .select(
+            "lang", "n_docs", "n_chars", "n_ws_tokens", "n_re_tokens",
+            F.round(F.col("n_re_tokens") / F.col("n_ws_tokens"), 4)
+            .alias("fertility"),
+            F.round(F.col("n_chars") / F.col("n_re_tokens"), 4)
+            .alias("chars_per_token"),
+        )
+    )
+
+
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PII_PHONE_RE = r"\+\d{1,3}[- ]\d{3}[- ]\d{3}[- ]\d{4}"

@@ -1284,6 +1284,24 @@ def test_packing_efficiency_invariants(spark):
             == by_budget[256]["total_tokens"])
 
 
+def test_tokenizer_fertility_per_lang(spark):
+    from ollama_ocr_spark.operators.textstats import tokenizer_fertility
+
+    rows = [
+        (1, "en", "ab cd"),          # 2 ws words, 2 re tokens, 5 chars
+        (2, "en", "e-f"),            # 1 ws word, 2 re tokens ('e','f')
+        (3, "xx", "one two three"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = {r["lang"]: r for r in tokenizer_fertility(df).collect()}
+    en = out["en"]
+    assert en["n_docs"] == 2 and en["n_chars"] == 8
+    assert en["n_ws_tokens"] == 3 and en["n_re_tokens"] == 4
+    assert en["fertility"] == round(4 / 3, 4)
+    assert en["chars_per_token"] == 2.0
+    assert out["xx"]["fertility"] == 1.0
+
+
 def test_dedup_cluster_sizes_histogram(spark):
     from ollama_ocr_spark.operators.dedup import dedup_cluster_sizes
 
