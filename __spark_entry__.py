@@ -1425,6 +1425,15 @@ def q_packing_efficiency(spark, sf_dir):
     return packing_efficiency(docs, buckets=8)
 
 
+def q_data_budget_plan(spark, sf_dir):
+    """Data-constrained training plan: sqrt-temperature token allocation
+    per source against a 2M-token target, epochs capped at 4 with the
+    shortfall surfaced."""
+    from ollama_ocr_spark.operators.textstats import data_budget_plan
+
+    return data_budget_plan(_docs(spark, sf_dir), target_tokens=2_000_000)
+
+
 def q_tokenizer_fertility(spark, sf_dir):
     """Per-language tokenizer-fit report: fertility (regex pre-tokens per
     whitespace word) and chars-per-token — map-side counters only."""
@@ -1763,6 +1772,7 @@ _QUERIES = {
         "url_aliases": q_url_aliases,
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "tokenizer_fertility": q_tokenizer_fertility,
+        "data_budget_plan": q_data_budget_plan,
         # --- round-3 queries, judge-verified but never driver-sampled ---
         "oov_rate": q_oov_rate,
         "quality_scores": q_quality_scores,
@@ -4572,6 +4582,34 @@ def oracle_sql() -> dict[str, str]:
                          t, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]'))
                      AS was_damaged
             FROM f
+        """,
+        # data_budget_plan: sqrt-temperature token allocation; the weight
+        # denominator sums 4dp-quantized roots through DECIMAL(18,4)
+        # (order-free), matching the Spark plan exactly.
+        "data_budget_plan": """
+            WITH s AS (
+              SELECT source,
+                     sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+              FROM documents GROUP BY source),
+            r AS (
+              SELECT source, n_tokens,
+                     round(sqrt(n_tokens), 4) AS rt
+              FROM s),
+            d AS (
+              SELECT sum(rt::DECIMAL(18,4)) AS denom FROM r),
+            p AS (
+              SELECT source, n_tokens,
+                     round(rt / denom::DOUBLE, 6) AS weight,
+                     floor(2000000.0 * (rt / denom::DOUBLE))::BIGINT
+                       AS target_alloc
+              FROM r, d)
+            SELECT source, n_tokens, weight, target_alloc,
+                   least(target_alloc, n_tokens * 4) AS served_tokens,
+                   round(least(target_alloc, n_tokens * 4) * 1.0
+                         / n_tokens, 4) AS epochs,
+                   (target_alloc > least(target_alloc, n_tokens * 4))
+                     AS capped
+            FROM p
         """,
         # tokenizer_fertility: per-lang map-side counters.
         "tokenizer_fertility": """

@@ -150,6 +150,7 @@ EXTRA3 = (
 # least accumulated perf evidence, so budget-skips should fall on the old
 # suites whose numbers already exist in BENCH_r02/BENCH.md).
 EXTRA4: tuple[str, ...] = (
+    "data_budget_plan",
     "tokenizer_fertility",
     "dedup_cluster_sizes",
     "url_aliases",

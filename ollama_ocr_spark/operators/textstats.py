@@ -714,6 +714,53 @@ def tokenizer_fertility(df: DataFrame, lang_col: str = "lang",
     )
 
 
+def data_budget_plan(df: DataFrame, target_tokens: int,
+                     source_col: str = "source", col: str = "text",
+                     max_epochs: int = 4) -> DataFrame:
+    """Data-constrained training plan (the Muennighoff-style question:
+    "we want T tokens — how many epochs of each source?"): per-source
+    whitespace-token mass → sqrt-temperature allocation weights → token
+    targets → epochs, capped at ``max_epochs`` repeats with the
+    shortfall reported (tokens the cap leaves unserved, to reallocate or
+    accept).
+
+    Output: (source, n_tokens, weight, target_alloc, served_tokens,
+    epochs, capped).
+
+    Engine parity: the weight denominator sums 4dp-quantized sqrt masses
+    through DECIMAL(18,4) (order-free exact sum — a raw double sum would
+    depend on row order); every later step is deterministic IEEE double
+    math on exactly-representable inputs.
+
+    Scale shape: one per-source counter agg (map-side partial), then all
+    arithmetic on the ~|sources| row relation with a 1-row broadcast
+    denominator.
+    """
+    per_src = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(F.size(_words(col))).alias("n_tokens")
+    )
+    rooted = per_src.withColumn(
+        "__rt", F.round(F.sqrt(F.col("n_tokens")), 4))
+    denom = rooted.agg(
+        F.sum(F.col("__rt").cast("decimal(18,4)")).alias("__denom"))
+    w = F.col("__rt") / F.col("__denom").cast("double")
+    planned = rooted.crossJoin(F.broadcast(denom)).select(
+        "source", "n_tokens",
+        F.round(w, 6).alias("weight"),
+        F.floor(F.lit(float(target_tokens)) * w).alias("target_alloc"),
+    )
+    served = F.least(
+        F.col("target_alloc"),
+        F.col("n_tokens") * F.lit(int(max_epochs)),
+    )
+    return planned.select(
+        "source", "n_tokens", "weight", "target_alloc",
+        served.alias("served_tokens"),
+        F.round(served / F.col("n_tokens"), 4).alias("epochs"),
+        (F.col("target_alloc") > served).alias("capped"),
+    )
+
+
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PII_PHONE_RE = r"\+\d{1,3}[- ]\d{3}[- ]\d{3}[- ]\d{4}"

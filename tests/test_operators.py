@@ -1284,6 +1284,27 @@ def test_packing_efficiency_invariants(spark):
             == by_budget[256]["total_tokens"])
 
 
+def test_data_budget_plan_allocation(spark):
+    from ollama_ocr_spark.operators.textstats import data_budget_plan
+
+    # s1: 4 tokens/doc x 4 docs = 16 tokens; s2: 4 tokens (1 doc).
+    # sqrt weights: 4 and 2 -> 2/3 and 1/3 of the target.
+    rows = [(i, "s1", "a b c d") for i in range(4)] + [
+        (10, "s2", "a b c d")]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    df = df.withColumnRenamed("lang", "source")
+    out = {r["source"]: r for r in
+           data_budget_plan(df, target_tokens=60, max_epochs=4).collect()}
+    s1, s2 = out["s1"], out["s2"]
+    assert s1["n_tokens"] == 16 and s2["n_tokens"] == 4
+    assert s1["target_alloc"] == 40 and s2["target_alloc"] == 20
+    # s1 serves its full 40 (2.5 epochs); s2 caps at 4 epochs = 16 tokens
+    assert s1["served_tokens"] == 40 and s1["epochs"] == 2.5
+    assert not s1["capped"]
+    assert s2["served_tokens"] == 16 and s2["epochs"] == 4.0
+    assert s2["capped"]
+
+
 def test_tokenizer_fertility_per_lang(spark):
     from ollama_ocr_spark.operators.textstats import tokenizer_fertility
 
