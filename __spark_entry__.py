@@ -1425,6 +1425,22 @@ def q_packing_efficiency(spark, sf_dir):
     return packing_efficiency(docs, buckets=8)
 
 
+def q_quality_sample(spark, sf_dir):
+    """Soft quality-weighted downsampling: md5-acceptance against a
+    per-row keep probability derived from the stopword ratio."""
+    from ollama_ocr_spark.operators.textstats import quality_sample
+
+    return quality_sample(_docs(spark, sf_dir))
+
+
+def q_mix_manifest(spark, sf_dir):
+    """Document-level materialization of the data-budget plan: each doc's
+    repeat count = floor(epochs) + one md5-acceptance extra repeat."""
+    from ollama_ocr_spark.operators.textstats import mix_manifest
+
+    return mix_manifest(_docs(spark, sf_dir), target_tokens=2_000_000)
+
+
 def q_data_budget_plan(spark, sf_dir):
     """Data-constrained training plan: sqrt-temperature token allocation
     per source against a 2M-token target, epochs capped at 4 with the
@@ -1773,6 +1789,8 @@ _QUERIES = {
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "tokenizer_fertility": q_tokenizer_fertility,
         "data_budget_plan": q_data_budget_plan,
+        "quality_sample": q_quality_sample,
+        "mix_manifest": q_mix_manifest,
         # --- round-3 queries, judge-verified but never driver-sampled ---
         "oov_rate": q_oov_rate,
         "quality_scores": q_quality_scores,
@@ -1872,6 +1890,17 @@ _QUERIES = {
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect-compatible ANSI)
 # ---------------------------------------------------------------------------
+
+def _md5_u32_sql(e: str) -> str:
+    """DuckDB mirror of ``maintenance.md5_u32_expr``: first 32 bits of
+    md5(e) as BIGINT via digit-wise hex extraction (DuckDB has no conv();
+    products stay < 2^36 so the double list_sum is exact)."""
+    return (
+        "list_sum(list_transform(range(1, 9), i -> "
+        f"(instr('0123456789abcdef', substr(md5({e}), i, 1)) - 1) "
+        "* power(16, 8 - i)))::BIGINT"
+    )
+
 
 # Shared corpus-mapping fragments (mirror ollama_ocr_spark/corpus.py exactly).
 _HOST_CASE = (
@@ -4610,6 +4639,54 @@ def oracle_sql() -> dict[str, str]:
                    (target_alloc > least(target_alloc, n_tokens * 4))
                      AS capped
             FROM p
+        """,
+        # quality_sample: md5-acceptance against a variable keep_prob;
+        # expression order mirrors Spark exactly ((hits/n)*5 not
+        # 5*hits/n — fp associativity matters for hash parity).
+        "quality_sample": f"""
+            WITH q AS (
+              SELECT doc_id,
+                     round(least(greatest(
+                       (len(list_filter(string_split(text, ' '),
+                            x -> x IN ('the','a','of','to','and','in',
+                                       'is'))) * 1.0
+                        / len(string_split(text, ' '))) * 5,
+                       0.1), 1.0), 4) AS keep_prob
+              FROM documents)
+            SELECT doc_id, keep_prob,
+                   ({_md5_u32_sql("'qs|' || doc_id::VARCHAR")}
+                    < floor(keep_prob * 4294967296.0)::BIGINT) AS kept
+            FROM q
+        """,
+        # mix_manifest: the data_budget_plan CTEs -> per-source epochs,
+        # joined back to documents with md5-acceptance for the
+        # fractional repeat.
+        "mix_manifest": f"""
+            WITH s AS (
+              SELECT source,
+                     sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+              FROM documents GROUP BY source),
+            r AS (
+              SELECT source, n_tokens, round(sqrt(n_tokens), 4) AS rt
+              FROM s),
+            d AS (SELECT sum(rt::DECIMAL(18,4)) AS denom FROM r),
+            p AS (
+              SELECT source, n_tokens,
+                     floor(2000000.0 * (rt / denom::DOUBLE))::BIGINT
+                       AS target_alloc
+              FROM r, d),
+            e AS (
+              SELECT source,
+                     round(least(target_alloc, n_tokens * 4) * 1.0
+                           / n_tokens, 4) AS epochs
+              FROM p)
+            SELECT doc_id, documents.source AS source, epochs,
+                   (floor(epochs)::INT +
+                    CASE WHEN {_md5_u32_sql("'mix|' || doc_id::VARCHAR")}
+                         < floor(round(epochs - floor(epochs), 4)
+                                 * 4294967296.0)::BIGINT
+                         THEN 1 ELSE 0 END) AS n_repeats
+            FROM documents JOIN e ON documents.source = e.source
         """,
         # tokenizer_fertility: per-lang map-side counters.
         "tokenizer_fertility": """

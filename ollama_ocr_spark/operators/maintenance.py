@@ -18,6 +18,20 @@ def host_expr(url_col: str = "url"):
     return F.regexp_extract(F.col(url_col), r"^https?://([^/]+)/", 1)
 
 
+def md5_u32_expr(key_col: str, salt: str = ""):
+    """First 32 bits of ``md5(salt || key)`` as a bigint in [0, 2^32) —
+    the engine-portable uniform hash behind per-row probabilistic
+    acceptance (quality_sample, mix_manifest): keep iff
+    ``md5_u32 < floor(p * 2^32)`` compares integers, so a variable
+    per-row probability works where the fixed hex-string-threshold idiom
+    (hash_split) cannot. A salt keeps independent decisions independent.
+    DuckDB mirrors by digit-wise hex extraction (no conv() there)."""
+    s = F.col(key_col).cast("string")
+    if salt:
+        s = F.concat(F.lit(salt), s)
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
+
+
 def doc_id_expr(url_col: str = "url"):
     """Recover the numeric document id embedded in corpus URLs
     (``.../{stem}-{doc_id}.{ext}``)."""

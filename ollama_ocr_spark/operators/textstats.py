@@ -761,6 +761,76 @@ def data_budget_plan(df: DataFrame, target_tokens: int,
     )
 
 
+def quality_sample(df: DataFrame, key: str = "doc_id",
+                   col: str = "text") -> DataFrame:
+    """Soft quality-weighted downsampling (the DCLM-style alternative to
+    a hard gate): a document's keep PROBABILITY rises with its quality
+    signal — here ``clamp(5 * stopword_ratio, 0.1, 1.0)``, so prose-like
+    text is always kept and word-salad still survives at 10% (hard
+    filters amputate distribution tails; soft ones keep them thin).
+    Acceptance is deterministic md5 arithmetic (no RNG): keep iff
+    ``md5_u32(key) < floor(keep_prob * 2^32)`` — integer compare, so the
+    per-row variable probability stays engine-portable.
+
+    Output: (key, keep_prob, kept) for every input document.
+
+    Scale shape: pure map-side — one stopword array scan + one md5 per
+    row, no shuffle.
+    """
+    from ollama_ocr_spark.operators.maintenance import md5_u32_expr
+
+    words = _words(col)
+    stop_ratio = F.size(
+        F.filter(words, lambda w: w.isin(*STOPWORDS))
+    ) / F.size(words)
+    keep_prob = F.round(
+        F.least(F.greatest(stop_ratio * 5, F.lit(0.1)), F.lit(1.0)), 4
+    )
+    thresh = F.floor(keep_prob * F.lit(4294967296.0)).cast("bigint")
+    return df.select(
+        F.col(key),
+        keep_prob.alias("keep_prob"),
+        (md5_u32_expr(key, salt="qs|") < thresh).alias("kept"),
+    )
+
+
+def mix_manifest(df: DataFrame, target_tokens: int, key: str = "doc_id",
+                 source_col: str = "source", col: str = "text",
+                 max_epochs: int = 4) -> DataFrame:
+    """Materialize :func:`data_budget_plan` at the document level: each
+    document repeats ``floor(epochs)`` times plus one extra repeat with
+    probability ``frac(epochs)`` under deterministic md5 acceptance — so
+    summing ``n_repeats * doc_tokens`` over a source converges on the
+    plan's served token count without any RNG or driver loop. This is
+    the manifest a training loader actually consumes.
+
+    Output: (key, source, epochs, n_repeats).
+
+    Scale shape: the plan is a ~|sources| row broadcast; the manifest is
+    one map-side projection per document (an int floor + one md5).
+    """
+    from ollama_ocr_spark.operators.maintenance import md5_u32_expr
+
+    plan = data_budget_plan(
+        df, target_tokens, source_col=source_col, col=col,
+        max_epochs=max_epochs,
+    ).select("source", "epochs")
+    base = F.floor(F.col("epochs")).cast("int")
+    frac = F.round(F.col("epochs") - F.floor(F.col("epochs")), 4)
+    extra = (
+        md5_u32_expr(key, salt="mix|")
+        < F.floor(frac * F.lit(4294967296.0)).cast("bigint")
+    ).cast("int")
+    return (
+        df.select(F.col(key), F.col(source_col).alias("source"))
+        .join(F.broadcast(plan), "source")
+        .select(
+            F.col(key), "source", "epochs",
+            (base + extra).alias("n_repeats"),
+        )
+    )
+
+
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PII_PHONE_RE = r"\+\d{1,3}[- ]\d{3}[- ]\d{3}[- ]\d{4}"

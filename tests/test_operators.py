@@ -1284,6 +1284,39 @@ def test_packing_efficiency_invariants(spark):
             == by_budget[256]["total_tokens"])
 
 
+def test_quality_sample_soft_gate(spark):
+    from ollama_ocr_spark.operators.textstats import quality_sample
+
+    rows = [
+        (1, "the cat of the house and the dog in a yard is here"),
+        (2, "zzz qqq xxx www vvv"),  # zero stopwords -> floor prob 0.1
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in quality_sample(df).collect()}
+    assert out[1]["keep_prob"] == 1.0 and out[1]["kept"]
+    assert out[2]["keep_prob"] == 0.1
+    # deterministic: identical verdicts on a re-run
+    again = {r["doc_id"]: r["kept"] for r in quality_sample(df).collect()}
+    assert again == {k: v["kept"] for k, v in out.items()}
+
+
+def test_mix_manifest_repeats_match_plan(spark):
+    from ollama_ocr_spark.operators.textstats import mix_manifest
+
+    rows = [(i, "s1", "a b c d") for i in range(4)] + [
+        (10, "s2", "a b c d")]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = mix_manifest(df, target_tokens=60, max_epochs=4).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    # s1: epochs 2.5 -> every doc repeats 2 or 3 times
+    assert all(r["n_repeats"] in (2, 3) for r in by_src["s1"])
+    assert all(r["epochs"] == 2.5 for r in by_src["s1"])
+    # s2: epochs exactly 4.0 -> frac 0, no acceptance repeat
+    assert [r["n_repeats"] for r in by_src["s2"]] == [4]
+
+
 def test_data_budget_plan_allocation(spark):
     from ollama_ocr_spark.operators.textstats import data_budget_plan
 
