@@ -1739,6 +1739,42 @@ def q_ngram_span_coverage(spark, sf_dir):
     return duplicated_ngram_coverage(_docs(spark, sf_dir), k=8)
 
 
+def q_shard_plan(spark, sf_dir):
+    """Token-balanced shard export plan: per-shard doc count + token mass
+    for an 8-shard banded round-robin assignment — integer sums only, so
+    the oracle is exact."""
+    from ollama_ocr_spark.operators.maintenance import shard_plan
+
+    return (
+        shard_plan(_docs(spark, sf_dir), n_shards=8)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("tokens"),
+        )
+    )
+
+
+def q_family_split(spark, sf_dir):
+    """Near-dup-leakage-safe split: connected-component family labels over
+    the deterministic q_dedup_components edge fixture, then hash_split on
+    the FAMILY key (singletons fall back to their own doc_id) — every
+    near-dup cluster lands in exactly one of train/val/test."""
+    from ollama_ocr_spark.operators.dedup import dedup_components
+    from ollama_ocr_spark.operators.maintenance import family_split
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    chain = docs.filter(did % 10 < 2).select(
+        did.alias("a"), (did + 1).alias("b"))
+    longr = docs.filter((did % 97 == 0) & (did > 0)).select(
+        did.alias("a"), (did * 2).alias("b"))
+    labels = dedup_components(chain.union(longr))
+    return family_split(docs, labels, key="doc_id").select(
+        "doc_id", "family", "split"
+    )
+
+
 def _utc_wrapped(fn):
     """Every query assumes UTC session semantics (timestamp↔epoch parity
     with the DuckDB oracle); the driver's session timezone is unknown."""
@@ -1762,6 +1798,8 @@ _QUERIES = {
         # item 2 — rotating coverage). Round-4 additions first (zero
         # evidence from ANY driver or judge round), then the round-3
         # queries that have only judge-run (softer) evidence so far.
+        "shard_plan": q_shard_plan,
+        "family_split": q_family_split,
         "curate_corpus_incremental": q_curate_corpus_incremental,
         "chunk_ann_topk": q_chunk_ann_topk,
         "contamination_by_source": q_contamination_by_source,
@@ -2385,6 +2423,56 @@ def oracle_sql() -> dict[str, str]:
                           THEN 'val'
                         ELSE 'test' END AS split
             FROM documents
+        """,
+        "family_split": """
+            WITH RECURSIVE
+            base AS (
+              SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+              WHERE doc_id % 10 < 2
+              UNION ALL
+              SELECT doc_id AS a, 2 * doc_id AS b FROM documents
+              WHERE doc_id % 97 = 0 AND doc_id > 0),
+            edges AS (
+              SELECT a AS src, b AS dst FROM base
+              UNION
+              SELECT b AS src, a AS dst FROM base),
+            reach(node, r) AS (
+              SELECT src AS node, src AS r FROM edges
+              UNION
+              SELECT e.dst AS node, reach.r
+              FROM reach JOIN edges e ON reach.node = e.src),
+            labels AS (
+              SELECT node, min(r) AS label FROM reach GROUP BY node),
+            fam AS (
+              SELECT d.doc_id,
+                     coalesce(l.label, d.doc_id) AS family
+              FROM documents d LEFT JOIN labels l ON d.doc_id = l.node)
+            SELECT doc_id, family,
+                   CASE WHEN substr(md5(family::VARCHAR), 1, 4) < 'e666'
+                          THEN 'train'
+                        WHEN substr(md5(family::VARCHAR), 1, 4) < 'f333'
+                          THEN 'val'
+                        ELSE 'test' END AS split
+            FROM fam
+        """,
+        "shard_plan": f"""
+            WITH t AS (
+              SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+              FROM documents),
+            b AS (
+              SELECT doc_id, n_tokens,
+                     length(format('{{:b}}', n_tokens)) AS band,
+                     ({_md5_u32_sql("'shard|' || doc_id::VARCHAR")}) % 256
+                       AS cell
+              FROM t),
+            r AS (
+              SELECT n_tokens, band, cell,
+                     row_number() OVER (PARTITION BY band, cell
+                                        ORDER BY doc_id) AS rn
+              FROM b)
+            SELECT ((rn - 1 + band + cell) % 8)::INT AS shard,
+                   count(*) AS n_docs, sum(n_tokens)::BIGINT AS tokens
+            FROM r GROUP BY 1
         """,
         "deterministic_sample": """
             SELECT doc_id, n_chars FROM documents

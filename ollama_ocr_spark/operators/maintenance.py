@@ -601,6 +601,45 @@ def hash_split(pages: DataFrame, key: str = "url",
     return pages.withColumn(col_name, expr)
 
 
+def family_split(df: DataFrame, labels: DataFrame, key: str = "doc_id",
+                 node: str = "node", label: str = "label",
+                 boundaries: tuple = (("train", 0.9), ("val", 0.05),
+                                      ("test", 0.05)),
+                 col_name: str = "split") -> DataFrame:
+    """Near-dup-leakage-safe train/val/test assignment: hash-split on the
+    near-duplicate FAMILY label instead of the document id, so an entire
+    dedup cluster lands in ONE split. This closes the hole
+    :func:`~ollama_ocr_spark.operators.dedup.split_leakage` audits — a
+    row-level :func:`hash_split` scatters near-identical documents across
+    train and test, silently inflating eval scores.
+
+    ``labels`` is the (node, label) output of
+    :func:`~ollama_ocr_spark.operators.dedup.dedup_components` over the
+    LSH/SimHash candidate pairs; documents absent from it (no near-dup
+    family) are their own singleton family (``coalesce(label, key)``), so
+    the assignment degrades to :func:`hash_split` exactly where no
+    leakage risk exists.
+
+    Scale shape: labels cover only documents that appeared in a candidate
+    PAIR — a small fraction of the corpus — so the left join broadcasts
+    under AQE; the corpus never shuffles. The split itself is the same
+    md5-bucket string compare as :func:`hash_split` (map-side, no RNG).
+    Output: input columns + (family, split).
+    """
+    fam = labels.select(
+        F.col(node).alias("__fs_node"), F.col(label).alias("__fs_label")
+    )
+    out = (
+        df.join(fam, df[key] == F.col("__fs_node"), "left")
+        .withColumn(
+            "family", F.coalesce(F.col("__fs_label"), F.col(key))
+        )
+        .drop("__fs_node", "__fs_label")
+    )
+    return hash_split(out, key="family", boundaries=boundaries,
+                      col_name=col_name)
+
+
 def deterministic_sample(pages: DataFrame, key: str = "url",
                          fraction: float = 0.01) -> DataFrame:
     """Reproducible uniform sample: keep rows whose md5(key) 4-hex-char
@@ -610,6 +649,49 @@ def deterministic_sample(pages: DataFrame, key: str = "url",
     bound = format(min(int(fraction * 65536), 65536), "04x")
     return pages.filter(
         F.substring(F.md5(F.col(key).cast("string")), 1, 4) < bound
+    )
+
+
+def shard_plan(docs: DataFrame, n_shards: int = 16, key: str = "doc_id",
+               text_col: str = "text", n_cells: int = 256) -> DataFrame:
+    """Deterministic token-BALANCED shard assignment — the export step
+    that writes a training corpus as N shards of near-equal token mass
+    (webdataset/TFRecord layout), without a global sort or an RNG.
+
+    A plain ``pmod(hash(key), n)`` equalizes document COUNTS, not tokens;
+    a global tokens-descending row_number balances perfectly but is one
+    reducer at 100 TB. This takes the scale-safe middle: band documents
+    by token-count magnitude (band = bit-length of the whitespace token
+    count — integer-exact in any engine, unlike float ``log2``), salt
+    each band into ``n_cells`` deterministic md5 cells, and round-robin
+    documents over shards WITHIN each (band, cell) cell with a per-cell
+    phase offset. Documents inside a band differ <2x in size, so the
+    round-robin spreads token mass evenly; cells keep every window
+    partition small (corpus/(bands*n_cells)) and embarrassingly parallel
+    — raise ``n_cells`` with corpus size (it only sharpens parallelism,
+    the balance comes from the round-robin).
+
+    Output: input columns + (n_tokens, shard). Same assignment on any
+    engine, any partitioning, any run — the window orders by ``key``
+    within a cell, and every hash is md5-derived.
+    """
+    tokens = F.size(F.split(F.col(text_col), " "))
+    band = F.length(F.bin(F.col("n_tokens"))).cast("int")
+    cell = (md5_u32_expr(key, salt="shard|") % n_cells).cast("int")
+    w = Window.partitionBy("__band", "__cell").orderBy(F.col(key))
+    return (
+        docs.withColumn("n_tokens", tokens)
+        .withColumn("__band", band)
+        .withColumn("__cell", cell)
+        .withColumn(
+            "shard",
+            F.pmod(
+                F.row_number().over(w) - 1 + F.col("__band")
+                + F.col("__cell"),
+                F.lit(n_shards),
+            ).cast("int"),
+        )
+        .drop("__band", "__cell")
     )
 
 

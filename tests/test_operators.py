@@ -515,6 +515,67 @@ def test_hash_split_total_disjoint_deterministic(spark):
     assert a == b
 
 
+def test_family_split_cluster_atomic(spark):
+    """Every near-dup family lands in exactly ONE split; documents with no
+    family fall back to hash_split of their own id (leakage-safe split)."""
+    from ollama_ocr_spark.operators.dedup import dedup_components
+    from ollama_ocr_spark.operators.maintenance import family_split, hash_split
+
+    docs = spark.range(300).withColumnRenamed("id", "doc_id")
+    # chains 0-1-2, 10-11-12, ... : multi-hop families
+    pairs = (
+        docs.filter((F.col("doc_id") % 10) < 2)
+        .select(F.col("doc_id").alias("a"),
+                (F.col("doc_id") + 1).alias("b"))
+    )
+    labels = dedup_components(pairs)
+    out = family_split(docs, labels, key="doc_id")
+    # atomicity: one split per family
+    per_fam = out.groupBy("family").agg(
+        F.count_distinct("split").alias("ns")).collect()
+    assert all(r["ns"] == 1 for r in per_fam)
+    rows = {r["doc_id"]: (r["family"], r["split"]) for r in out.collect()}
+    # chained docs share the min-id family label
+    assert rows[0][0] == rows[1][0] == rows[2][0] == 0
+    assert rows[10][0] == rows[12][0] == 10
+    # singletons degrade to plain hash_split of their own id
+    single = dict(
+        hash_split(docs.filter(F.col("doc_id") % 10 >= 3), key="doc_id")
+        .select("doc_id", "split").collect()
+    )
+    for did, split in single.items():
+        assert rows[did] == (did, split)
+
+
+def test_shard_plan_token_balance(spark):
+    """Banded round-robin sharding: every doc assigned, shards within a
+    tight token-mass band of each other, assignment deterministic."""
+    from ollama_ocr_spark.operators.maintenance import shard_plan
+
+    docs = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        # heavy-tailed doc sizes: 1..~60 words
+        F.concat_ws(
+            " ",
+            F.array_repeat(F.lit("w"), (F.pmod(F.col("id") * 37, F.lit(60))
+                                        + 1).cast("int")),
+        ).alias("text"),
+    )
+    out = shard_plan(docs, n_shards=8)
+    per = {r["shard"]: r["tokens"] for r in
+           out.groupBy("shard").agg(F.sum("n_tokens").alias("tokens"))
+           .collect()}
+    assert set(per) == set(range(8))
+    assert out.count() == 3000
+    mean = sum(per.values()) / 8
+    for tok in per.values():
+        assert abs(tok - mean) / mean < 0.05   # token mass balanced
+    a = sorted(out.select("doc_id", "shard").collect())
+    b = sorted(shard_plan(docs, n_shards=8)
+               .select("doc_id", "shard").collect())
+    assert a == b
+
+
 def test_line_filter_idempotent(spark):
     from ollama_ocr_spark.operators.textstats import with_line_filter
 
