@@ -1739,6 +1739,19 @@ def q_ngram_span_coverage(spark, sf_dir):
     return duplicated_ngram_coverage(_docs(spark, sf_dir), k=8)
 
 
+def q_topic_mix(spark, sf_dir):
+    """Topic-balance report: deterministic k-means topics over the
+    embeddings, per-topic token mass + sqrt-temperature sampling weight
+    (content-space twin of data_budget_plan's source-space allocation)."""
+    from ollama_ocr_spark.operators.similarity import topic_mix
+
+    toks = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("vec_id"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    return topic_mix(_emb(spark, sf_dir), toks, n_centroids=8)
+
+
 def q_shard_plan(spark, sf_dir):
     """Token-balanced shard export plan: per-shard doc count + token mass
     for an 8-shard banded round-robin assignment — integer sums only, so
@@ -1798,6 +1811,7 @@ _QUERIES = {
         # item 2 — rotating coverage). Round-4 additions first (zero
         # evidence from ANY driver or judge round), then the round-3
         # queries that have only judge-run (softer) evidence so far.
+        "topic_mix": q_topic_mix,
         "shard_plan": q_shard_plan,
         "family_split": q_family_split,
         "curate_corpus_incremental": q_curate_corpus_incremental,
@@ -2454,6 +2468,64 @@ def oracle_sql() -> dict[str, str]:
                           THEN 'val'
                         ELSE 'test' END AS split
             FROM fam
+        """,
+        "topic_mix": """
+            WITH pts AS (SELECT vec_id, embedding AS v FROM embeddings),
+            seeds AS (
+              SELECT row_number() OVER (ORDER BY vec_id) AS cluster,
+                     embedding AS cv
+              FROM embeddings ORDER BY vec_id LIMIT 8),
+            s0 AS (
+              SELECT p.vec_id, s.cluster,
+                list_sum(list_transform(range(1, 1 + len(p.v)),
+                         i -> p.v[i]::DOUBLE * s.cv[i]::DOUBLE))
+                / (sqrt(list_sum(list_transform(p.v, x -> x::DOUBLE * x::DOUBLE)))
+                   * sqrt(list_sum(list_transform(s.cv, x -> x::DOUBLE * x::DOUBLE)))
+                   + 1e-12) AS sim
+              FROM pts p, seeds s),
+            a0 AS (
+              SELECT vec_id, cluster FROM (
+                SELECT vec_id, cluster, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY sim DESC, cluster) AS rn
+                FROM s0) WHERE rn = 1),
+            pv AS (
+              SELECT a.cluster, p.v, unnest(range(len(p.v))) AS pos
+              FROM a0 a JOIN pts p USING (vec_id)),
+            means AS (
+              SELECT cluster, pos,
+                     (sum(CAST(v[(pos + 1)::INT]::DOUBLE AS DECIMAL(28,12))))::DOUBLE
+                     / count(*) AS m
+              FROM pv GROUP BY cluster, pos),
+            cents AS (
+              SELECT cluster, list(m ORDER BY pos) AS cv
+              FROM means GROUP BY cluster),
+            s1 AS (
+              SELECT p.vec_id, c.cluster,
+                list_sum(list_transform(range(1, 1 + len(p.v)),
+                         i -> p.v[i]::DOUBLE * c.cv[i]))
+                / (sqrt(list_sum(list_transform(p.v, x -> x::DOUBLE * x::DOUBLE)))
+                   * sqrt(list_sum(list_transform(c.cv, x -> x * x)))
+                   + 1e-12) AS sim
+              FROM pts p, cents c),
+            a1 AS (
+              SELECT vec_id, cluster FROM (
+                SELECT vec_id, cluster, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY sim DESC, cluster) AS rn
+                FROM s1) WHERE rn = 1),
+            per AS (
+              SELECT a1.cluster, count(*) AS n_docs,
+                     sum(len(string_split(d.text, ' ')))::BIGINT AS n_tokens
+              FROM a1 JOIN documents d ON d.doc_id = a1.vec_id
+              GROUP BY 1),
+            tot AS (
+              SELECT sum(round(sqrt(n_tokens), 4)::DECIMAL(18,4)) AS denom,
+                     sum(n_tokens)::BIGINT AS total
+              FROM per)
+            SELECT cluster::INT AS cluster, n_docs, n_tokens,
+                   round(n_tokens / total, 6) AS token_share,
+                   round(round(sqrt(n_tokens), 4) / denom::DOUBLE, 6)
+                     AS weight
+            FROM per, tot
         """,
         "shard_plan": f"""
             WITH t AS (

@@ -716,3 +716,60 @@ def semantic_dedup(corpus: DataFrame, key: str = "vec_id",
             F.coalesce(F.col("__dup"), F.lit(0)).alias("is_dup"),
         )
     )
+
+
+def topic_mix(vectors: DataFrame, tokens: DataFrame, key: str = "vec_id",
+              vec: str = "embedding", tok_col: str = "n_tokens",
+              n_centroids: int = 8) -> DataFrame:
+    """Topic-balance report for a pretraining mix: k-means cluster the
+    document embeddings into topics, then compute each topic's token mass
+    and a sqrt-temperature sampling weight — the embedding-space twin of
+    :func:`~ollama_ocr_spark.operators.textstats.data_budget_plan`
+    (which balances by metadata source; this balances by CONTENT, the
+    report that catches "half the corpus is one boilerplate topic" even
+    when the source labels look diverse).
+
+    ``tokens`` carries (key, tok_col) per document — computed upstream so
+    the corpus text never reaches this operator.
+
+    Output: (cluster, n_docs, n_tokens, token_share, weight) — one row
+    per topic; ``weight`` is the sqrt-temperature allocation share.
+
+    Engine parity: same idiom as ``data_budget_plan`` — the weight
+    denominator sums 4dp-quantized sqrt masses through DECIMAL(18,4)
+    (order-free exact sum); token_share divides exact BIGINTs.
+
+    Scale shape: :func:`kmeans_assign` broadcasts the k-row codebook
+    (map-side assign, one posexplode mean shuffle of k x dim groups);
+    the rest is arithmetic on a k-row relation with a 1-row broadcast
+    denominator. The corpus shuffles zero times beyond the token join on
+    ``key`` (co-partitioned ids; AQE broadcasts whichever side is small).
+    """
+    assigned = kmeans_assign(vectors, key, vec, n_centroids)
+    per = (
+        assigned.select(key, "cluster")
+        .join(tokens.select(key, tok_col), key)
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(tok_col).alias("n_tokens"),
+        )
+    )
+    rooted = per.withColumn("__rt", F.round(F.sqrt(F.col("n_tokens")), 4))
+    denom = rooted.agg(
+        F.sum(F.col("__rt").cast("decimal(18,4)")).alias("__denom"),
+        F.sum(F.col("n_tokens")).alias("__total"),
+    )
+    return (
+        rooted.crossJoin(F.broadcast(denom))
+        .select(
+            F.col("cluster").cast("int").alias("cluster"),
+            "n_docs", "n_tokens",
+            F.round(
+                F.col("n_tokens") / F.col("__total"), 6
+            ).alias("token_share"),
+            F.round(
+                F.col("__rt") / F.col("__denom").cast("double"), 6
+            ).alias("weight"),
+        )
+    )

@@ -576,6 +576,32 @@ def test_shard_plan_token_balance(spark):
     assert a == b
 
 
+def test_topic_mix_weights_normalized(spark):
+    """Per-topic weights ~sum to 1, token_share exact, every vector
+    assigned to exactly one topic."""
+    from ollama_ocr_spark.operators.similarity import topic_mix
+
+    vecs = spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 4).cast("float"),
+            ((F.col("id") + 1) % 3).cast("float"),
+            F.lit(1.0).cast("float"),
+        ).alias("embedding"),
+    )
+    toks = spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 7 + 1).alias("n_tokens"),
+    )
+    out = topic_mix(vecs, toks, n_centroids=4).collect()
+    assert sum(r["n_docs"] for r in out) == 64
+    assert abs(sum(r["weight"] for r in out) - 1.0) < 1e-4
+    assert abs(sum(r["token_share"] for r in out) - 1.0) < 1e-4
+    total = sum(r["n_tokens"] for r in out)
+    for r in out:
+        assert abs(r["token_share"] - r["n_tokens"] / total) < 1e-6
+
+
 def test_line_filter_idempotent(spark):
     from ollama_ocr_spark.operators.textstats import with_line_filter
 
