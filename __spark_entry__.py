@@ -1739,6 +1739,15 @@ def q_ngram_span_coverage(spark, sf_dir):
     return duplicated_ngram_coverage(_docs(spark, sf_dir), k=8)
 
 
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric shingle containment (inter/min) over the corpus — the
+    quote-expansion/superset-dup signal Jaccard misses; same bit-packed
+    inverted-index plan, hot-shingle cap ON (oracle mirrors the cap)."""
+    from ollama_ocr_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(_docs(spark, sf_dir))
+
+
 def q_topic_mix(spark, sf_dir):
     """Topic-balance report: deterministic k-means topics over the
     embeddings, per-topic token mass + sqrt-temperature sampling weight
@@ -1811,6 +1820,7 @@ _QUERIES = {
         # item 2 — rotating coverage). Round-4 additions first (zero
         # evidence from ANY driver or judge round), then the round-3
         # queries that have only judge-run (softer) evidence so far.
+        "containment_pairs": q_containment_pairs,
         "topic_mix": q_topic_mix,
         "shard_plan": q_shard_plan,
         "family_split": q_family_split,
@@ -2764,6 +2774,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a, b, inter,
                    round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+        """,
+        "containment_pairs": f"""
+            WITH {_SHINGLES_CTE},
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            ok AS (SELECT shingle FROM sh GROUP BY 1
+                   HAVING count(*) BETWEEN 2 AND 1000),
+            inter AS (
+              SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              JOIN ok ON ok.shingle = a.shingle
+              GROUP BY 1, 2
+            )
+            SELECT a, b, inter,
+                   round(inter * 1.0 / least(sa.n, sb.n), 4) AS containment,
+                   CASE WHEN sa.n <= sb.n THEN a ELSE b END AS contained_id
             FROM inter
             JOIN sizes sa ON sa.doc_id = a
             JOIN sizes sb ON sb.doc_id = b

@@ -140,6 +140,24 @@ def jaccard_pairs(df: DataFrame, key: str = "doc_id", col: str = "text",
     docs), n clamped at 2^22-1 distinct shingles ≈ a 4M-word document.
     Total: 1 source scan, 2 shuffles (postings groupBy, pair groupBy).
     """
+    na, nb, inter = _packed_intersections(df, key, col, k, max_posting)
+    out = inter.select(
+        F.shiftrightunsigned(F.col("pa"), 22).alias("a"),
+        F.shiftrightunsigned(F.col("pb"), 22).alias("b"),
+        "inter",
+        F.round(F.col("inter") / (na + nb - F.col("inter")), 4).alias("jaccard"),
+    )
+    if threshold > 0:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out
+
+
+def _packed_intersections(df: DataFrame, key: str, col: str, k: int,
+                          max_posting: int | None):
+    """Shared core of :func:`jaccard_pairs` / :func:`containment_pairs`:
+    the bit-packed inverted-index intersection plan. Returns
+    (na_expr, nb_expr, inter_df) where inter_df carries (pa, pb, inter)
+    packed ids and the exprs unpack each side's full shingle-set size."""
     PACK = 1 << 22
     df = ensure_parallelism(df)
     docs = df.select(F.col(key).alias("id"), _shingle_set(col, k).alias("shs"))
@@ -163,14 +181,38 @@ def jaccard_pairs(df: DataFrame, key: str = "doc_id", col: str = "text",
     )
     na = F.col("pa").bitwiseAND(PACK - 1)
     nb = F.col("pb").bitwiseAND(PACK - 1)
+    return na, nb, inter
+
+
+def containment_pairs(df: DataFrame, key: str = "doc_id", col: str = "text",
+                      k: int = SHINGLE_K, threshold: float = 0.0,
+                      max_posting: int | None = 1000) -> DataFrame:
+    """Asymmetric near-dup detection: max shingle CONTAINMENT
+    ``inter / min(|A|, |B|)`` per candidate pair — the signal Jaccard
+    structurally misses: a page fully embedded in a longer page (quote
+    expansion, article + comments, syndicated copy with added chrome)
+    has containment 1.0 but Jaccard ``|A|/|B|`` — arbitrarily low when
+    the host page is big, so a Jaccard threshold never fires. Broder's
+    original resemblance/containment split; the small side is the
+    contained one (``a < b`` by id, ``contained`` marks which).
+
+    Same single-scan bit-packed inverted-index plan as
+    :func:`jaccard_pairs` (1 source scan, 2 long-key shuffles, hot-
+    shingle cap ON by default) — only the final arithmetic differs.
+    Output: (a, b, inter, containment, contained_id).
+    """
+    na, nb, inter = _packed_intersections(df, key, col, k, max_posting)
     out = inter.select(
         F.shiftrightunsigned(F.col("pa"), 22).alias("a"),
         F.shiftrightunsigned(F.col("pb"), 22).alias("b"),
         "inter",
-        F.round(F.col("inter") / (na + nb - F.col("inter")), 4).alias("jaccard"),
+        F.round(F.col("inter") / F.least(na, nb), 4).alias("containment"),
+        F.when(na <= nb, F.shiftrightunsigned(F.col("pa"), 22))
+        .otherwise(F.shiftrightunsigned(F.col("pb"), 22))
+        .alias("contained_id"),
     )
     if threshold > 0:
-        out = out.filter(F.col("jaccard") >= threshold)
+        out = out.filter(F.col("containment") >= threshold)
     return out
 
 

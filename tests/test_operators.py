@@ -576,6 +576,21 @@ def test_shard_plan_token_balance(spark):
     assert a == b
 
 
+def test_containment_catches_subset_dup_jaccard_misses(spark):
+    """A short doc fully embedded in a long doc: containment = 1.0 while
+    Jaccard stays low — the asymmetric signal the operator exists for."""
+    from ollama_ocr_spark.operators.dedup import containment_pairs, jaccard_pairs
+
+    small = "alpha beta gamma delta epsilon zeta eta theta"
+    big = small + " " + " ".join(f"filler{i} pad{i} more{i}" for i in range(20))
+    df = spark.createDataFrame([(1, small), (2, big)], ["doc_id", "text"])
+    c = containment_pairs(df).collect()
+    assert len(c) == 1 and c[0]["containment"] == 1.0
+    assert c[0]["contained_id"] == 1
+    j = jaccard_pairs(df).collect()
+    assert j[0]["jaccard"] < 0.2   # same pair, Jaccard under-scores it
+
+
 def test_topic_mix_weights_normalized(spark):
     """Per-topic weights ~sum to 1, token_share exact, every vector
     assigned to exactly one topic."""
