@@ -1739,6 +1739,40 @@ def q_ngram_span_coverage(spark, sf_dir):
     return duplicated_ngram_coverage(_docs(spark, sf_dir), k=8)
 
 
+def q_pretraining_export(spark, sf_dir):
+    """The end-of-pipeline export composite: LSH components → FAMILY-atomic
+    train/val/test split (whole near-dup clusters in one split, so eval
+    can't see train's near-dups) → keeper + quality/repetition/exact-dup
+    gates → token-balanced shards WITHIN each split → the (split, shard)
+    manifest a training launcher reads. One near-dup label broadcast, one
+    digest shuffle (gates), one (split,band,cell) window — the corpus
+    never globally sorts."""
+    from ollama_ocr_spark.operators.dedup import (
+        dedup_components, minhash_lsh_candidates)
+    from ollama_ocr_spark.operators.maintenance import family_split, shard_plan
+    from ollama_ocr_spark.operators.textstats import curation_verdict
+
+    docs = _docs(spark, sf_dir)
+    comps = dedup_components(minhash_lsh_candidates(docs))
+    fs = family_split(docs.select("doc_id", "text"), comps, key="doc_id")
+    verdict = curation_verdict(docs.select("doc_id", "text"))
+    kept = (
+        fs.join(verdict.select("doc_id", "reason"), "doc_id")
+        .filter(
+            (F.col("doc_id") == F.col("family"))
+            & (F.col("reason") == "ok")
+        )
+    )
+    return (
+        shard_plan(kept, n_shards=4, within=("split",))
+        .groupBy("split", "shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("tokens"),
+        )
+    )
+
+
 def q_containment_pairs(spark, sf_dir):
     """Asymmetric shingle containment (inter/min) over the corpus — the
     quote-expansion/superset-dup signal Jaccard misses; same bit-packed
@@ -1820,6 +1854,7 @@ _QUERIES = {
         # item 2 — rotating coverage). Round-4 additions first (zero
         # evidence from ANY driver or judge round), then the round-3
         # queries that have only judge-run (softer) evidence so far.
+        "pretraining_export": q_pretraining_export,
         "containment_pairs": q_containment_pairs,
         "topic_mix": q_topic_mix,
         "shard_plan": q_shard_plan,
@@ -2127,6 +2162,92 @@ sh AS (
   SELECT DISTINCT doc_id, array_to_string(w[i : i + 4], ' ') AS shingle
   FROM widx
 )
+"""
+
+# MinHash-LSH candidate pairs -> recursive transitive closure -> component
+# labels (mirrors dedup.minhash_lsh_candidates + dedup_components); requires
+# _SHINGLES_CTE before it and WITH RECURSIVE on the statement.
+_LSH_COMP_CTES = """
+sig AS (
+  SELECT doc_id, g.j AS j,
+         min(md5(g.j || '|' || shingle)) AS m
+  FROM sh, generate_series(0, 7) AS g(j)
+  GROUP BY doc_id, g.j
+),
+bands AS (
+  SELECT doc_id, j // 2 AS band,
+         md5(string_agg(m, '' ORDER BY j)) AS bucket
+  FROM sig GROUP BY doc_id, j // 2
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket
+    AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION
+  SELECT b AS src, a AS dst FROM pairs),
+reach(node, r) AS (
+  SELECT src AS node, src AS r FROM edges
+  UNION
+  SELECT e.dst AS node, reach.r
+  FROM reach JOIN edges e ON reach.node = e.src),
+comp AS (SELECT node, min(r) AS label FROM reach GROUP BY node)
+"""
+
+# Exact-dup/quality/repetition gates -> per-doc verdict (mirrors
+# textstats.curation_verdict); requires _SHINGLES_CTE's `w` before it.
+_VERDICT_CTES = """
+keepfp AS (
+  SELECT md5(text) AS fp, min(doc_id) AS keeper
+  FROM documents GROUP BY 1),
+q AS (
+  SELECT w.doc_id, w.w,
+         len(w.w) AS n_words,
+         round((length(d.text) - (len(w.w) - 1)) * 1.0
+               / len(w.w), 4) AS mean_wl,
+         round(len(list_filter(w.w, x -> x IN
+               ('the','a','of','to','and','in','is')))
+               * 1.0 / len(w.w), 4) AS stop_ratio
+  FROM w JOIN documents d ON d.doc_id = w.doc_id),
+counts AS (
+  SELECT doc_id, count(*) AS c
+  FROM (SELECT doc_id, unnest(w) AS word FROM w)
+  GROUP BY doc_id, word),
+top AS (SELECT doc_id, max(c) AS topc FROM counts GROUP BY 1),
+kg AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 5
+              THEN list_transform(range(1, len(w) - 3),
+                   i -> array_to_string(w[i : i + 4], ' '))
+              ELSE [] END AS gs
+  FROM w),
+flags AS (
+  SELECT q.doc_id,
+         (q.n_words >= 10 AND q.mean_wl >= 2.0
+          AND q.mean_wl <= 12.0 AND q.stop_ratio >= 0.01)
+           AS quality_ok,
+         (round(len(list_distinct(q.w)) * 1.0 / q.n_words, 4)
+            >= 0.2
+          AND round(t.topc * 1.0 / q.n_words, 4) <= 0.3
+          AND (CASE WHEN len(k.gs) > 0
+               THEN round(1 - len(list_distinct(k.gs)) * 1.0
+                          / len(k.gs), 4)
+               ELSE 0.0 END) <= 0.6) AS repetition_ok
+  FROM q
+  JOIN top t ON t.doc_id = q.doc_id
+  JOIN kg k ON k.doc_id = q.doc_id),
+verdict AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id <> kk.keeper THEN 'duplicate'
+              WHEN NOT f.quality_ok THEN 'quality'
+              WHEN NOT f.repetition_ok THEN 'repetition'
+              ELSE 'ok' END AS vreason
+  FROM documents d
+  JOIN keepfp kk ON md5(d.text) = kk.fp
+  JOIN flags f ON f.doc_id = d.doc_id)
 """
 
 
@@ -2778,6 +2899,42 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = a
             JOIN sizes sb ON sb.doc_id = b
         """,
+        "pretraining_export": f"""
+            WITH RECURSIVE {_SHINGLES_CTE},
+            {_LSH_COMP_CTES},
+            {_VERDICT_CTES},
+            fam AS (
+              SELECT d.doc_id, d.text,
+                     coalesce(c.label, d.doc_id) AS family
+              FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+            kept AS (
+              SELECT f.doc_id, f.text,
+                     CASE WHEN substr(md5(f.family::VARCHAR), 1, 4) < 'e666'
+                            THEN 'train'
+                          WHEN substr(md5(f.family::VARCHAR), 1, 4) < 'f333'
+                            THEN 'val'
+                          ELSE 'test' END AS split
+              FROM fam f JOIN verdict v ON v.doc_id = f.doc_id
+              WHERE f.doc_id = f.family AND v.vreason = 'ok'),
+            tok AS (
+              SELECT doc_id, split,
+                     len(string_split(text, ' ')) AS n_tokens
+              FROM kept),
+            bnd AS (
+              SELECT doc_id, split, n_tokens,
+                     length(format('{{:b}}', n_tokens)) AS band,
+                     ({_md5_u32_sql("'shard|' || doc_id::VARCHAR")}) % 256
+                       AS cell
+              FROM tok),
+            r AS (
+              SELECT split, n_tokens, band, cell,
+                     row_number() OVER (PARTITION BY split, band, cell
+                                        ORDER BY doc_id) AS rn
+              FROM bnd)
+            SELECT split, ((rn - 1 + band + cell) % 4)::INT AS shard,
+                   count(*) AS n_docs, sum(n_tokens)::BIGINT AS tokens
+            FROM r GROUP BY 1, 2
+        """,
         "containment_pairs": f"""
             WITH {_SHINGLES_CTE},
             sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -3082,81 +3239,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "curate_corpus": f"""
             WITH RECURSIVE {_SHINGLES_CTE},
-            sig AS (
-              SELECT doc_id, g.j AS j,
-                     min(md5(g.j || '|' || shingle)) AS m
-              FROM sh, generate_series(0, 7) AS g(j)
-              GROUP BY doc_id, g.j
-            ),
-            bands AS (
-              SELECT doc_id, j // 2 AS band,
-                     md5(string_agg(m, '' ORDER BY j)) AS bucket
-              FROM sig GROUP BY doc_id, j // 2
-            ),
-            pairs AS (
-              SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-              FROM bands a JOIN bands b
-                ON a.band = b.band AND a.bucket = b.bucket
-                AND a.doc_id < b.doc_id
-            ),
-            edges AS (
-              SELECT a AS src, b AS dst FROM pairs
-              UNION
-              SELECT b AS src, a AS dst FROM pairs),
-            reach(node, r) AS (
-              SELECT src AS node, src AS r FROM edges
-              UNION
-              SELECT e.dst AS node, reach.r
-              FROM reach JOIN edges e ON reach.node = e.src),
-            comp AS (SELECT node, min(r) AS label FROM reach GROUP BY node),
-            keepfp AS (
-              SELECT md5(text) AS fp, min(doc_id) AS keeper
-              FROM documents GROUP BY 1),
-            q AS (
-              SELECT w.doc_id, w.w,
-                     len(w.w) AS n_words,
-                     round((length(d.text) - (len(w.w) - 1)) * 1.0
-                           / len(w.w), 4) AS mean_wl,
-                     round(len(list_filter(w.w, x -> x IN
-                           ('the','a','of','to','and','in','is')))
-                           * 1.0 / len(w.w), 4) AS stop_ratio
-              FROM w JOIN documents d ON d.doc_id = w.doc_id),
-            counts AS (
-              SELECT doc_id, count(*) AS c
-              FROM (SELECT doc_id, unnest(w) AS word FROM w)
-              GROUP BY doc_id, word),
-            top AS (SELECT doc_id, max(c) AS topc FROM counts GROUP BY 1),
-            kg AS (
-              SELECT doc_id,
-                     CASE WHEN len(w) >= 5
-                          THEN list_transform(range(1, len(w) - 3),
-                               i -> array_to_string(w[i : i + 4], ' '))
-                          ELSE [] END AS gs
-              FROM w),
-            flags AS (
-              SELECT q.doc_id,
-                     (q.n_words >= 10 AND q.mean_wl >= 2.0
-                      AND q.mean_wl <= 12.0 AND q.stop_ratio >= 0.01)
-                       AS quality_ok,
-                     (round(len(list_distinct(q.w)) * 1.0 / q.n_words, 4)
-                        >= 0.2
-                      AND round(t.topc * 1.0 / q.n_words, 4) <= 0.3
-                      AND (CASE WHEN len(k.gs) > 0
-                           THEN round(1 - len(list_distinct(k.gs)) * 1.0
-                                      / len(k.gs), 4)
-                           ELSE 0.0 END) <= 0.6) AS repetition_ok
-              FROM q
-              JOIN top t ON t.doc_id = q.doc_id
-              JOIN kg k ON k.doc_id = q.doc_id),
-            verdict AS (
-              SELECT d.doc_id,
-                     CASE WHEN d.doc_id <> kk.keeper THEN 'duplicate'
-                          WHEN NOT f.quality_ok THEN 'quality'
-                          WHEN NOT f.repetition_ok THEN 'repetition'
-                          ELSE 'ok' END AS vreason
-              FROM documents d
-              JOIN keepfp kk ON md5(d.text) = kk.fp
-              JOIN flags f ON f.doc_id = d.doc_id),
+            {_LSH_COMP_CTES},
+            {_VERDICT_CTES},
             final AS (
               SELECT d.doc_id,
                      coalesce(c.label, d.doc_id) AS cluster,

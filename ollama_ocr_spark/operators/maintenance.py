@@ -653,7 +653,8 @@ def deterministic_sample(pages: DataFrame, key: str = "url",
 
 
 def shard_plan(docs: DataFrame, n_shards: int = 16, key: str = "doc_id",
-               text_col: str = "text", n_cells: int = 256) -> DataFrame:
+               text_col: str = "text", n_cells: int = 256,
+               within: tuple[str, ...] = ()) -> DataFrame:
     """Deterministic token-BALANCED shard assignment — the export step
     that writes a training corpus as N shards of near-equal token mass
     (webdataset/TFRecord layout), without a global sort or an RNG.
@@ -674,11 +675,15 @@ def shard_plan(docs: DataFrame, n_shards: int = 16, key: str = "doc_id",
     Output: input columns + (n_tokens, shard). Same assignment on any
     engine, any partitioning, any run — the window orders by ``key``
     within a cell, and every hash is md5-derived.
+
+    ``within`` names extra grouping columns (e.g. ``("split",)``) so each
+    group gets its own independent shard layout — train shards never mix
+    with val/test shards.
     """
     tokens = F.size(F.split(F.col(text_col), " "))
     band = F.length(F.bin(F.col("n_tokens"))).cast("int")
     cell = (md5_u32_expr(key, salt="shard|") % n_cells).cast("int")
-    w = Window.partitionBy("__band", "__cell").orderBy(F.col(key))
+    w = Window.partitionBy(*within, "__band", "__cell").orderBy(F.col(key))
     return (
         docs.withColumn("n_tokens", tokens)
         .withColumn("__band", band)

@@ -576,6 +576,27 @@ def test_shard_plan_token_balance(spark):
     assert a == b
 
 
+def test_pretraining_export_reconciles_with_curate(spark):
+    """The export manifest's doc total equals curate_corpus's keep count
+    (same gates, same corpus) and every (split, shard) cell is nonempty
+    at sf0.001 — the two composites must tell one story."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    manifest = entry.queries()["pretraining_export"](spark, sf).collect()
+    kept = (
+        entry.queries()["curate_corpus"](spark, sf)
+        .filter(F.col("keep")).count()
+    )
+    assert sum(r["n_docs"] for r in manifest) == kept
+    assert {r["split"] for r in manifest} == {"train", "val", "test"}
+    train = {r["shard"]: r["tokens"] for r in manifest
+             if r["split"] == "train"}
+    mean = sum(train.values()) / len(train)
+    for tok in train.values():
+        assert abs(tok - mean) / mean < 0.2   # balanced at tiny scale
+
+
 def test_containment_catches_subset_dup_jaccard_misses(spark):
     """A short doc fully embedded in a long doc: containment = 1.0 while
     Jaccard stays low — the asymmetric signal the operator exists for."""
