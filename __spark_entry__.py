@@ -1739,6 +1739,19 @@ def q_ngram_span_coverage(spark, sf_dir):
     return duplicated_ngram_coverage(_docs(spark, sf_dir), k=8)
 
 
+def q_host_trustrank(spark, sf_dir):
+    """Seeded TrustRank over the cross-host outlink graph (seeds = the two
+    hub hosts): trust flows only from the whitelist, so spam-shaped hosts
+    rank near (1-d)*0 regardless of in-link mass. 3 unrolled iterations,
+    same oracle structure as host_pagerank."""
+    from ollama_ocr_spark.operators.linkgraph import host_trustrank, outlink_edges
+
+    return host_trustrank(
+        outlink_edges(_latest_pages(spark, sf_dir)),
+        seeds=["h0.example.com", "h1.example.com"],
+    )
+
+
 def q_pretraining_export(spark, sf_dir):
     """The end-of-pipeline export composite: LSH components → FAMILY-atomic
     train/val/test split (whole near-dup clusters in one split, so eval
@@ -1854,6 +1867,7 @@ _QUERIES = {
         # item 2 — rotating coverage). Round-4 additions first (zero
         # evidence from ANY driver or judge round), then the round-3
         # queries that have only judge-run (softer) evidence so far.
+        "host_trustrank": q_host_trustrank,
         "pretraining_export": q_pretraining_export,
         "containment_pairs": q_containment_pairs,
         "topic_mix": q_topic_mix,
@@ -2079,6 +2093,49 @@ wf AS (
 r0 AS (SELECT host, (SELECT 1.0::DOUBLE / n FROM nn) AS rank FROM hosts),
 {",".join(steps)}
 SELECT host, round(rank, 6) AS rank FROM r{iterations}
+"""
+
+
+def _trustrank_oracle(iterations: int = 3) -> str:
+    """DuckDB twin of linkgraph.host_trustrank: seed-restricted teleport
+    ((1.0 - 0.85) * seed, seed = 1/|S∩hosts|), iterations unrolled as
+    chained CTEs, identical per-term double arithmetic."""
+    seeds_sql = "('h0.example.com', 'h1.example.com')"
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(f"""
+t{i} AS (
+  SELECT s.host,
+         (1.0::DOUBLE - 0.85::DOUBLE) * s.seed +
+         coalesce(sum(r.rank * w.wfrac * 0.85::DOUBLE), 0.0::DOUBLE) AS rank
+  FROM s0 s
+  LEFT JOIN wf w ON w.dst_host = s.host
+  LEFT JOIN t{i - 1} r ON r.host = w.src_host
+  GROUP BY s.host, s.seed
+)""")
+    return f"""
+WITH {_EDGES_CTES},
+ce AS (SELECT * FROM edges WHERE src_host <> dst_host),
+hosts AS (
+  SELECT DISTINCT host FROM (
+    SELECT src_host AS host FROM ce
+    UNION ALL SELECT dst_host FROM ce)
+),
+sn AS (SELECT count(*) AS ns FROM hosts WHERE host IN {seeds_sql}),
+s0 AS (
+  SELECT host,
+         CASE WHEN host IN {seeds_sql}
+              THEN 1.0::DOUBLE / (SELECT ns FROM sn)
+              ELSE 0.0::DOUBLE END AS seed
+  FROM hosts),
+deg AS (SELECT src_host, sum(n_links) AS out_w FROM ce GROUP BY 1),
+wf AS (
+  SELECT e.src_host, e.dst_host, e.n_links / d.out_w AS wfrac
+  FROM ce e JOIN deg d USING (src_host)
+),
+t0 AS (SELECT host, seed AS rank FROM s0),
+{",".join(steps)}
+SELECT host, round(rank, 6) AS trust FROM t{iterations}
 """
 
 
@@ -2899,6 +2956,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = a
             JOIN sizes sb ON sb.doc_id = b
         """,
+        "host_trustrank": _trustrank_oracle(3),
         "pretraining_export": f"""
             WITH RECURSIVE {_SHINGLES_CTE},
             {_LSH_COMP_CTES},

@@ -143,6 +143,76 @@ def host_pagerank(edges: DataFrame, iterations: int = 3,
     return ranks.select("host", F.round(F.col("rank"), 6).alias("rank"))
 
 
+def host_trustrank(edges: DataFrame, seeds: list[str],
+                   iterations: int = 3, damping: float = 0.85) -> DataFrame:
+    """Seeded TrustRank (Gyöngyi et al. 2004) over the host link graph —
+    the spam-demotion companion to :func:`host_pagerank`: trust flows
+    ONLY from a hand-vetted seed whitelist, so link-farm hosts that
+    inflate raw PageRank (they cite each other, nobody trusted cites
+    them) end near zero:
+
+        t_{i+1}(h) = (1-d) * seed(h) + d * Σ_incoming t_i(src) * wfrac
+
+    with ``seed(h) = 1/|S|`` on seed hosts, 0 elsewhere, ``t_0 = seed``.
+    The crawl-frontier use: prioritize/keep hosts by trust, not raw
+    in-link mass.
+
+    Same execution shape as :func:`host_pagerank`: fixed-iteration loop
+    over the HOST table (never the corpus), localCheckpoint per round,
+    dangling mass not redistributed, 6dp rounding absorbs the small
+    in-degree-bounded sum's engine order. Output: (host, trust).
+    """
+    ce = edges.filter(F.col("src_host") != F.col("dst_host"))
+    hosts = (
+        ce.select(F.col("src_host").alias("host"))
+        .union(ce.select(F.col("dst_host").alias("host")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    in_seed = F.col("host").isin(list(seeds))
+    ns = hosts.filter(in_seed).count()
+    if ns == 0:
+        return hosts.select("host", F.lit(0.0).alias("trust"))
+    seedv = hosts.select(
+        "host",
+        F.when(in_seed, F.lit(1.0 / ns)).otherwise(F.lit(0.0)).alias("seed"),
+    ).localCheckpoint(eager=True)
+
+    out_w = ce.groupBy("src_host").agg(F.sum("n_links").alias("out_w"))
+    wf = (
+        ce.join(out_w, "src_host")
+        .select(
+            "src_host", "dst_host",
+            (F.col("n_links") / F.col("out_w")).alias("wfrac"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    trust = seedv.select("host", F.col("seed").alias("rank"))
+    for _ in range(iterations):
+        incoming = (
+            wf.join(trust, wf.src_host == trust.host)
+            .select(
+                F.col("dst_host").alias("host"),
+                (F.col("rank") * F.col("wfrac") * F.lit(damping)).alias("t"),
+            )
+            .groupBy("host")
+            .agg(F.sum("t").alias("s"))
+        )
+        trust = (
+            seedv.join(incoming, "host", "left")
+            .select(
+                "host",
+                (
+                    F.lit(1.0 - damping) * F.col("seed")
+                    + F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return trust.select("host", F.round(F.col("rank"), 6).alias("trust"))
+
+
 def anchor_text_stats(pages: DataFrame) -> DataFrame:
     """(dst_host, anchor, n_links): inbound anchor-text counts per target
     host — the classic target-description signal (inbound anchor text

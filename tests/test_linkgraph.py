@@ -66,6 +66,29 @@ def test_host_pagerank_mass_and_ordering(spark, documents_smoke):
     assert max(ranks, key=ranks.get) == "h0.example.com"
 
 
+def test_host_trustrank_starves_link_farm(spark):
+    """A spam clique with huge mutual in-link mass but no path from the
+    seed gets exactly zero trust; hosts reachable from the seed don't."""
+    from ollama_ocr_spark.operators.linkgraph import host_trustrank
+
+    edges = spark.createDataFrame(
+        [
+            ("good.com", "a.com", 1), ("a.com", "b.com", 1),
+            # link farm: spam1<->spam2 with 1000x the link mass
+            ("spam1.com", "spam2.com", 1000),
+            ("spam2.com", "spam1.com", 1000),
+        ],
+        ["src_host", "dst_host", "n_links"],
+    )
+    t = {r["host"]: r["trust"]
+         for r in host_trustrank(edges, seeds=["good.com"]).collect()}
+    assert t["spam1.com"] == 0.0 and t["spam2.com"] == 0.0
+    assert t["good.com"] > 0 and t["a.com"] > 0 and t["b.com"] > 0
+    # no seeds in graph -> all-zero trust, not an error
+    z = host_trustrank(edges, seeds=["absent.com"]).collect()
+    assert all(r["trust"] == 0.0 for r in z)
+
+
 def test_crawl_diff_counts(spark, documents_smoke):
     pages = synthesize_stage(documents_smoke)
     agg = crawl_diff(pages).agg(
