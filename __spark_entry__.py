@@ -1739,6 +1739,23 @@ def q_ngram_span_coverage(spark, sf_dir):
     return duplicated_ngram_coverage(_docs(spark, sf_dir), k=8)
 
 
+def q_compaction_plan(spark, sf_dir):
+    """Small-file compaction planner over synthetic per-(source, bucket)
+    file stats: exclusive running-byte bucketing to ~3000-byte merge
+    groups within each table partition — exact integer window math."""
+    from ollama_ocr_spark.operators.maintenance import compaction_plan
+
+    files = (
+        _docs(spark, sf_dir)
+        .groupBy(
+            F.col("source").alias("part"),
+            (F.col("doc_id") % 17).alias("file_id"),
+        )
+        .agg(F.sum("n_chars").alias("bytes"))
+    )
+    return compaction_plan(files, target_bytes=3000)
+
+
 def q_host_trustrank(spark, sf_dir):
     """Seeded TrustRank over the cross-host outlink graph (seeds = the two
     hub hosts): trust flows only from the whitelist, so spam-shaped hosts
@@ -1867,6 +1884,7 @@ _QUERIES = {
         # item 2 — rotating coverage). Round-4 additions first (zero
         # evidence from ANY driver or judge round), then the round-3
         # queries that have only judge-run (softer) evidence so far.
+        "compaction_plan": q_compaction_plan,
         "host_trustrank": q_host_trustrank,
         "pretraining_export": q_pretraining_export,
         "containment_pairs": q_containment_pairs,
@@ -2955,6 +2973,20 @@ def oracle_sql() -> dict[str, str]:
             FROM inter
             JOIN sizes sa ON sa.doc_id = a
             JOIN sizes sb ON sb.doc_id = b
+        """,
+        "compaction_plan": """
+            WITH f AS (
+              SELECT source AS part, doc_id % 17 AS file_id,
+                     sum(n_chars)::BIGINT AS bytes
+              FROM documents GROUP BY 1, 2),
+            c AS (
+              SELECT part, file_id, bytes,
+                     coalesce(sum(bytes) OVER (
+                       PARTITION BY part ORDER BY file_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cb
+              FROM f)
+            SELECT part, file_id, bytes, (cb // 3000)::BIGINT AS grp FROM c
         """,
         "host_trustrank": _trustrank_oracle(3),
         "pretraining_export": f"""

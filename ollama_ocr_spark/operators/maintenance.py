@@ -652,6 +652,37 @@ def deterministic_sample(pages: DataFrame, key: str = "url",
     )
 
 
+def compaction_plan(files: DataFrame, target_bytes: int,
+                    part_cols: tuple[str, ...] = ("part",),
+                    order_col: str = "file_id",
+                    bytes_col: str = "bytes") -> DataFrame:
+    """Small-file compaction planner — the maintenance pass behind
+    Iceberg/Delta ``rewrite_data_files``/``OPTIMIZE``: streaming ingestion
+    leaves thousands of KB-scale files per table partition, and every
+    later scan pays per-file open/footer costs. Assign each file a merge
+    GROUP such that groups approach ``target_bytes``: within a table
+    partition, files are taken in ``order_col`` order (keeps any
+    sort-order clustering adjacent in the rewritten files) and bucketed
+    by exclusive running byte total — ``group = floor(cum_before /
+    target)``. A file that crosses a boundary stays in the group where it
+    started (groups may overshoot by < one file; a file larger than
+    ``target_bytes`` gets a group to itself).
+
+    Deterministic, engine-exact (integer window sum, integer division).
+    Scale shape: one window per TABLE PARTITION — embarrassingly parallel
+    across partitions, and per-partition file counts (10^3-10^5) are
+    driver-trivial rows, never data rows. Output: input + (grp).
+    """
+    w = (
+        Window.partitionBy(*part_cols).orderBy(F.col(order_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(bytes_col).over(w), F.lit(0))
+    return files.withColumn(
+        "grp", F.floor(cum_before / F.lit(int(target_bytes)))
+    )
+
+
 def shard_plan(docs: DataFrame, n_shards: int = 16, key: str = "doc_id",
                text_col: str = "text", n_cells: int = 256,
                within: tuple[str, ...] = ()) -> DataFrame:

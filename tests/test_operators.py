@@ -547,6 +547,28 @@ def test_family_split_cluster_atomic(spark):
         assert rows[did] == (did, split)
 
 
+def test_compaction_plan_grouping_semantics(spark):
+    """Exclusive-cumsum bucketing: a file that crosses the target boundary
+    stays in the group it started; an oversized file gets its own group;
+    partitions plan independently."""
+    from ollama_ocr_spark.operators.maintenance import compaction_plan
+
+    files = spark.createDataFrame(
+        [("p1", 1, 600), ("p1", 2, 600), ("p1", 3, 600),   # 600+600 | 600
+         ("p1", 4, 5000),                                   # giant: own group
+         ("p1", 5, 100),
+         ("p2", 1, 100)],                                   # fresh partition
+        ["part", "file_id", "bytes"],
+    )
+    out = {(r["part"], r["file_id"]): r["grp"]
+           for r in compaction_plan(files, target_bytes=1000).collect()}
+    assert out[("p1", 1)] == 0 and out[("p1", 2)] == 0   # 0, 600 < 1000
+    assert out[("p1", 3)] == 1                            # starts at 1200
+    assert out[("p1", 4)] == 1                            # starts at 1800
+    assert out[("p1", 5)] == 6                            # after the giant
+    assert out[("p2", 1)] == 0
+
+
 def test_shard_plan_token_balance(spark):
     """Banded round-robin sharding: every doc assigned, shards within a
     tight token-mass band of each other, assignment deterministic."""
