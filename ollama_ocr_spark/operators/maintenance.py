@@ -621,10 +621,12 @@ def family_split(df: DataFrame, labels: DataFrame, key: str = "doc_id",
     leakage risk exists.
 
     Scale shape: labels cover only documents that appeared in a candidate
-    PAIR — a small fraction of the corpus — so the left join broadcasts
-    under AQE; the corpus never shuffles. The split itself is the same
-    md5-bucket string compare as :func:`hash_split` (map-side, no RNG).
-    Output: input columns + (family, split).
+    PAIR, so AQE broadcasts the join when that set is small; on a heavily
+    duplicated web corpus (where near-dup membership can reach a large
+    corpus fraction) it degrades to one equi-join shuffle on the id — the
+    unavoidable minimum to attach cluster labels. The split itself is the
+    same md5-bucket string compare as :func:`hash_split` (map-side, no
+    RNG). Output: input columns + (family, split).
     """
     fam = labels.select(
         F.col(node).alias("__fs_node"), F.col(label).alias("__fs_label")

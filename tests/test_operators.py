@@ -547,6 +547,22 @@ def test_family_split_cluster_atomic(spark):
         assert rows[did] == (did, split)
 
 
+def test_shard_plan_single_exchange(spark):
+    """Sharding costs exactly ONE shuffle (the (band, cell) window) — no
+    global sort, no second exchange: the 100 TB contract of shard_plan."""
+    from ollama_ocr_spark.operators.maintenance import shard_plan
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (i % 9 + 1)) for i in range(100)], ["doc_id", "text"]
+    )
+    plan = (
+        shard_plan(docs, n_shards=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window") == 1
+
+
 def test_compaction_plan_grouping_semantics(spark):
     """Exclusive-cumsum bucketing: a file that crosses the target boundary
     stays in the group it started; an oversized file gets its own group;
