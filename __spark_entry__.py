@@ -1739,6 +1739,18 @@ def q_ngram_span_coverage(spark, sf_dir):
     return duplicated_ngram_coverage(_docs(spark, sf_dir), k=8)
 
 
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-10 for a 3-word query over positional postings: 8dp-
+    rounded idf, decimal-quantized per-doc sum, literal-constant parity
+    (1.2/2.2/0.25/0.75 on both engines), ties broken by doc_id."""
+    from ollama_ocr_spark.operators.search import bm25_topk, positional_postings
+
+    return bm25_topk(
+        positional_postings(_docs(spark, sf_dir).select("doc_id", "text")),
+        ["vector", "merge", "table"],
+    )
+
+
 def q_compaction_plan(spark, sf_dir):
     """Small-file compaction planner over synthetic per-(source, bucket)
     file stats: exclusive running-byte bucketing to ~3000-byte merge
@@ -1884,6 +1896,7 @@ _QUERIES = {
         # item 2 — rotating coverage). Round-4 additions first (zero
         # evidence from ANY driver or judge round), then the round-3
         # queries that have only judge-run (softer) evidence so far.
+        "bm25_topk": q_bm25_topk,
         "compaction_plan": q_compaction_plan,
         "host_trustrank": q_host_trustrank,
         "pretraining_export": q_pretraining_export,
@@ -2973,6 +2986,37 @@ def oracle_sql() -> dict[str, str]:
             FROM inter
             JOIN sizes sa ON sa.doc_id = a
             JOIN sizes sb ON sb.doc_id = b
+        """,
+        "bm25_topk": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                       AS term
+              FROM documents),
+            lens AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+            st AS (SELECT count(*) AS n_docs, sum(dl)::BIGINT AS t_tokens
+                   FROM lens),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM toks
+              WHERE term IN ('vector', 'merge', 'table')
+              GROUP BY 1, 2),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            scored AS (
+              SELECT t.doc_id,
+                     round(
+                       round(ln((st.n_docs - d.df + 0.5) / (d.df + 0.5)
+                                + 1.0), 8)
+                       * (2.2 * t.tf)
+                       / (t.tf + 1.2 * (0.25 + 0.75 * l.dl
+                          / (st.t_tokens / st.n_docs))),
+                       6)::DECIMAL(18,6) AS s
+              FROM tf t
+              JOIN dfreq d USING (term)
+              JOIN lens l USING (doc_id)
+              CROSS JOIN st)
+            SELECT doc_id, round(sum(s)::DOUBLE, 4) AS score
+            FROM scored GROUP BY doc_id
+            ORDER BY score DESC, doc_id LIMIT 10
         """,
         "compaction_plan": """
             WITH f AS (

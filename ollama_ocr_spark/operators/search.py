@@ -88,3 +88,70 @@ def and_search(postings: DataFrame, words: list[str],
         .filter(F.col("__nt") == len(lw))
         .select(key, "n_hits")
     )
+
+
+def bm25_topk(postings: DataFrame, words: list[str], k: int = 10,
+              key: str = "doc_id") -> DataFrame:
+    """BM25-ranked retrieval (k1=1.2, b=0.75 — the Robertson/Lucene
+    defaults) over positional postings — the ranking layer on top of
+    :func:`and_search`'s boolean matching:
+
+        score(D,Q) = Σ_t idf(t) * tf*(k1+1) / (tf + k1*(1-b + b*|D|/avgdl))
+        idf(t)     = ln((N - df + 0.5)/(df + 0.5) + 1)
+
+    Engine parity: idf is rounded to 8dp before use (absorbs last-ulp
+    ``ln`` differences — the unigram_logprob idiom); per-term scores are
+    6dp-quantized and summed through DECIMAL(18,6) so the per-doc sum is
+    order-free; constants 1.2 / 2.2 / 0.25 / 0.75 appear literally on
+    both engines (never ``k1+1`` computed in one and literal in the
+    other — a near-tie double). Output: top-``k`` (key, score), score
+    rounded 4dp, ties broken by key.
+
+    Scale shape: doc lengths + N/avgdl are one partial-agg pass over the
+    postings (precompute them alongside a persisted index in production);
+    the query-term side filters FIRST, so tf/df cost tracks query-term
+    selectivity. df and the 2-row corpus stats broadcast; top-k is
+    per-partition heads merged on the driver (TakeOrderedAndProject),
+    never a global sort.
+    """
+    if not words:
+        raise ValueError("words must contain at least one term")
+    lw = list(dict.fromkeys(w.lower() for w in words))
+    lens = postings.groupBy(key).agg(F.count("*").alias("dl"))
+    stats = lens.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("t_tokens")
+    )
+    tf = (
+        postings.filter(F.col("term").isin(lw))
+        .groupBy(key, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    joined = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(lens, key)
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("t_tokens") / F.col("n_docs")
+    idf = F.round(
+        F.log(
+            (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        ),
+        8,
+    )
+    denom = F.col("tf") + F.lit(1.2) * (
+        F.lit(0.25) + F.lit(0.75) * F.col("dl") / avgdl
+    )
+    term_score = idf * (F.lit(2.2) * F.col("tf")) / denom
+    return (
+        joined.select(
+            F.col(key),
+            F.round(term_score, 6).cast("decimal(18,6)").alias("s"),
+        )
+        .groupBy(key)
+        .agg(F.round(F.sum("s").cast("double"), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc(key))
+        .limit(k)
+    )

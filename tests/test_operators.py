@@ -650,6 +650,28 @@ def test_containment_catches_subset_dup_jaccard_misses(spark):
     assert j[0]["jaccard"] < 0.2   # same pair, Jaccard under-scores it
 
 
+def test_bm25_ranking_semantics(spark):
+    """Rare-term matches outrank common-term matches; higher tf wins
+    within a term; k caps the result."""
+    from ollama_ocr_spark.operators.search import bm25_topk, positional_postings
+
+    rows = [
+        (1, "rare filler a b c d e f"),          # 1x rare
+        (2, "rare rare filler g h i j k"),       # 2x rare -> beats doc 1
+        (3, "common stuff here p q r s t"),      # only the common term
+    ] + [(10 + i, f"common pad{i} x{i} y{i} z{i} w{i} v{i} u{i}")
+         for i in range(8)]                       # make 'common' common
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = bm25_topk(positional_postings(df), ["rare", "common"], k=3)
+    got = [r["doc_id"] for r in out.collect()]
+    assert len(got) == 3
+    assert got[0] == 2 and got[1] == 1   # rare-term docs lead, tf breaks
+    s = {r["doc_id"]: r["score"] for r in
+         bm25_topk(positional_postings(df), ["rare", "common"], k=20)
+         .collect()}
+    assert s[2] > s[1] > s[3] > 0
+
+
 def test_topic_mix_weights_normalized(spark):
     """Per-topic weights ~sum to 1, token_share exact, every vector
     assigned to exactly one topic."""
