@@ -1739,6 +1739,34 @@ def q_ngram_span_coverage(spark, sf_dir):
     return duplicated_ngram_coverage(_docs(spark, sf_dir), k=8)
 
 
+def q_retrieval_rerank(spark, sf_dir):
+    """Two-stage retrieval (the RAG-prep shape): BM25 recall stage pulls
+    the top-50 lexical candidates, then an embedding cosine rerank scores
+    ONLY those 50 per query vector — the candidate set bounds the
+    expensive vector math, so rerank cost is |Q|x50, never |Q|x|corpus|.
+    Output carries both scores (cosine rank + bm25) per (query, doc)."""
+    from ollama_ocr_spark.operators.search import bm25_topk, positional_postings
+    from ollama_ocr_spark.operators.similarity import cosine_topk
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    cands = bm25_topk(
+        positional_postings(docs), ["vector", "merge", "table"], k=50
+    )
+    emb = _emb(spark, sf_dir)
+    cvecs = emb.join(
+        cands, emb.vec_id == cands.doc_id
+    ).select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = cosine_topk(cvecs, queries, k=5).withColumnRenamed("rank", "rnk")
+    return out.join(
+        cands.select(
+            F.col("doc_id").alias("neighbor_id"),
+            F.col("score").alias("bm25"),
+        ),
+        "neighbor_id",
+    ).select("query_id", "neighbor_id", "cosine", "rnk", "bm25")
+
+
 def q_bm25_topk(spark, sf_dir):
     """BM25 top-10 for a 3-word query over positional postings: 8dp-
     rounded idf, decimal-quantized per-doc sum, literal-constant parity
@@ -1896,6 +1924,7 @@ _QUERIES = {
         # item 2 — rotating coverage). Round-4 additions first (zero
         # evidence from ANY driver or judge round), then the round-3
         # queries that have only judge-run (softer) evidence so far.
+        "retrieval_rerank": q_retrieval_rerank,
         "bm25_topk": q_bm25_topk,
         "compaction_plan": q_compaction_plan,
         "host_trustrank": q_host_trustrank,
@@ -2042,6 +2071,39 @@ def _md5_u32_sql(e: str) -> str:
         f"(instr('0123456789abcdef', substr(md5({e}), i, 1)) - 1) "
         "* power(16, 8 - i)))::BIGINT"
     )
+
+
+def _bm25_ctes(words_sql: str) -> str:
+    """BM25 per-(doc, term) score CTE chain (mirrors search.bm25_topk's
+    arithmetic: 8dp-rounded ln idf, literal 1.2/2.2/0.25/0.75 constants,
+    6dp DECIMAL quantization). Ends at `bm25s(doc_id, s)`; callers
+    aggregate/limit."""
+    return f"""toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                       AS term
+              FROM documents),
+            lens AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+            st AS (SELECT count(*) AS n_docs, sum(dl)::BIGINT AS t_tokens
+                   FROM lens),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM toks
+              WHERE term IN {words_sql}
+              GROUP BY 1, 2),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            bm25s AS (
+              SELECT t.doc_id,
+                     round(
+                       round(ln((st.n_docs - d.df + 0.5) / (d.df + 0.5)
+                                + 1.0), 8)
+                       * (2.2 * t.tf)
+                       / (t.tf + 1.2 * (0.25 + 0.75 * l.dl
+                          / (st.t_tokens / st.n_docs))),
+                       6)::DECIMAL(18,6) AS s
+              FROM tf t
+              JOIN dfreq d USING (term)
+              JOIN lens l USING (doc_id)
+              CROSS JOIN st)"""
 
 
 # Shared corpus-mapping fragments (mirror ollama_ocr_spark/corpus.py exactly).
@@ -2987,35 +3049,39 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = a
             JOIN sizes sb ON sb.doc_id = b
         """,
-        "bm25_topk": """
-            WITH toks AS (
-              SELECT doc_id,
-                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
-                       AS term
-              FROM documents),
-            lens AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
-            st AS (SELECT count(*) AS n_docs, sum(dl)::BIGINT AS t_tokens
-                   FROM lens),
-            tf AS (
-              SELECT doc_id, term, count(*) AS tf FROM toks
-              WHERE term IN ('vector', 'merge', 'table')
-              GROUP BY 1, 2),
-            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-            scored AS (
-              SELECT t.doc_id,
-                     round(
-                       round(ln((st.n_docs - d.df + 0.5) / (d.df + 0.5)
-                                + 1.0), 8)
-                       * (2.2 * t.tf)
-                       / (t.tf + 1.2 * (0.25 + 0.75 * l.dl
-                          / (st.t_tokens / st.n_docs))),
-                       6)::DECIMAL(18,6) AS s
-              FROM tf t
-              JOIN dfreq d USING (term)
-              JOIN lens l USING (doc_id)
-              CROSS JOIN st)
+        "retrieval_rerank": f"""
+            WITH {_bm25_ctes("('vector', 'merge', 'table')")},
+            cand AS (
+              SELECT doc_id, round(sum(s)::DOUBLE, 4) AS bm25
+              FROM bm25s GROUP BY doc_id
+              ORDER BY bm25 DESC, doc_id LIMIT 50),
+            q AS (SELECT vec_id AS query_id, embedding AS qv
+                  FROM embeddings WHERE vec_id < 3),
+            c AS (SELECT e.vec_id AS neighbor_id, e.embedding AS cv, b.bm25
+                  FROM embeddings e JOIN cand b ON b.doc_id = e.vec_id),
+            rescored AS (
+              SELECT query_id, neighbor_id, bm25,
+                round(
+                  list_sum(list_transform(range(1, 1 + len(qv)),
+                           i -> qv[i]::DOUBLE * cv[i]::DOUBLE))
+                  / (sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE)))
+                     * sqrt(list_sum(list_transform(cv, x -> x::DOUBLE * x::DOUBLE)))),
+                  4) AS cosine
+              FROM q, c
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id) AS rnk
+              FROM rescored
+            )
+            SELECT query_id, neighbor_id, cosine, rnk::INT AS rnk, bm25
+            FROM ranked WHERE rnk <= 5
+        """,
+        "bm25_topk": f"""
+            WITH {_bm25_ctes("('vector', 'merge', 'table')")}
             SELECT doc_id, round(sum(s)::DOUBLE, 4) AS score
-            FROM scored GROUP BY doc_id
+            FROM bm25s GROUP BY doc_id
             ORDER BY score DESC, doc_id LIMIT 10
         """,
         "compaction_plan": """

@@ -150,6 +150,7 @@ EXTRA3 = (
 # least accumulated perf evidence, so budget-skips should fall on the old
 # suites whose numbers already exist in BENCH_r02/BENCH.md).
 EXTRA4: tuple[str, ...] = (
+    "retrieval_rerank",
     "bm25_topk",
     "compaction_plan",
     "host_trustrank",
