@@ -654,6 +654,25 @@ def deterministic_sample(pages: DataFrame, key: str = "url",
     )
 
 
+def export_shards(df: DataFrame, path: str,
+                  part_cols: tuple[str, ...] = ("split", "shard")) -> None:
+    """Materialize a sharded training export as hive-partitioned parquet:
+    one directory per ``(split, shard)`` cell (``split=train/shard=3/``),
+    each cell coalesced from its own rows only — the on-disk layout a
+    training launcher consumes (read exactly the split+shards a worker
+    owns, partition-pruned at the scan: no other cell's bytes are
+    touched).
+
+    ``partitionBy`` writes each cell from whatever tasks hold its rows;
+    upstream :func:`shard_plan`'s window already clustered rows by cell,
+    so the writer does not reshuffle. Overwrite is dynamic-safe here only
+    in the full-rewrite sense (mode=overwrite replaces the whole path) —
+    nightly incremental appends should write ``mode("append")`` with new
+    shard ids instead.
+    """
+    df.write.mode("overwrite").partitionBy(*part_cols).parquet(path)
+
+
 def compaction_plan(files: DataFrame, target_bytes: int,
                     part_cols: tuple[str, ...] = ("part",),
                     order_col: str = "file_id",

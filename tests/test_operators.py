@@ -547,6 +547,35 @@ def test_family_split_cluster_atomic(spark):
         assert rows[did] == (did, split)
 
 
+def test_export_shards_layout_and_pruning(spark, tmp_path):
+    """export_shards writes hive-partitioned (split, shard) dirs and a
+    single-cell read partition-prunes: the scan touches one directory."""
+    from ollama_ocr_spark.operators.maintenance import (
+        export_shards, hash_split, shard_plan)
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (i % 9 + 1)) for i in range(300)], ["doc_id", "text"]
+    )
+    out = shard_plan(hash_split(docs, key="doc_id"), n_shards=4,
+                     within=("split",))
+    path = str(tmp_path / "export")
+    export_shards(out, path)
+    import os
+    splits = sorted(d for d in os.listdir(path) if d.startswith("split="))
+    assert splits == ["split=test", "split=train", "split=val"]
+    assert sorted(os.listdir(f"{path}/split=train")) == [
+        "shard=0", "shard=1", "shard=2", "shard=3"]
+    back = spark.read.parquet(path)
+    assert back.count() == 300
+    one = back.filter((F.col("split") == "train") & (F.col("shard") == 2))
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    # partition pruning reached the scan: the split+shard filters are
+    # partition filters, not data filters
+    assert "PartitionFilters" in plan
+    assert one.count() == out.filter(
+        (F.col("split") == "train") & (F.col("shard") == 2)).count()
+
+
 def test_shard_plan_single_exchange(spark):
     """Sharding costs exactly ONE shuffle (the (band, cell) window) — no
     global sort, no second exchange: the 100 TB contract of shard_plan."""
