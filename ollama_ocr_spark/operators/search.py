@@ -18,6 +18,12 @@ Scale shape:
   hash/sort-merge equi-joins (plan-asserted in tests).
 - :func:`and_search` is the boolean-AND variant: one groupBy(doc) over
   the union of the phrase words' postings, match = distinct-term count.
+- Deliberately NO ``ensure_parallelism`` on the docs input: measured at
+  sf0.1 the guard is a LOSS for bm25_topk (1.71 s plain vs 2.61 s
+  guarded, best-of-2 fresh plans) — the posexplode fans a 1-partition
+  scan into a 32-partition shuffle ANYWAY at the first groupBy, so the
+  guard only adds an extra full-text exchange; phrase_search is filter-
+  collapsed (~0.2 s) either way.
 
 No reference analog — the single-doc reference never indexes; this is
 part of the beyond-the-reference training-data/IR surface.
