@@ -1767,6 +1767,35 @@ def q_retrieval_rerank(spark, sf_dir):
     ).select("query_id", "neighbor_id", "cosine", "rnk", "bm25")
 
 
+def q_host_degree_stats(spark, sf_dir):
+    """Per-host in/out degree + weighted link sums over the cross-host
+    outlink graph (self-loops dropped, matching the PageRank edge set):
+    two host-level partial aggs + a full outer join; the corpus scans
+    once in outlink_edges and never again."""
+    from ollama_ocr_spark.operators.linkgraph import (host_degree_stats,
+                                                      outlink_edges)
+
+    return host_degree_stats(outlink_edges(_latest_pages(spark, sf_dir)))
+
+
+def q_bigram_stats(spark, sf_dir):
+    """Top-50 corpus bigrams with 8dp-rounded PMI: exact BIGINT count
+    products on both engines, ONE double division feeding ln (mirrored
+    expression tree), counts break ties by bigram text."""
+    from ollama_ocr_spark.operators.textstats import bigram_stats
+
+    return bigram_stats(_docs(spark, sf_dir), k=50)
+
+
+def q_length_histogram(spark, sf_dir):
+    """Per-lang log2-bucketed doc-length histogram: bucket = bit-width via
+    base-2 string conv (exact integer arithmetic — floor(log2) flips at
+    power-of-two boundaries), one map-side expression + one partial agg."""
+    from ollama_ocr_spark.operators.textstats import length_histogram
+
+    return length_histogram(_docs(spark, sf_dir))
+
+
 def q_bm25_topk(spark, sf_dir):
     """BM25 top-10 for a 3-word query over positional postings: 8dp-
     rounded idf, decimal-quantized per-doc sum, literal-constant parity
@@ -1924,6 +1953,9 @@ _QUERIES = {
         # item 2 — rotating coverage). Round-4 additions first (zero
         # evidence from ANY driver or judge round), then the round-3
         # queries that have only judge-run (softer) evidence so far.
+        "host_degree_stats": q_host_degree_stats,
+        "bigram_stats": q_bigram_stats,
+        "length_histogram": q_length_histogram,
         "retrieval_rerank": q_retrieval_rerank,
         "bm25_topk": q_bm25_topk,
         "compaction_plan": q_compaction_plan,
@@ -2447,6 +2479,62 @@ from ollama_ocr_spark.operators.textstats import PII_PHONE_RE as _PII_PHONE
 
 def oracle_sql() -> dict[str, str]:
     d = {
+        "host_degree_stats": f"""
+            WITH {_EDGES_CTES},
+            ce AS (SELECT * FROM edges WHERE src_host <> dst_host),
+            o AS (
+              SELECT src_host AS host, count(*)::BIGINT AS out_deg,
+                     sum(n_links)::BIGINT AS out_links
+              FROM ce GROUP BY 1),
+            i AS (
+              SELECT dst_host AS host, count(*)::BIGINT AS in_deg,
+                     sum(n_links)::BIGINT AS in_links
+              FROM ce GROUP BY 1)
+            SELECT coalesce(o.host, i.host) AS host,
+                   coalesce(out_deg, 0)::BIGINT AS out_deg,
+                   coalesce(out_links, 0)::BIGINT AS out_links,
+                   coalesce(in_deg, 0)::BIGINT AS in_deg,
+                   coalesce(in_links, 0)::BIGINT AS in_links
+            FROM o FULL OUTER JOIN i ON o.host = i.host
+        """,
+        "bigram_stats": """
+            WITH t AS (
+              SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+              FROM documents),
+            uc AS (
+              SELECT t, count(*)::BIGINT AS c
+              FROM (SELECT unnest(w) AS t FROM t) GROUP BY 1),
+            nt AS (SELECT sum(c)::BIGINT AS n_tokens FROM uc),
+            pc AS (
+              SELECT bigram, count(*)::BIGINT AS n_pairs
+              FROM (
+                SELECT unnest(list_transform(range(1, len(w)),
+                              i -> w[i] || ' ' || w[i + 1])) AS bigram
+                FROM t)
+              GROUP BY 1)
+            SELECT p.bigram, p.n_pairs,
+                   round(ln((p.n_pairs * nt.n_tokens) / (u1.c * u2.c)), 8)
+                     AS pmi
+            FROM pc p
+            JOIN uc u1 ON u1.t = string_split(p.bigram, ' ')[1]
+            JOIN uc u2 ON u2.t = string_split(p.bigram, ' ')[2]
+            CROSS JOIN nt
+            ORDER BY p.n_pairs DESC, p.bigram ASC
+            LIMIT 50
+        """,
+        "length_histogram": """
+            WITH b AS (
+              SELECT lang AS grp,
+                     CASE WHEN n_chars >= 1 THEN length(bin(n_chars))::INT
+                          ELSE 0 END AS bucket,
+                     n_chars
+              FROM documents)
+            SELECT grp, bucket, count(*)::BIGINT AS n_docs,
+                   sum(n_chars)::BIGINT AS total_chars,
+                   min(n_chars)::BIGINT AS min_chars,
+                   max(n_chars)::BIGINT AS max_chars
+            FROM b GROUP BY 1, 2
+        """,
         "extract_text_roundtrip": f"""
             WITH {_RENDER_CTES}
             SELECT doc_id, gtext AS text, length(gtext)::BIGINT AS chars

@@ -261,3 +261,42 @@ def anchor_text_stats(pages: DataFrame) -> DataFrame:
         .groupBy("dst_host", "anchor")
         .agg(F.count("*").alias("n_links"))
     )
+
+
+def host_degree_stats(edges: DataFrame, drop_self: bool = True) -> DataFrame:
+    """Per-host degree profile over an (src_host, dst_host, n_links) edge
+    list: distinct out/in neighbor counts and weighted out/in link sums.
+
+    The first report a crawl operator reads off a link graph — hubs
+    (out_deg ≫ in_deg), authorities (in_deg ≫ out_deg), and orphan hosts
+    (in_deg = 0, crawl-seed candidates) all fall out of one table. Link
+    farms show up as high mutual degree with low trustrank
+    (:func:`host_trustrank`) — join the two on host.
+
+    Self-loops (site-internal chrome links) are excluded by default,
+    matching the PageRank/TrustRank edge set (``ce`` in their oracles).
+
+    Scale shape: two partial-agg shuffles over the HOST-level edge list
+    (already tiny relative to the corpus — ``outlink_edges`` collapsed
+    pages to host pairs), then a host-key full outer join; no corpus
+    re-scan. Output rows = |hosts|.
+    """
+    e = edges.filter(F.col("src_host") != F.col("dst_host")) if drop_self else edges
+    out = e.groupBy(F.col("src_host").alias("host")).agg(
+        F.count("*").alias("out_deg"),
+        F.sum("n_links").alias("out_links"),
+    )
+    inn = e.groupBy(F.col("dst_host").alias("host")).agg(
+        F.count("*").alias("in_deg"),
+        F.sum("n_links").alias("in_links"),
+    )
+    return (
+        out.join(inn, "host", "full_outer")
+        .select(
+            "host",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("out_links", F.lit(0)).alias("out_links"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+            F.coalesce("in_links", F.lit(0)).alias("in_links"),
+        )
+    )

@@ -1343,3 +1343,100 @@ def oov_rate(df: DataFrame, vocab: DataFrame, key: str = "doc_id",
             F.round(n_oov / F.col("n_tokens"), 4).alias("oov_rate"),
         )
     )
+
+
+def bigram_stats(df: DataFrame, col: str = "text", k: int = 50) -> DataFrame:
+    """Top-``k`` corpus bigrams by count, with 8dp-rounded PMI — the
+    collocation table an LM-data audit reads to spot boilerplate phrases
+    and template n-grams that survive dedup (same ``TOKEN_RE``
+    pre-tokenizer as :func:`vocab_topk`).
+
+        pmi(x y) = ln( (c(xy) * n_tokens) / (c(x) * c(y)) )
+
+    rounded to 8dp at the ln (the unigram_logprob idiom — ``ln`` is not
+    correctly rounded across engines). The numerator/denominator stay
+    BIGINT products (exact); the single division produces the double
+    passed to ``ln`` — mirror that exact expression tree in any oracle.
+
+    Scale shape: two map-side tokenization passes (unigram explode,
+    bigram explode) each feeding a partial-agg groupBy, so only
+    (gram, partial-count) pairs shuffle; the unigram-count joins run
+    before the top-k (PMI needs raw counts) but both sides are
+    distinct-token tables ≪ corpus. Top-k is TakeOrderedAndProject,
+    never a global sort.
+    At 100 TB the BIGINT product c(xy)*n_tokens caps at ~9.2e18 — safe to
+    ~3e14 tokens; shard the count tables past that.
+    """
+    toks = df.select(
+        F.regexp_extract_all(F.lower(F.col(col)), F.lit(TOKEN_RE), 0).alias("w")
+    )
+    uni = toks.select(F.explode("w").alias("t")).groupBy("t").agg(
+        F.count("*").alias("c")
+    )
+    n_tokens = uni.agg(F.sum("c").alias("n_tokens"))
+    # Bigram array materialized in its OWN projection (Generate blocks the
+    # explode-sibling re-inline); size<2 docs yield an empty transform range.
+    pairs = (
+        toks.select(
+            F.expr(
+                "transform(slice(w, 1, greatest(size(w) - 1, 0)),"
+                " (t, i) -> concat(t, ' ', element_at(w, i + 2)))"
+            ).alias("bg")
+        )
+        .select(F.explode("bg").alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    w1 = F.split(F.col("bigram"), " ").getItem(0)
+    w2 = F.split(F.col("bigram"), " ").getItem(1)
+    joined = (
+        pairs.withColumn("w1", w1)
+        .withColumn("w2", w2)
+        .join(uni.select(F.col("t").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("t").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(n_tokens))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("n_pairs") * F.col("n_tokens"))
+            / (F.col("c1") * F.col("c2"))
+        ),
+        8,
+    )
+    return (
+        joined.select("bigram", "n_pairs", pmi.alias("pmi"))
+        .orderBy(F.desc("n_pairs"), F.asc("bigram"))
+        .limit(k)
+    )
+
+
+def length_histogram(df: DataFrame, col: str = "n_chars",
+                     by: str = "lang") -> DataFrame:
+    """Log2-bucketed document-length histogram per ``by`` group — the
+    one-page corpus shape report (truncation tails, suspiciously short
+    docs, per-language length skew) read before picking chunking and
+    packing windows.
+
+    Bucket = bit-width of the length (``floor(log2)+1``), computed as
+    ``length(conv(n, 10, 2))`` — exact integer arithmetic on both
+    engines; never ``floor(log2(x))``, whose double rounding flips at
+    power-of-two boundaries. Rows with length < 1 land in bucket 0.
+
+    Scale shape: pure map-side bucket expression + one partial-agg
+    groupBy; only (group, bucket, partial sums) shuffle. Output rows =
+    |groups| × ~40 buckets.
+    """
+    n = F.col(col).cast("bigint")
+    bucket = F.when(n >= 1, F.length(F.conv(n, 10, 2))).otherwise(F.lit(0))
+    return (
+        df.select(F.col(by).alias("grp"), n.alias("__n"),
+                  bucket.cast("int").alias("bucket"))
+        .groupBy("grp", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__n").alias("total_chars"),
+            F.min("__n").alias("min_chars"),
+            F.max("__n").alias("max_chars"),
+        )
+        .orderBy("grp", "bucket")
+    )

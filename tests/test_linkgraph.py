@@ -215,3 +215,66 @@ def test_tfidf_top_terms_ranking(spark):
     sh = [r for r in out if r["term"] == "shared"][0]
     assert sh["score"] == 0.0
     assert all(r["rnk"] <= 2 for r in out)
+
+
+def test_host_degree_stats_tiny_graph(spark):
+    """Hand graph: self-loops dropped; hubs/authorities/orphan-in hosts
+    each get correct distinct-degree and weighted-link sums; every host
+    appearing on either side shows up exactly once."""
+    from ollama_ocr_spark.operators.linkgraph import host_degree_stats
+
+    edges = spark.createDataFrame(
+        [("a", "a", 99),   # self-loop: dropped
+         ("a", "b", 2), ("a", "c", 3),
+         ("b", "c", 5)],
+        ["src_host", "dst_host", "n_links"],
+    )
+    rows = {r["host"]: r for r in host_degree_stats(edges).collect()}
+    assert set(rows) == {"a", "b", "c"}
+    a, b, c = rows["a"], rows["b"], rows["c"]
+    assert (a["out_deg"], a["out_links"], a["in_deg"], a["in_links"]) == (2, 5, 0, 0)
+    assert (b["out_deg"], b["out_links"], b["in_deg"], b["in_links"]) == (1, 5, 1, 2)
+    assert (c["out_deg"], c["out_links"], c["in_deg"], c["in_links"]) == (0, 0, 2, 8)
+
+
+def test_bigram_stats_counts_and_pmi(spark):
+    """Bigram counts span token runs; PMI separates an always-together
+    pair from an independent-ish one; one-token docs contribute nothing."""
+    import math
+
+    from ollama_ocr_spark.operators.textstats import bigram_stats
+
+    docs = spark.createDataFrame(
+        [(1, "red fox red fox"), (2, "red fox"), (3, "red blue blue"),
+         (4, "solo")],
+        ["doc_id", "text"],
+    )
+    rows = {r["bigram"]: r for r in bigram_stats(docs, k=10).collect()}
+    assert rows["red fox"]["n_pairs"] == 3
+    assert rows["fox red"]["n_pairs"] == 1
+    assert rows["red blue"]["n_pairs"] == 1
+    assert "solo" not in " ".join(rows)  # no bigram from a 1-token doc
+    # n_tokens=10, c(red)=4, c(fox)=3: pmi(red fox)=ln(3*10/12)
+    assert rows["red fox"]["pmi"] == round(math.log(3 * 10 / (4 * 3)), 8)
+    # pmi(red blue)=ln(1*10/(4*2))
+    # the always-together pair scores higher than the one-off
+    assert rows["red fox"]["pmi"] > rows["red blue"]["pmi"]
+
+
+def test_length_histogram_bucket_boundaries(spark):
+    """Bit-width bucketing is exact at power-of-two boundaries (the case
+    floor(log2(double)) gets wrong): 7->3, 8->4; zero-length rows land in
+    bucket 0; per-group sums/min/max aggregate within the bucket."""
+    from ollama_ocr_spark.operators.textstats import length_histogram
+
+    docs = spark.createDataFrame(
+        [("en", 7), ("en", 8), ("en", 15), ("en", 0), ("de", 1)],
+        ["lang", "n_chars"],
+    )
+    rows = {(r["grp"], r["bucket"]): r for r in length_histogram(docs).collect()}
+    assert set(rows) == {("en", 3), ("en", 4), ("en", 0), ("de", 1)}
+    b4 = rows[("en", 4)]
+    assert (b4["n_docs"], b4["total_chars"], b4["min_chars"], b4["max_chars"]) \
+        == (2, 23, 8, 15)
+    assert rows[("en", 0)]["n_docs"] == 1
+    assert rows[("de", 1)]["total_chars"] == 1
