@@ -150,6 +150,9 @@ EXTRA3 = (
 # least accumulated perf evidence, so budget-skips should fall on the old
 # suites whose numbers already exist in BENCH_r02/BENCH.md).
 EXTRA4: tuple[str, ...] = (
+    "host_degree_stats",
+    "bigram_stats",
+    "length_histogram",
     "retrieval_rerank",
     "bm25_topk",
     "compaction_plan",
@@ -547,7 +550,10 @@ def main() -> None:
         # ramp for the shared scan/shuffle/codegen infrastructure
         # (measured: bigram_logprob read 11.7 s as the first extra vs
         # 3.6 s warm — a 3.3x artifact of list position, not plan cost).
-        qs[EXTRA4[0]](spark, SF_DIR).write.mode("overwrite").format(
+        # Pinned to retrieval_rerank (not EXTRA4[0]) so list reordering
+        # can't silently swap the warmup to a cheap query that compiles
+        # little of the shared text/shuffle/Arrow infrastructure.
+        qs["retrieval_rerank"](spark, SF_DIR).write.mode("overwrite").format(
             "noop").save()
         for names, sink in ((EXTRA4, qtimes_r4), (EXTRA, qtimes_r2),
                             (EXTRA3, qtimes_r3)):
