@@ -1306,3 +1306,41 @@ def boilerplate_paragraphs(df: DataFrame, key: str = "doc_id",
         .limit(k)
         .select("paragraph", "n_docs", "n_total")
     )
+
+
+def jaccard_histogram(df: DataFrame, key: str = "doc_id", col: str = "text",
+                      k: int = SHINGLE_K, buckets: int = 20,
+                      max_posting: int | None = 1000) -> DataFrame:
+    """Candidate-pair Jaccard distribution — the threshold-tuning report
+    read before committing a dedup cutoff: how many near-dup pairs does
+    each 1/``buckets`` similarity band hold, i.e. what does moving the
+    threshold from 0.8 to 0.7 actually delete?
+
+    Buckets are EXACT integer arithmetic — ``(inter * buckets) div union``
+    on the raw intersection/union counts (never ``floor(j * buckets)`` on
+    the rounded double, which flips at band edges); j = 1.0 clamps into
+    the top band. Output: (bucket, lo, n_pairs) where ``lo`` is the
+    band's inclusive lower similarity bound.
+
+    Same single-scan bit-packed inverted-index plan as
+    :func:`jaccard_pairs` (shares ``_packed_intersections``), plus one
+    ``buckets``-row aggregate — the histogram adds no corpus-sized
+    shuffle, so it costs the same as the pair listing it summarizes.
+    """
+    na, nb, inter = _packed_intersections(df, key, col, k, max_posting)
+    pairs = inter.select(
+        F.col("inter").alias("i"), (na + nb - F.col("inter")).alias("u")
+    )
+    bucket = F.least(
+        F.expr(f"int((i * {buckets}) div u)"), F.lit(buckets - 1)
+    )
+    return (
+        pairs.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_pairs"))
+        .select(
+            "bucket",
+            F.round(F.col("bucket") / float(buckets), 4).alias("lo"),
+            "n_pairs",
+        )
+    )

@@ -1440,3 +1440,45 @@ def length_histogram(df: DataFrame, col: str = "n_chars",
         )
         .orderBy("grp", "bucket")
     )
+
+
+def group_entropy(df: DataFrame, group: str, cat: str) -> DataFrame:
+    """Shannon entropy of a categorical mix per group:
+
+        H(g) = -Σ_c p(c|g) * ln p(c|g)
+
+    The diversity report behind template-farm detection (a host whose
+    page-archetype mix has near-zero entropy renders one template at
+    thousands of urls), source-balance audits (entropy of the lang mix
+    per source), and mirror triage (entropy of content digests per host).
+
+    Engine parity: p = c/n is an exact BIGINT/BIGINT double; ln is
+    rounded to 8dp before the product (the unigram_logprob idiom); each
+    ``-p * ln(p)`` term is 6dp-quantized and summed through
+    DECIMAL(18,6), so the per-group sum is order-free; the output
+    entropy rounds to 4dp. Singleton mixes give exactly 0.0.
+
+    Scale shape: one (group, cat) partial-agg shuffle over category rows
+    (never payloads), a group-level total join, and a |groups|-row
+    aggregate. Output: (group, n_rows, n_cats, entropy).
+    """
+    counts = df.groupBy(F.col(group).alias("grp"),
+                        F.col(cat).alias("cat")).agg(
+        F.count("*").alias("c")
+    )
+    totals = counts.groupBy("grp").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    term = (
+        F.round(-p * F.round(F.log(p), 8), 6).cast("decimal(18,6)")
+    )
+    return (
+        counts.join(totals, "grp")
+        .select("grp", "n", term.alias("t"))
+        .groupBy("grp")
+        .agg(
+            F.max("n").alias("n_rows"),
+            F.count("*").alias("n_cats"),
+            F.round(F.sum("t").cast("double"), 4).alias("entropy"),
+        )
+        .select(F.col("grp").alias(group), "n_rows", "n_cats", "entropy")
+    )

@@ -1644,3 +1644,39 @@ def test_round4_report_plan_shapes(spark):
     assert rep.raw.count("Window") == 1, rep.raw
     # one exchange for the bucket window + the two agg exchanges at most
     assert rep.n_exchanges <= 3, rep.raw
+
+
+def test_jaccard_histogram_exact_buckets(spark):
+    """Integer band edges: identical docs clamp into the top band
+    (j=1.0 -> bucket 19); a 1-of-3-shingle overlap lands in band 6
+    ((1*20) div 3); counts sum to the pair count."""
+    from ollama_ocr_spark.operators.dedup import jaccard_histogram
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "a b c d e x")],
+        ["doc_id", "text"],
+    )
+    rows = {r["bucket"]: r for r in
+            jaccard_histogram(docs, max_posting=None).collect()}
+    # pairs: (1,2) j=2/2=1.0 -> 19; (1,3),(2,3) j=1/3 -> (20 div 3)=6
+    assert rows[19]["n_pairs"] == 1 and rows[19]["lo"] == 0.95
+    assert rows[6]["n_pairs"] == 2 and rows[6]["lo"] == 0.3
+    assert sum(r["n_pairs"] for r in rows.values()) == 3
+
+
+def test_group_entropy_mix_shapes(spark):
+    """Uniform 2-cat mix gives the quantized ln(2); single-cat groups give
+    exactly 0.0; n_rows/n_cats count rows and distinct categories."""
+    from ollama_ocr_spark.operators.textstats import group_entropy
+
+    df = spark.createDataFrame(
+        [("h1", "article"), ("h1", "memo"), ("h1", "article"), ("h1", "memo"),
+         ("h2", "article"), ("h2", "article")],
+        ["host", "template"],
+    )
+    rows = {r["host"]: r for r in group_entropy(df, "host", "template").collect()}
+    # 2 x round(-0.5 * round(ln(0.5), 8), 6) = 0.693148 -> 0.6931
+    assert rows["h1"]["entropy"] == 0.6931
+    assert (rows["h1"]["n_rows"], rows["h1"]["n_cats"]) == (4, 2)
+    assert rows["h2"]["entropy"] == 0.0
+    assert (rows["h2"]["n_rows"], rows["h2"]["n_cats"]) == (2, 1)
