@@ -1796,6 +1796,27 @@ def q_length_histogram(spark, sf_dir):
     return length_histogram(_docs(spark, sf_dir))
 
 
+def q_simhash_near_pairs(spark, sf_dir):
+    """SimHash Hamming-<=3 near-dup pairs over the corpus plus planted
+    variants (an exact copy of every doc_id%7==3 doc and a 3-word-tail
+    variant of every doc_id%7==0 doc): md5-parity signatures, so the
+    oracle reproduces every signature, band key, and popcount
+    bit-for-bit. Exact recall by pigeonhole (4 disjoint 16-bit bands)."""
+    from ollama_ocr_spark.operators.dedup import simhash_near_pairs
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    near = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near dup tail")).alias("text"),
+    )
+    exact = docs.filter(F.col("doc_id") % 7 == 3).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    return simhash_near_pairs(
+        docs.unionByName(near).unionByName(exact), hash_fn="md5"
+    )
+
+
 def q_jaccard_histogram(spark, sf_dir):
     """Candidate-pair Jaccard band histogram (20 bands): exact integer
     bucketing ((inter*20) div union on raw counts — never floor(j*20) on
@@ -1978,6 +1999,7 @@ _QUERIES = {
         # item 2 — rotating coverage). Round-4 additions first (zero
         # evidence from ANY driver or judge round), then the round-3
         # queries that have only judge-run (softer) evidence so far.
+        "simhash_near_pairs": q_simhash_near_pairs,
         "jaccard_histogram": q_jaccard_histogram,
         "host_template_entropy": q_host_template_entropy,
         "host_degree_stats": q_host_degree_stats,
@@ -2360,6 +2382,37 @@ gold_ext AS (
 _EXT_CASE = (
     "CASE doc_id % 10 WHEN 7 THEN '.pdf' WHEN 8 THEN '.jpg' ELSE '.html' END"
 )
+
+def _simhash_sig_ctes(src: str) -> str:
+    """md5-parity SimHash signature CTE chain over ``src(doc_id, text)``
+    (mirrors dedup.simhash64 hash_fn='md5' bit-for-bit: distinct words,
+    digit-wise md5 bit extraction, two's-complement sign-bit fold). Ends
+    at ``sig(doc_id, simhash, bucket)``; shared by simhash_buckets and
+    simhash_near_pairs."""
+    return f"""w AS (
+              SELECT doc_id,
+                     unnest(list_distinct(string_split(text, ' '))) AS word
+              FROM {src}),
+            h AS (SELECT doc_id, md5(word) AS hx FROM w),
+            hb AS (SELECT doc_id, hx, unnest(range(64)) AS bit FROM h),
+            s AS (
+              SELECT doc_id, bit,
+                     sum(CASE WHEN (((instr('0123456789abcdef',
+                                substr(hx, (16 - bit // 4)::INT, 1)) - 1)
+                          >> (bit % 4)::INT) & 1) = 1
+                         THEN 1 ELSE -1 END) AS acc
+              FROM hb GROUP BY 1, 2),
+            sig AS (
+              SELECT doc_id,
+                     sum(CASE WHEN acc > 0 THEN
+                           CASE WHEN bit = 63 THEN -9223372036854775807 - 1
+                                ELSE (1::BIGINT << bit::INT) END
+                         ELSE 0 END)::BIGINT AS simhash,
+                     sum(CASE WHEN acc > 0 AND bit >= 48
+                           THEN (1::BIGINT << (bit - 48)::INT)
+                         ELSE 0 END)::INT AS bucket
+              FROM s GROUP BY 1)"""
+
 
 # Candidate-pair intersections with the hot-shingle guard mirror
 # (max_posting=1000): set sizes stay full, only capped postings generate
@@ -4361,31 +4414,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         # SimHash: md5-hex bit extraction mirrors dedup._md5_word_hash —
         # bit b of the 64-bit value = bit (b%4) of hex digit (16 - b//4).
-        "simhash_buckets": """
-            WITH w AS (
-              SELECT doc_id,
-                     unnest(list_distinct(string_split(text, ' '))) AS word
-              FROM documents),
-            h AS (SELECT doc_id, md5(word) AS hx FROM w),
-            hb AS (SELECT doc_id, hx, unnest(range(64)) AS bit FROM h),
-            s AS (
-              SELECT doc_id, bit,
-                     sum(CASE WHEN (((instr('0123456789abcdef',
-                                substr(hx, (16 - bit // 4)::INT, 1)) - 1)
-                          >> (bit % 4)::INT) & 1) = 1
-                         THEN 1 ELSE -1 END) AS acc
-              FROM hb GROUP BY 1, 2),
-            sig AS (
-              SELECT doc_id,
-                     sum(CASE WHEN acc > 0 THEN
-                           CASE WHEN bit = 63 THEN -9223372036854775807 - 1
-                                ELSE (1::BIGINT << bit::INT) END
-                         ELSE 0 END)::BIGINT AS simhash,
-                     sum(CASE WHEN acc > 0 AND bit >= 48
-                           THEN (1::BIGINT << (bit - 48)::INT)
-                         ELSE 0 END)::INT AS bucket
-              FROM s GROUP BY 1)
+        "simhash_buckets": f"""
+            WITH {_simhash_sig_ctes("documents")}
             SELECT doc_id, simhash, bucket FROM sig
+        """,
+        "simhash_near_pairs": f"""
+            WITH docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text || ' near dup tail'
+              FROM documents WHERE doc_id % 7 = 0
+              UNION ALL
+              SELECT doc_id + 2000000, text
+              FROM documents WHERE doc_id % 7 = 3
+            ),
+            {_simhash_sig_ctes("docs")},
+            bd AS (
+              SELECT doc_id, simhash,
+                     ((simhash >> (16 * i.i)::INT) & 65535)
+                       + (i.i::BIGINT << 16) AS bkey
+              FROM sig, (SELECT unnest(range(4)) AS i) i),
+            okb AS (SELECT bkey FROM bd GROUP BY 1
+                    HAVING count(*) BETWEEN 2 AND 1000),
+            pr AS (
+              SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+                     bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+              FROM bd a JOIN bd b
+                ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+              JOIN okb ON okb.bkey = a.bkey)
+            SELECT a, b, hamming FROM pr WHERE hamming <= 3
         """,
         "ann_lsh_topk": f"""
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv

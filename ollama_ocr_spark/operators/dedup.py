@@ -1344,3 +1344,62 @@ def jaccard_histogram(df: DataFrame, key: str = "doc_id", col: str = "text",
             "n_pairs",
         )
     )
+
+
+def simhash_near_pairs(df: DataFrame, key: str = "doc_id", col: str = "text",
+                       hash_fn: str = "xxhash64", max_hamming: int = 3,
+                       max_bucket: int | None = 1000) -> DataFrame:
+    """SimHash near-duplicate pairs: all (a < b) with Hamming distance
+    ``<= max_hamming`` between their 64-bit signatures — the retrieval
+    step :func:`simhash64` blocks for, completing the Charikar dedup
+    path (sign hashing -> banded blocking -> popcount verify).
+
+    Recall is EXACT for ``max_hamming <= 3``: signatures are blocked on
+    4 disjoint 16-bit bands, and by pigeonhole two signatures within
+    Hamming 3 agree on at least one whole band — so the banded equi-join
+    misses nothing the verify step would keep. Output: (a, b, hamming).
+
+    Scale shape: same inverted-index discipline as :func:`jaccard_pairs`
+    — ONE signature scan, band keys explode map-side (4 small longs per
+    doc; band index packs into the key's bits 16+ so one column
+    equi-groups), per-bucket members collect to an array and pairs
+    generate IN the array (no self-join re-deriving the signature scan),
+    ``max_bucket`` caps degenerate buckets (the all-same-boilerplate
+    pathology; ``None`` keeps exact semantics for oracle comparison).
+    Cross-band duplicate candidates collapse in the final distinct,
+    which runs AFTER the cheap popcount filter.
+    """
+    sigs = simhash64(df, key, col, hash_fn).select(
+        F.col(key).alias("id"), "simhash"
+    )
+    bkeys = F.array(*[
+        (
+            F.shiftrightunsigned(F.col("simhash"), 16 * i)
+            .bitwiseAND(F.lit(0xFFFF))
+            + F.lit(i << 16)
+        ).cast("bigint")
+        for i in range(4)
+    ])
+    banded = sigs.select("id", "simhash", F.explode(bkeys).alias("bkey"))
+    postings = banded.groupBy("bkey").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("id"), F.col("simhash")))
+        ).alias("ms")
+    ).filter(F.size("ms") >= 2)
+    if max_bucket is not None:
+        postings = postings.filter(F.size("ms") <= max_bucket)
+    pairgen = F.expr(
+        "flatten(transform(ms, (x, i) ->"
+        " transform(slice(ms, i + 2, size(ms)), y -> struct(x, y))))"
+    )
+    return (
+        postings.select(F.explode(pairgen).alias("p"))
+        .select(
+            F.col("p.x.id").alias("a"),
+            F.col("p.y.id").alias("b"),
+            F.expr("bit_count(p.x.simhash ^ p.y.simhash)")
+            .cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

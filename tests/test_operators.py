@@ -1680,3 +1680,27 @@ def test_group_entropy_mix_shapes(spark):
     assert (rows["h1"]["n_rows"], rows["h1"]["n_cats"]) == (4, 2)
     assert rows["h2"]["entropy"] == 0.0
     assert (rows["h2"]["n_rows"], rows["h2"]["n_cats"]) == (2, 1)
+
+
+def test_simhash_near_pairs_matches_bruteforce(spark):
+    """Banded retrieval is exactly the Hamming-<=3 pair set (pigeonhole:
+    4 disjoint 16-bit bands): compare against a Python popcount over all
+    signature pairs, including planted exact dups (hamming 0)."""
+    from ollama_ocr_spark.operators.dedup import simhash64, simhash_near_pairs
+
+    base = [(i, f"w{i} w{(i*3) % 11} common tokens shared by every doc "
+                f"x{i % 4} y{i % 5}") for i in range(20)]
+    docs = spark.createDataFrame(
+        base + [(100, base[0][1]), (101, base[1][1])], ["doc_id", "text"]
+    )
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in simhash64(docs, hash_fn="md5").collect()}
+    ids = sorted(sigs)
+    want = {(a, b, bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1"))
+            for ai, a in enumerate(ids) for b in ids[ai + 1:]
+            if bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= 3}
+    got = {(r["a"], r["b"], r["hamming"])
+           for r in simhash_near_pairs(docs, hash_fn="md5",
+                                       max_bucket=None).collect()}
+    assert got == want
+    assert (0, 100, 0) in got and (1, 101, 0) in got  # planted exact dups
