@@ -1704,3 +1704,30 @@ def test_simhash_near_pairs_matches_bruteforce(spark):
                                        max_bucket=None).collect()}
     assert got == want
     assert (0, 100, 0) in got and (1, 101, 0) in got  # planted exact dups
+
+
+def test_new_report_plan_shapes(spark):
+    """Scale-shape audits for the corpus-shape reports: no Python eval,
+    no nested-loop/cartesian joins anywhere; simhash_near_pairs generates
+    pairs IN the posting array (single SortAggregate/HashAggregate
+    collect, no signature-scan self-join re-derivation — the plan has
+    exactly one Generate for the band explode and one for the pair
+    explode); jaccard_histogram adds no exchange beyond jaccard_pairs'
+    two long-key shuffles + the 20-row aggregate."""
+    from ollama_ocr_spark.operators.dedup import (jaccard_histogram,
+                                                  simhash_near_pairs)
+    from ollama_ocr_spark.operators.textstats import group_entropy
+    from ollama_ocr_spark.plans.audit import audit_plan, plan_report
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon w{i} w{i % 7}") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    forbid = ["BatchEvalPython", "ArrowEvalPython",
+              "BroadcastNestedLoopJoin", "CartesianProduct"]
+    rep = plan_report(simhash_near_pairs(docs))
+    assert not any(op in rep.raw for op in forbid), rep.raw
+    assert rep.raw.count("Generate") == 2, rep.raw  # band + pair explodes
+    audit_plan(jaccard_histogram(docs), forbid_ops=forbid)
+    audit_plan(group_entropy(docs.selectExpr("doc_id % 3 AS g", "text"),
+                             "g", "text"), forbid_ops=forbid)
