@@ -1796,6 +1796,16 @@ def q_length_histogram(spark, sf_dir):
     return length_histogram(_docs(spark, sf_dir))
 
 
+def q_minhash_accuracy_eval(spark, sf_dir):
+    """Per-exact-Jaccard-band |signature-estimate - true| report for the
+    8-hash MinHash config: est = agree/8 and j = inter/union are exact
+    BIGINT-over-BIGINT doubles on both engines; per-pair error quantizes
+    to 6dp decimal so the band mean is order-free; integer band edges."""
+    from ollama_ocr_spark.operators.dedup import minhash_accuracy_eval
+
+    return minhash_accuracy_eval(_docs(spark, sf_dir))
+
+
 def q_simhash_near_pairs(spark, sf_dir):
     """SimHash Hamming-<=3 near-dup pairs over the corpus plus planted
     variants (an exact copy of every doc_id%7==3 doc and a 3-word-tail
@@ -1999,6 +2009,7 @@ _QUERIES = {
         # item 2 — rotating coverage). Round-4 additions first (zero
         # evidence from ANY driver or judge round), then the round-3
         # queries that have only judge-run (softer) evidence so far.
+        "minhash_accuracy_eval": q_minhash_accuracy_eval,
         "simhash_near_pairs": q_simhash_near_pairs,
         "jaccard_histogram": q_jaccard_histogram,
         "host_template_entropy": q_host_template_entropy,
@@ -2446,7 +2457,11 @@ sh AS (
 # MinHash-LSH candidate pairs -> recursive transitive closure -> component
 # labels (mirrors dedup.minhash_lsh_candidates + dedup_components); requires
 # _SHINGLES_CTE before it and WITH RECURSIVE on the statement.
-_LSH_COMP_CTES = """
+# Signatures -> band buckets -> candidate pairs (mirrors
+# dedup.minhash_signatures / band_buckets / minhash_lsh_candidates);
+# requires _SHINGLES_CTE before it. The transitive-closure suffix below
+# extends it to component labels.
+_LSH_PAIRS_CTES = """
 sig AS (
   SELECT doc_id, g.j AS j,
          min(md5(g.j || '|' || shingle)) AS m
@@ -2463,7 +2478,10 @@ pairs AS (
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.bucket = b.bucket
     AND a.doc_id < b.doc_id
-),
+)
+"""
+
+_LSH_COMP_CTES = _LSH_PAIRS_CTES + """,
 edges AS (
   SELECT a AS src, b AS dst FROM pairs
   UNION
@@ -3221,6 +3239,32 @@ def oracle_sql() -> dict[str, str]:
             FROM inter
             JOIN sizes sa ON sa.doc_id = a
             JOIN sizes sb ON sb.doc_id = b
+        """,
+        "minhash_accuracy_eval": f"""
+            WITH {_SHINGLES_CTE}, {_JPAIRS_CTES}, {_LSH_PAIRS_CTES},
+            ag AS (
+              SELECT p.a, p.b,
+                     sum(CASE WHEN xa.m = xb.m THEN 1 ELSE 0 END)::BIGINT
+                       AS agree
+              FROM pairs p
+              JOIN sig xa ON xa.doc_id = p.a
+              JOIN sig xb ON xb.doc_id = p.b AND xb.j = xa.j
+              GROUP BY 1, 2),
+            je AS (
+              SELECT g.agree, i.inter, sa.n + sb.n - i.inter AS u
+              FROM ag g
+              JOIN inter i ON i.a = g.a AND i.b = g.b
+              JOIN sizes sa ON sa.doc_id = g.a
+              JOIN sizes sb ON sb.doc_id = g.b),
+            er AS (
+              SELECT least((inter * 20) // u, 19)::INT AS bucket,
+                     round(abs(agree / 8 - inter / u), 6)::DECIMAL(18,6)
+                       AS err
+              FROM je)
+            SELECT bucket, round(bucket / 20.0, 4) AS lo,
+                   count(*)::BIGINT AS n_pairs,
+                   round(sum(err)::DOUBLE / count(*), 4) AS mean_abs_err
+            FROM er GROUP BY 1
         """,
         "jaccard_histogram": f"""
             WITH {_SHINGLES_CTE}, {_JPAIRS_CTES},

@@ -1403,3 +1403,71 @@ def simhash_near_pairs(df: DataFrame, key: str = "doc_id", col: str = "text",
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def minhash_accuracy_eval(df: DataFrame, key: str = "doc_id",
+                          col: str = "text", k: int = SHINGLE_K,
+                          num_hashes: int = 8, buckets: int = 20,
+                          max_posting: int | None = 1000) -> DataFrame:
+    """MinHash ESTIMATOR accuracy report — the companion to
+    :func:`lsh_precision_eval` (which scores the BUCKETING): per exact-
+    Jaccard band, how far is the signature-agreement estimate
+    ``agree / num_hashes`` from the true Jaccard? The report that decides
+    whether ``num_hashes`` is big enough before a threshold is trusted at
+    scale (E[est] = J, stddev = sqrt(J(1-J)/H) — 8 hashes is a coarse
+    estimator, and this view shows exactly how coarse, per band).
+
+    Engine parity: est = agree/num_hashes and true j = inter/union are
+    both exact BIGINT-over-BIGINT doubles; per-pair |est - j| quantizes
+    to 6dp DECIMAL so the band mean is order-free; bands use the same
+    exact-integer ``(inter*buckets) div union`` edges as
+    :func:`jaccard_histogram`. Output: (bucket, lo, n_pairs,
+    mean_abs_err).
+
+    Scale shape: LSH candidates (banded, bounded buckets) join the
+    signature table twice on single keys and the exact-intersection
+    pairs once — every join input is candidate-pair- or doc-sized,
+    never shingle-exploded; this is an EVAL meant for corpus samples,
+    and cost tracks the candidate count like the dedup itself.
+    """
+    cands = minhash_lsh_candidates(df, key, col, k, num_hashes)
+    sigs = minhash_signatures(df, key, col, k, num_hashes)
+    na, nb, inter = _packed_intersections(df, key, col, k, max_posting)
+    exact = inter.select(
+        F.shiftrightunsigned(F.col("pa"), 22).alias("a"),
+        F.shiftrightunsigned(F.col("pb"), 22).alias("b"),
+        F.col("inter").alias("i"),
+        (na + nb - F.col("inter")).alias("u"),
+    )
+    sa = sigs.select(F.col(key).alias("a"), F.col("sig").alias("sa"))
+    sb = sigs.select(F.col(key).alias("b"), F.col("sig").alias("sb"))
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sa"), F.col("sb"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    joined = (
+        cands.join(sa, "a").join(sb, "b").join(exact, ["a", "b"])
+        .select(
+            F.least(
+                F.expr(f"int((i * {buckets}) div u)"), F.lit(buckets - 1)
+            ).alias("bucket"),
+            F.round(
+                F.abs(agree / F.lit(num_hashes) - F.col("i") / F.col("u")),
+                6,
+            ).cast("decimal(18,6)").alias("err"),
+        )
+    )
+    return (
+        joined.groupBy("bucket")
+        .agg(F.count("*").alias("n_pairs"), F.sum("err").alias("__se"))
+        .select(
+            "bucket",
+            F.round(F.col("bucket") / float(buckets), 4).alias("lo"),
+            "n_pairs",
+            F.round(
+                F.col("__se").cast("double") / F.col("n_pairs"), 4
+            ).alias("mean_abs_err"),
+        )
+    )

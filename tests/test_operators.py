@@ -1731,3 +1731,49 @@ def test_new_report_plan_shapes(spark):
     audit_plan(jaccard_histogram(docs), forbid_ops=forbid)
     audit_plan(group_entropy(docs.selectExpr("doc_id % 3 AS g", "text"),
                              "g", "text"), forbid_ops=forbid)
+
+
+def test_minhash_accuracy_eval_matches_python_model(spark):
+    """Independent Python replication (hashlib md5, set algebra) of the
+    whole estimator report: same candidates (band buckets), same
+    agree/8 estimate, same exact-Jaccard bands, same banded mean error."""
+    import hashlib
+    from collections import defaultdict
+
+    from ollama_ocr_spark.operators.dedup import minhash_accuracy_eval
+
+    base = "the quick brown fox jumps over the lazy dog near the old river"
+    texts = {i: base + f" tail{i % 3} extra{i % 2}" for i in range(12)}
+    texts[20] = texts[0]                       # exact dup
+    texts[21] = texts[1] + " one more tail"    # near dup
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in sorted(texts.items())], ["doc_id", "text"])
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    def shingle_set(t):
+        ws = t.split(" ")
+        return {" ".join(ws[i:i + 5]) for i in range(len(ws) - 4)} \
+            if len(ws) >= 5 else set()
+    shs = {i: shingle_set(t) for i, t in texts.items()}
+    sigs = {i: [min(md5(f"{j}|{s}") for s in sh) for j in range(8)]
+            for i, sh in shs.items() if sh}
+    buckets = defaultdict(set)
+    for i, m in sigs.items():
+        for b in range(4):
+            buckets[(b, md5(m[2 * b] + m[2 * b + 1]))].add(i)
+    cands = {tuple(sorted(p)) for mem in buckets.values() if len(mem) >= 2
+             for p in __import__("itertools").combinations(mem, 2)}
+    bands = defaultdict(list)
+    for a, b in cands:
+        inter = len(shs[a] & shs[b]); union = len(shs[a] | shs[b])
+        agree = sum(x == y for x, y in zip(sigs[a], sigs[b]))
+        err = abs(agree / 8 - inter / union)
+        bands[min(inter * 20 // union, 19)].append(err)
+    rows = {r["bucket"]: r for r in
+            minhash_accuracy_eval(docs, max_posting=None).collect()}
+    assert set(rows) == set(bands)
+    for bk, errs in bands.items():
+        assert rows[bk]["n_pairs"] == len(errs)
+        # engine quantizes per-pair to 6dp then 4dp on the mean
+        assert abs(rows[bk]["mean_abs_err"] - sum(errs) / len(errs)) < 1e-4
+    assert rows[19]["n_pairs"] >= 1  # the planted exact dup reaches band 19
