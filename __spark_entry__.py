@@ -1796,6 +1796,40 @@ def q_length_histogram(spark, sf_dir):
     return length_histogram(_docs(spark, sf_dir))
 
 
+def q_fetch_frontier(spark, sf_dir):
+    """Next-crawl-round frontier composite over dirty corpus urls
+    (q_url_filter's deterministic trap variants): hygiene -> robots
+    (_ROBOTS_RULES) -> domain_quality-mined host blocklist -> politeness
+    wave for fetchable urls. One verdict per url; wave = -1 unless
+    fetched."""
+    from ollama_ocr_spark.operators.maintenance import (doc_id_expr,
+                                                        fetch_frontier,
+                                                        host_expr)
+    from ollama_ocr_spark.operators.textstats import domain_quality
+
+    pages = _latest_pages(spark, sf_dir)
+    did = F.regexp_extract("url", r"-(\d+)\.", 1).cast("bigint")
+    dirty = pages.select(
+        F.concat(
+            F.col("url"),
+            F.when(did % 7 == 0, F.lit("?a=1&b=2&c=3"))
+            .when(did % 7 == 1, F.concat(F.lit("?q="), F.repeat(F.lit("z"), 80)))
+            .otherwise(F.lit("")),
+        ).alias("url")
+    )
+    rules = spark.createDataFrame(
+        _ROBOTS_RULES, "host string, disallow string"
+    )
+    hosts = pages.select(host_expr().alias("host"),
+                         doc_id_expr().alias("doc_id"))
+    dq = domain_quality(
+        hosts.join(_docs(spark, sf_dir).select("doc_id", "text"), "doc_id"),
+        min_docs=5, min_ok_rate=0.85,
+    )
+    blocked = dq.filter(F.col("blocklist_candidate")).select("host")
+    return fetch_frontier(dirty, rules, blocked, blocked_pattern="/draft-")
+
+
 def q_minhash_accuracy_eval(spark, sf_dir):
     """Per-exact-Jaccard-band |signature-estimate - true| report for the
     8-hash MinHash config: est = agree/8 and j = inter/union are exact
@@ -2009,6 +2043,7 @@ _QUERIES = {
         # item 2 — rotating coverage). Round-4 additions first (zero
         # evidence from ANY driver or judge round), then the round-3
         # queries that have only judge-run (softer) evidence so far.
+        "fetch_frontier": q_fetch_frontier,
         "minhash_accuracy_eval": q_minhash_accuracy_eval,
         "simhash_near_pairs": q_simhash_near_pairs,
         "jaccard_histogram": q_jaccard_histogram,
@@ -2214,6 +2249,30 @@ def _host_case(e: str) -> str:
         f"WHEN ({e}) % 100 < 85 THEN 'h2.example.com' "
         f"ELSE 'h' || (3 + ({e}) % 13) || '.example.com' END"
     )
+
+
+# Domain-quality rollup (mirrors textstats.domain_quality over the corpus
+# host mapping): ends at dqg(host, n_docs, n_ok). Shared by the
+# domain_quality oracle and the fetch_frontier composite's blocklist.
+_DOMQ_CTES = f"""
+dqw AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+dqq AS (
+  SELECT doc_id,
+         len(w) AS n_words,
+         round((length(text) - (len(w) - 1)) * 1.0 / len(w), 4) AS mean_wl,
+         round(len(list_filter(w, x -> x IN
+               ('the','a','of','to','and','in','is')))
+               * 1.0 / len(w), 4) AS stop_ratio
+  FROM dqw),
+dqf AS (
+  SELECT {_HOST_CASE} AS host,
+         (n_words >= 10 AND mean_wl >= 2.0 AND mean_wl <= 12.0
+          AND stop_ratio >= 0.01) AS ok
+  FROM dqq),
+dqg AS (
+  SELECT host, count(*)::BIGINT AS n_docs, sum(ok::INT)::BIGINT AS n_ok
+  FROM dqf GROUP BY 1)
+"""
 
 
 # Host-level outlink edges reconstructed from corpus arithmetic
@@ -3973,31 +4032,77 @@ def oracle_sql() -> dict[str, str]:
             FROM u
         """,
         "domain_quality": f"""
-            WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS w
-                       FROM documents),
-            q AS (
-              SELECT doc_id,
-                     len(w) AS n_words,
-                     round((length(text) - (len(w) - 1)) * 1.0 / len(w), 4)
-                       AS mean_wl,
-                     round(len(list_filter(w, x -> x IN
-                           ('the','a','of','to','and','in','is')))
-                           * 1.0 / len(w), 4) AS stop_ratio
-              FROM w),
-            f AS (
-              SELECT {_HOST_CASE} AS host,
-                     (n_words >= 10 AND mean_wl >= 2.0 AND mean_wl <= 12.0
-                      AND stop_ratio >= 0.01) AS ok
-              FROM q),
-            g AS (
-              SELECT host, count(*)::BIGINT AS n_docs,
-                     sum(ok::INT)::BIGINT AS n_ok
-              FROM f GROUP BY 1)
+            WITH {_DOMQ_CTES}
             SELECT host, n_docs, n_ok,
                    round(n_ok * 1.0 / n_docs, 4) AS ok_rate,
                    (n_docs >= 5 AND n_ok * 1.0 / n_docs < 0.85)
                      AS blocklist_candidate
-            FROM g
+            FROM dqg
+        """,
+        "fetch_frontier": f"""
+            WITH {_DOMQ_CTES},
+            blk AS (SELECT host FROM dqg
+                    WHERE n_docs >= 5 AND n_ok * 1.0 / n_docs < 0.85),
+            u0 AS (
+              SELECT 'https://' || {_HOST_CASE} || '/' || source || '/' ||
+                     {_STEM_CASE} || '-' || doc_id || {_EXT_CASE} ||
+                     CASE doc_id % 7
+                       WHEN 0 THEN '?a=1&b=2&c=3'
+                       WHEN 1 THEN '?q=' || repeat('z', 80)
+                       ELSE '' END AS url
+              FROM documents
+            ),
+            u AS (SELECT DISTINCT url FROM u0),
+            p AS (
+              SELECT url,
+                     regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+                     regexp_replace(regexp_replace(url,
+                       '^[a-z]+://[^/]+', ''), '[?#].*$', '') AS path,
+                     CASE
+                       WHEN regexp_matches(
+                              lower(regexp_replace(url, '[?#].*$', '')),
+                              '\\.(jpg|jpeg|png|gif|mp4|zip|exe|css|js)$')
+                         THEN 'binary_ext'
+                       WHEN regexp_matches(url, '/draft-')
+                         THEN 'blocked_pattern'
+                       WHEN len(list_filter(string_split(
+                              regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                              x -> x <> '')) > 2
+                         THEN 'too_many_params'
+                       WHEN len(url) > 90 THEN 'too_long'
+                       ELSE 'ok' END AS reason
+              FROM u
+            ),
+            r AS (
+              SELECT * FROM (VALUES {", ".join(
+                  f"('{h}', '{d}')" for h, d in _ROBOTS_RULES
+              )}) t(rhost, dis)
+            ),
+            m AS (
+              SELECT p.url, p.host, p.reason,
+                     max(CASE WHEN r.dis IS NOT NULL THEN 1 END) AS hit
+              FROM p LEFT JOIN r
+                ON r.rhost = p.host AND starts_with(p.path, r.dis)
+              GROUP BY 1, 2, 3
+            ),
+            v AS (
+              SELECT url, host,
+                     CASE WHEN reason <> 'ok' THEN 'filtered:' || reason
+                          WHEN hit IS NOT NULL THEN 'robots'
+                          WHEN host IN (SELECT host FROM blk)
+                            THEN 'blocked_host'
+                          ELSE 'fetch' END AS verdict
+              FROM m
+            ),
+            fw AS (
+              SELECT url,
+                     ((row_number() OVER (PARTITION BY host ORDER BY url)
+                       - 1) // 16)::INT AS wave
+              FROM v WHERE verdict = 'fetch'
+            )
+            SELECT v.url, v.host, v.verdict,
+                   coalesce(fw.wave, -1)::INT AS wave
+            FROM v LEFT JOIN fw ON fw.url = v.url
         """,
         "url_filter": f"""
             WITH u AS (

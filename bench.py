@@ -150,6 +150,7 @@ EXTRA3 = (
 # least accumulated perf evidence, so budget-skips should fall on the old
 # suites whose numbers already exist in BENCH_r02/BENCH.md).
 EXTRA4: tuple[str, ...] = (
+    "fetch_frontier",
     "minhash_accuracy_eval",
     "simhash_near_pairs",
     "jaccard_histogram",

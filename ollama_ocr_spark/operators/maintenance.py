@@ -1034,3 +1034,60 @@ def cluster_by_zorder(df: DataFrame, x_col: str, y_col: str,
         .repartitionByRange(num_partitions, "__zkey")
         .sortWithinPartitions("__zkey")
     )
+
+
+def fetch_frontier(urls: DataFrame, rules: DataFrame,
+                   blocked_hosts: DataFrame,
+                   blocked_pattern: str | None = None,
+                   per_host_burst: int = 16,
+                   url_col: str = "url") -> DataFrame:
+    """The next-crawl-round composite — the frontier-side twin of the
+    curate→chunk→pack export composites: every candidate URL gets ONE
+    first-failing verdict through the full pre-fetch policy chain, and
+    survivors get their politeness wave:
+
+        hygiene (:func:`url_filter`: binary ext / pattern / params / len)
+        → robots (:func:`robots_filter` longest-prefix disallow)
+        → host blocklist (e.g. ``domain_quality`` mining output)
+        → ``fetch`` + wave (:func:`politeness_waves` burst schedule)
+
+    Output: (url, host, verdict, wave) with verdict in
+    ``filtered:<reason> | robots | blocked_host | fetch`` and wave = -1
+    for everything not fetched. This is the table a fetcher fleet
+    actually consumes: iterate waves, skip everything else.
+
+    Scale shape: hygiene is pure map-side codegen on the scan; robots
+    rules and the mined blocklist broadcast (both are |hosts|-scale by
+    nature); one (url, host, path) shuffle for the robots verdict, one
+    (host)-window over surviving urls for waves, one url-key join back —
+    candidate URLs never carry payloads through any of it.
+    """
+    gated = url_filter(
+        urls.select(F.col(url_col).alias("url")).distinct(), "url",
+        blocked_pattern=blocked_pattern,
+    )
+    rb = robots_filter(gated.select("url"), rules)
+    bh = blocked_hosts.select(F.col("host").alias("__bh")).distinct()
+    verdict = (
+        F.when(F.col("reason") != "ok",
+               F.concat(F.lit("filtered:"), F.col("reason")))
+        .when(~F.col("allowed"), F.lit("robots"))
+        .when(F.col("__bh").isNotNull(), F.lit("blocked_host"))
+        .otherwise(F.lit("fetch"))
+    )
+    out = (
+        gated.join(rb, "url")
+        .join(F.broadcast(bh), F.col("host") == F.col("__bh"), "left")
+        .select("url", "host", verdict.alias("verdict"))
+    )
+    waves = politeness_waves(
+        out.filter(F.col("verdict") == "fetch").select("url"),
+        per_host_burst,
+    )
+    return (
+        out.join(waves.select("url", "wave"), "url", "left")
+        .select(
+            "url", "host", "verdict",
+            F.coalesce(F.col("wave"), F.lit(-1)).cast("int").alias("wave"),
+        )
+    )

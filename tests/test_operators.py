@@ -1777,3 +1777,37 @@ def test_minhash_accuracy_eval_matches_python_model(spark):
         # engine quantizes per-pair to 6dp then 4dp on the mean
         assert abs(rows[bk]["mean_abs_err"] - sum(errs) / len(errs)) < 1e-4
     assert rows[19]["n_pairs"] >= 1  # the planted exact dup reaches band 19
+
+
+def test_fetch_frontier_precedence_and_waves(spark):
+    """First-failing verdict order (hygiene > robots > blocklist > fetch)
+    and the per-host wave cap: a url that is both robots-disallowed AND
+    on a blocked host reports robots; hygiene beats robots; fetchable
+    urls of one host fill waves of 2 in url order."""
+    from ollama_ocr_spark.operators.maintenance import fetch_frontier
+
+    urls = spark.createDataFrame(
+        [("https://a.com/x/p1.html",),      # fetch, wave 0
+         ("https://a.com/x/p2.html",),      # fetch, wave 0
+         ("https://a.com/x/p3.html",),      # fetch, wave 1
+         ("https://a.com/priv/p.html",),    # robots
+         ("https://b.com/priv/p.jpg",),     # hygiene wins over robots+block
+         ("https://b.com/x/p.html",),       # blocked_host (not robots path)
+         ],
+        ["url"],
+    )
+    rules = spark.createDataFrame(
+        [("a.com", "/priv/"), ("b.com", "/priv/")],
+        "host string, disallow string",
+    )
+    blocked = spark.createDataFrame([("b.com",)], ["host"])
+    rows = {r["url"]: r for r in
+            fetch_frontier(urls, rules, blocked, per_host_burst=2).collect()}
+    v = {u.rsplit("/", 2)[-2] + "/" + u.rsplit("/", 1)[-1]:
+         (r["verdict"], r["wave"]) for u, r in rows.items()}
+    assert v["x/p1.html"] == ("fetch", 0)
+    assert v["x/p2.html"] == ("fetch", 0)
+    assert v["x/p3.html"] == ("fetch", 1)
+    assert v["priv/p.html"] == ("robots", -1)
+    assert v["priv/p.jpg"] == ("filtered:binary_ext", -1)
+    assert v["x/p.html"] == ("blocked_host", -1)
