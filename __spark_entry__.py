@@ -1796,6 +1796,23 @@ def q_length_histogram(spark, sf_dir):
     return length_histogram(_docs(spark, sf_dir))
 
 
+def q_quality_confusion(spark, sf_dir):
+    """Calibration matrix: the seed-trained NB classifier's keep/drop vs
+    the rule-based curation verdict's first-failing reason, per cell with
+    row shares — the report read before swapping a learned quality gate
+    in for the rules."""
+    from ollama_ocr_spark.operators.reports import agreement_matrix
+    from ollama_ocr_spark.operators.textstats import (curation_verdict,
+                                                      nb_quality_scores)
+
+    docs = _docs(spark, sf_dir)
+    nb = nb_quality_scores(
+        docs, F.col("source").isin("src0", "src1")
+    ).select("doc_id", "nb_keep")
+    cv = curation_verdict(docs).select("doc_id", "reason")
+    return agreement_matrix(nb.join(cv, "doc_id"), "nb_keep", "reason")
+
+
 def q_fetch_frontier(spark, sf_dir):
     """Next-crawl-round frontier composite over dirty corpus urls
     (q_url_filter's deterministic trap variants): hygiene -> robots
@@ -2043,6 +2060,7 @@ _QUERIES = {
         # item 2 — rotating coverage). Round-4 additions first (zero
         # evidence from ANY driver or judge round), then the round-3
         # queries that have only judge-run (softer) evidence so far.
+        "quality_confusion": q_quality_confusion,
         "fetch_frontier": q_fetch_frontier,
         "minhash_accuracy_eval": q_minhash_accuracy_eval,
         "simhash_near_pairs": q_simhash_near_pairs,
@@ -2249,6 +2267,42 @@ def _host_case(e: str) -> str:
         f"WHEN ({e}) % 100 < 85 THEN 'h2.example.com' "
         f"ELSE 'h' || (3 + ({e}) % 13) || '.example.com' END"
     )
+
+
+# Seed-trained Naive-Bayes quality chain (mirrors
+# textstats.nb_quality_scores with the src0/src1 positive seed): ends at
+# sc(doc_id, is_seed, n_tokens, lo). Shared by nb_quality and
+# quality_confusion.
+_NB_CTES = """
+toks AS (
+  SELECT doc_id, source IN ('src0', 'src1') AS pos,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+dt AS (
+  SELECT doc_id, tok, count(*) AS n, bool_or(pos) AS pos
+  FROM toks GROUP BY 1, 2
+),
+cls AS (
+  SELECT tok,
+         sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+         sum(CASE WHEN pos THEN 0 ELSE 1 END) AS cn
+  FROM toks GROUP BY 1
+),
+tot AS (SELECT sum(cp) AS tp, sum(cn) AS tn, count(*) AS v FROM cls),
+llr AS (
+  SELECT tok,
+         round(ln((cp + 1) / (tp + v)), 8)
+         - round(ln((cn + 1) / (tn + v)), 8) AS llr
+  FROM cls CROSS JOIN tot
+),
+sc AS (
+  SELECT doc_id, bool_or(pos) AS is_seed,
+         sum(n)::BIGINT AS n_tokens,
+         sum(CAST(n * llr AS DECIMAL(18, 8))) AS lo
+  FROM dt JOIN llr USING (tok) GROUP BY doc_id
+)
+"""
 
 
 # Domain-quality rollup (mirrors textstats.domain_quality over the corpus
@@ -4960,40 +5014,21 @@ def oracle_sql() -> dict[str, str]:
                    lw > 0 AS keep
             FROM sc
         """,
-        "nb_quality": """
-            WITH toks AS (
-              SELECT doc_id, source IN ('src0', 'src1') AS pos,
-                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
-                       AS tok
-              FROM documents
-            ),
-            dt AS (
-              SELECT doc_id, tok, count(*) AS n, bool_or(pos) AS pos
-              FROM toks GROUP BY 1, 2
-            ),
-            cls AS (
-              SELECT tok,
-                     sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
-                     sum(CASE WHEN pos THEN 0 ELSE 1 END) AS cn
-              FROM toks GROUP BY 1
-            ),
-            tot AS (SELECT sum(cp) AS tp, sum(cn) AS tn, count(*) AS v
-                    FROM cls),
-            llr AS (
-              SELECT tok,
-                     round(ln((cp + 1) / (tp + v)), 8)
-                     - round(ln((cn + 1) / (tn + v)), 8) AS llr
-              FROM cls CROSS JOIN tot
-            ),
-            sc AS (
-              SELECT doc_id, bool_or(pos) AS is_seed,
-                     sum(n)::BIGINT AS n_tokens,
-                     sum(CAST(n * llr AS DECIMAL(18, 8))) AS lo
-              FROM dt JOIN llr USING (tok) GROUP BY doc_id
-            )
+        "nb_quality": f"""
+            WITH {_NB_CTES}
             SELECT doc_id, is_seed, n_tokens,
                    round(lo::DOUBLE, 4) AS log_odds, lo > 0 AS nb_keep
             FROM sc
+        """,
+        "quality_confusion": f"""
+            WITH {_SHINGLES_CTE}, {_VERDICT_CTES}, {_NB_CTES},
+            j AS (
+              SELECT s.lo > 0 AS nb_keep, v.vreason AS reason
+              FROM sc s JOIN verdict v ON v.doc_id = s.doc_id),
+            t AS (SELECT count(*) AS t FROM j)
+            SELECT nb_keep, reason, count(*)::BIGINT AS n_docs,
+                   round((count(*) * 1.0) / (SELECT t FROM t), 4) AS share
+            FROM j GROUP BY 1, 2
         """,
         "chunk_documents": """
             WITH w AS (

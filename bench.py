@@ -151,6 +151,7 @@ EXTRA3 = (
 # suites whose numbers already exist in BENCH_r02/BENCH.md).
 EXTRA4: tuple[str, ...] = (
     "fetch_frontier",
+    "quality_confusion",
     "minhash_accuracy_eval",
     "simhash_near_pairs",
     "jaccard_histogram",

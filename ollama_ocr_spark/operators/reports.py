@@ -203,3 +203,28 @@ def summary_stats(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
         F.sum(value_col).alias("total_value"),
         F.round(F.avg(value_col), 4).alias("avg_value"),
     )
+
+
+def agreement_matrix(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Two-way agreement (confusion) matrix between a pair of per-row
+    verdict columns — the calibration view for checking a learned
+    classifier against the rule system it is meant to replace (e.g. NB
+    quality score vs the curation verdict): each cell's row count plus
+    its share of all rows.
+
+    Engine parity: share = (n * 1.0) / total — exact BIGINT counts, one
+    double division, mirrored literally. Scale shape: one partial-agg
+    groupBy on the two verdict columns (a handful of cells shuffle) and
+    a broadcast 1-row total; verdict columns, never payloads.
+    """
+    total = df.agg(F.count("*").alias("__t"))
+    return (
+        df.groupBy(col_a, col_b)
+        .agg(F.count("*").alias("n_docs"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            col_a, col_b, "n_docs",
+            F.round(F.col("n_docs") * F.lit(1.0) / F.col("__t"), 4)
+            .alias("share"),
+        )
+    )

@@ -1811,3 +1811,21 @@ def test_fetch_frontier_precedence_and_waves(spark):
     assert v["priv/p.html"] == ("robots", -1)
     assert v["priv/p.jpg"] == ("filtered:binary_ext", -1)
     assert v["x/p.html"] == ("blocked_host", -1)
+
+
+def test_agreement_matrix_cells_and_shares(spark):
+    """Cell counts and shares over a hand frame: 4 rows across 3 cells;
+    share is the exact (n * 1.0) / total division."""
+    from ollama_ocr_spark.operators.reports import agreement_matrix
+
+    df = spark.createDataFrame(
+        [(True, "ok"), (True, "ok"), (True, "quality"), (False, "ok")],
+        ["pred", "rule"],
+    )
+    rows = {(r["pred"], r["rule"]): r
+            for r in agreement_matrix(df, "pred", "rule").collect()}
+    assert rows[(True, "ok")]["n_docs"] == 2
+    assert rows[(True, "ok")]["share"] == 0.5
+    assert rows[(True, "quality")]["share"] == 0.25
+    assert rows[(False, "ok")]["share"] == 0.25
+    assert sum(r["n_docs"] for r in rows.values()) == 4
