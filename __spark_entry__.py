@@ -1796,6 +1796,16 @@ def q_length_histogram(spark, sf_dir):
     return length_histogram(_docs(spark, sf_dir))
 
 
+def q_dedup_methods_overlap(spark, sf_dir):
+    """Venn report of the three near-dup detectors (Jaccard>=0.5, LSH
+    bands, SimHash Hamming<=3) over the corpus: presence-vector cells
+    with pair counts; md5-parity hashing everywhere so both engines see
+    identical pair sets."""
+    from ollama_ocr_spark.operators.dedup import dedup_methods_overlap
+
+    return dedup_methods_overlap(_docs(spark, sf_dir), hash_fn="md5")
+
+
 def q_quality_confusion(spark, sf_dir):
     """Calibration matrix: the seed-trained NB classifier's keep/drop vs
     the rule-based curation verdict's first-failing reason, per cell with
@@ -2060,6 +2070,7 @@ _QUERIES = {
         # item 2 — rotating coverage). Round-4 additions first (zero
         # evidence from ANY driver or judge round), then the round-3
         # queries that have only judge-run (softer) evidence so far.
+        "dedup_methods_overlap": q_dedup_methods_overlap,
         "quality_confusion": q_quality_confusion,
         "fetch_frontier": q_fetch_frontier,
         "minhash_accuracy_eval": q_minhash_accuracy_eval,
@@ -2507,26 +2518,29 @@ _EXT_CASE = (
     "CASE doc_id % 10 WHEN 7 THEN '.pdf' WHEN 8 THEN '.jpg' ELSE '.html' END"
 )
 
-def _simhash_sig_ctes(src: str) -> str:
+def _simhash_sig_ctes(src: str, p: str = "") -> str:
     """md5-parity SimHash signature CTE chain over ``src(doc_id, text)``
     (mirrors dedup.simhash64 hash_fn='md5' bit-for-bit: distinct words,
     digit-wise md5 bit extraction, two's-complement sign-bit fold). Ends
-    at ``sig(doc_id, simhash, bucket)``; shared by simhash_buckets and
-    simhash_near_pairs."""
-    return f"""w AS (
+    at ``{p}sig(doc_id, simhash, bucket)``; shared by simhash_buckets and
+    simhash_near_pairs. ``p`` prefixes every CTE name so the chain
+    composes next to _SHINGLES_CTE (which also defines ``w``) and
+    _LSH_PAIRS_CTES (which also defines ``sig``)."""
+    return f"""{p}w AS (
               SELECT doc_id,
                      unnest(list_distinct(string_split(text, ' '))) AS word
               FROM {src}),
-            h AS (SELECT doc_id, md5(word) AS hx FROM w),
-            hb AS (SELECT doc_id, hx, unnest(range(64)) AS bit FROM h),
-            s AS (
+            {p}h AS (SELECT doc_id, md5(word) AS hx FROM {p}w),
+            {p}hb AS (SELECT doc_id, hx, unnest(range(64)) AS bit
+                      FROM {p}h),
+            {p}s AS (
               SELECT doc_id, bit,
                      sum(CASE WHEN (((instr('0123456789abcdef',
                                 substr(hx, (16 - bit // 4)::INT, 1)) - 1)
                           >> (bit % 4)::INT) & 1) = 1
                          THEN 1 ELSE -1 END) AS acc
-              FROM hb GROUP BY 1, 2),
-            sig AS (
+              FROM {p}hb GROUP BY 1, 2),
+            {p}sig AS (
               SELECT doc_id,
                      sum(CASE WHEN acc > 0 THEN
                            CASE WHEN bit = 63 THEN -9223372036854775807 - 1
@@ -2535,7 +2549,7 @@ def _simhash_sig_ctes(src: str) -> str:
                      sum(CASE WHEN acc > 0 AND bit >= 48
                            THEN (1::BIGINT << (bit - 48)::INT)
                          ELSE 0 END)::INT AS bucket
-              FROM s GROUP BY 1)"""
+              FROM {p}s GROUP BY 1)"""
 
 
 # Candidate-pair intersections with the hot-shingle guard mirror
@@ -5019,6 +5033,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, is_seed, n_tokens,
                    round(lo::DOUBLE, 4) AS log_odds, lo > 0 AS nb_keep
             FROM sc
+        """,
+        "dedup_methods_overlap": f"""
+            WITH {_SHINGLES_CTE}, {_JPAIRS_CTES}, {_LSH_PAIRS_CTES},
+            {_simhash_sig_ctes("documents", "sx")},
+            jp AS (
+              SELECT a, b FROM inter
+              JOIN sizes sa ON sa.doc_id = a
+              JOIN sizes sb ON sb.doc_id = b
+              WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 4) >= 0.5),
+            sxbd AS (
+              SELECT doc_id, simhash,
+                     ((simhash >> (16 * i.i)::INT) & 65535)
+                       + (i.i::BIGINT << 16) AS bkey
+              FROM sxsig, (SELECT unnest(range(4)) AS i) i),
+            sxok AS (SELECT bkey FROM sxbd GROUP BY 1
+                     HAVING count(*) BETWEEN 2 AND 1000),
+            sp AS (
+              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              FROM sxbd x JOIN sxbd y
+                ON x.bkey = y.bkey AND x.doc_id < y.doc_id
+              JOIN sxok ON sxok.bkey = x.bkey
+              WHERE bit_count(xor(x.simhash, y.simhash)) <= 3),
+            allp AS (
+              SELECT DISTINCT a, b FROM (
+                SELECT a, b FROM jp
+                UNION ALL SELECT a, b FROM pairs
+                UNION ALL SELECT a, b FROM sp)),
+            fl AS (
+              SELECT (j.a IS NOT NULL) AS in_jaccard,
+                     (l.a IS NOT NULL) AS in_lsh,
+                     (s.a IS NOT NULL) AS in_simhash
+              FROM allp al
+              LEFT JOIN jp j ON j.a = al.a AND j.b = al.b
+              LEFT JOIN pairs l ON l.a = al.a AND l.b = al.b
+              LEFT JOIN sp s ON s.a = al.a AND s.b = al.b)
+            SELECT in_jaccard, in_lsh, in_simhash,
+                   count(*)::BIGINT AS n_pairs
+            FROM fl GROUP BY 1, 2, 3
         """,
         "quality_confusion": f"""
             WITH {_SHINGLES_CTE}, {_VERDICT_CTES}, {_NB_CTES},

@@ -152,6 +152,7 @@ EXTRA3 = (
 EXTRA4: tuple[str, ...] = (
     "fetch_frontier",
     "quality_confusion",
+    "dedup_methods_overlap",
     "minhash_accuracy_eval",
     "simhash_near_pairs",
     "jaccard_histogram",

@@ -1471,3 +1471,45 @@ def minhash_accuracy_eval(df: DataFrame, key: str = "doc_id",
             ).alias("mean_abs_err"),
         )
     )
+
+
+def dedup_methods_overlap(df: DataFrame, key: str = "doc_id",
+                          col: str = "text", k: int = SHINGLE_K,
+                          jaccard_threshold: float = 0.5,
+                          max_hamming: int = 3,
+                          hash_fn: str = "xxhash64") -> DataFrame:
+    """Which near-dup family catches what: the pairwise overlap of the
+    three pair detectors over ONE corpus — exact n-gram Jaccard at
+    ``jaccard_threshold``, MinHash-LSH banding, and SimHash Hamming
+    ``<= max_hamming``. Grouped by presence vector, so the 7 possible
+    cells read directly as a Venn diagram: pairs only SimHash sees
+    (word-order rearrangements), pairs only Jaccard sees (LSH band
+    misses near the threshold), three-way agreement, etc. The report a
+    data lead reads before picking (and budgeting) a dedup method.
+
+    Scale shape: three independent candidate pipelines (each already
+    bounded — capped postings, tiny LSH buckets, capped simhash bands)
+    full-outer-joined on bare (a, b) long pairs, then a ≤7-row
+    aggregate; nothing corpus-sized is added on top of the detectors
+    themselves. This is an EVAL: run it on a corpus sample, not 100 TB.
+    """
+    jp = jaccard_pairs(
+        df, key, col, k, threshold=jaccard_threshold
+    ).select("a", "b", F.lit(True).alias("in_jaccard"))
+    lp = minhash_lsh_candidates(df, key, col, k).select(
+        "a", "b", F.lit(True).alias("in_lsh")
+    )
+    sp = simhash_near_pairs(
+        df, key, col, hash_fn=hash_fn, max_hamming=max_hamming
+    ).select("a", "b", F.lit(True).alias("in_simhash"))
+    u = jp.join(lp, ["a", "b"], "full_outer").join(sp, ["a", "b"],
+                                                   "full_outer")
+    return (
+        u.select(
+            F.coalesce("in_jaccard", F.lit(False)).alias("in_jaccard"),
+            F.coalesce("in_lsh", F.lit(False)).alias("in_lsh"),
+            F.coalesce("in_simhash", F.lit(False)).alias("in_simhash"),
+        )
+        .groupBy("in_jaccard", "in_lsh", "in_simhash")
+        .agg(F.count("*").alias("n_pairs"))
+    )

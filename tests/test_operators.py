@@ -1829,3 +1829,32 @@ def test_agreement_matrix_cells_and_shares(spark):
     assert rows[(True, "quality")]["share"] == 0.25
     assert rows[(False, "ok")]["share"] == 0.25
     assert sum(r["n_docs"] for r in rows.values()) == 4
+
+
+def test_dedup_methods_overlap_consistency(spark):
+    """The Venn table must equal the presence-vector histogram derived
+    from the three detectors run individually; a planted identical pair
+    lands in the all-three cell."""
+    from collections import Counter
+
+    from ollama_ocr_spark.operators.dedup import (dedup_methods_overlap,
+                                                  jaccard_pairs,
+                                                  minhash_lsh_candidates,
+                                                  simhash_near_pairs)
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(i, base + f" suffix{i % 4} tail{i % 3}") for i in range(10)]
+        + [(50, base + " suffix0 tail0")],     # identical to doc 0
+        ["doc_id", "text"],
+    )
+    jp = {(r["a"], r["b"]) for r in
+          jaccard_pairs(docs, threshold=0.5).collect()}
+    lp = {(r["a"], r["b"]) for r in minhash_lsh_candidates(docs).collect()}
+    sp = {(r["a"], r["b"]) for r in
+          simhash_near_pairs(docs, hash_fn="md5").collect()}
+    want = Counter((p in jp, p in lp, p in sp) for p in jp | lp | sp)
+    got = {(r["in_jaccard"], r["in_lsh"], r["in_simhash"]): r["n_pairs"]
+           for r in dedup_methods_overlap(docs, hash_fn="md5").collect()}
+    assert got == dict(want)
+    assert (0, 50) in jp & lp & sp and got[(True, True, True)] >= 1
