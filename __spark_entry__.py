@@ -1796,6 +1796,27 @@ def q_length_histogram(spark, sf_dir):
     return length_histogram(_docs(spark, sf_dir))
 
 
+def q_host_content_entropy(spark, sf_dir):
+    """Mirror/alias triage gradient: per-host Shannon entropy of document
+    content digests (url_aliases finds exact alias GROUPS; this ranks
+    whole hosts by how template/mirror-like their content mix is — a
+    host serving one body at many urls sits near 0). Same group_entropy
+    engine-parity contract as host_template_entropy."""
+    from ollama_ocr_spark.operators.maintenance import doc_id_expr, host_expr
+    from ollama_ocr_spark.operators.textstats import group_entropy
+
+    pages = _latest_pages(spark, sf_dir).select(
+        host_expr().alias("host"), doc_id_expr().alias("doc_id")
+    )
+    digests = pages.join(
+        _docs(spark, sf_dir).select(
+            "doc_id", F.md5("text").alias("digest")
+        ),
+        "doc_id",
+    )
+    return group_entropy(digests, "host", "digest")
+
+
 def q_dedup_methods_overlap(spark, sf_dir):
     """Venn report of the three near-dup detectors (Jaccard>=0.5, LSH
     bands, SimHash Hamming<=3) over the corpus: presence-vector cells
@@ -2070,6 +2091,7 @@ _QUERIES = {
         # item 2 — rotating coverage). Round-4 additions first (zero
         # evidence from ANY driver or judge round), then the round-3
         # queries that have only judge-run (softer) evidence so far.
+        "host_content_entropy": q_host_content_entropy,
         "dedup_methods_overlap": q_dedup_methods_overlap,
         "quality_confusion": q_quality_confusion,
         "fetch_frontier": q_fetch_frontier,
@@ -5033,6 +5055,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, is_seed, n_tokens,
                    round(lo::DOUBLE, 4) AS log_odds, lo > 0 AS nb_keep
             FROM sc
+        """,
+        "host_content_entropy": f"""
+            WITH m AS (
+              SELECT {_HOST_CASE} AS host, md5(text) AS cat
+              FROM documents),
+            counts AS (
+              SELECT host, cat, count(*)::BIGINT AS c FROM m GROUP BY 1, 2),
+            tot AS (SELECT host, sum(c)::BIGINT AS n FROM counts GROUP BY 1),
+            terms AS (
+              SELECT c.host, t.n,
+                     round(-(c.c / t.n) * round(ln(c.c / t.n), 8),
+                           6)::DECIMAL(18,6) AS term
+              FROM counts c JOIN tot t USING (host))
+            SELECT host, max(n)::BIGINT AS n_rows,
+                   count(*)::BIGINT AS n_cats,
+                   round(sum(term)::DOUBLE, 4) AS entropy
+            FROM terms GROUP BY host
         """,
         "dedup_methods_overlap": f"""
             WITH {_SHINGLES_CTE}, {_JPAIRS_CTES}, {_LSH_PAIRS_CTES},

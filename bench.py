@@ -153,6 +153,7 @@ EXTRA4: tuple[str, ...] = (
     "fetch_frontier",
     "quality_confusion",
     "dedup_methods_overlap",
+    "host_content_entropy",
     "minhash_accuracy_eval",
     "simhash_near_pairs",
     "jaccard_histogram",
