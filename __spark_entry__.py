@@ -1796,6 +1796,26 @@ def q_length_histogram(spark, sf_dir):
     return length_histogram(_docs(spark, sf_dir))
 
 
+def q_winnow_near_pairs(spark, sf_dir):
+    """MOSS-style local-overlap pairs over the corpus plus planted
+    partial copies (every doc_id%9==0 doc gets a variant sharing its
+    first 40 words then diverging): pairs sharing >= 2 winnow
+    fingerprints, md5-parity selection so both engines pick identical
+    window minima."""
+    from ollama_ocr_spark.operators.dedup import winnow_near_pairs
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    partial = docs.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat(
+            F.array_join(F.slice(F.split(F.col("text"), " "), 1, 40), " "),
+            F.lit(" unique continuation "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return winnow_near_pairs(docs.unionByName(partial))
+
+
 def q_host_content_entropy(spark, sf_dir):
     """Mirror/alias triage gradient: per-host Shannon entropy of document
     content digests (url_aliases finds exact alias GROUPS; this ranks
@@ -2091,6 +2111,7 @@ _QUERIES = {
         # item 2 — rotating coverage). Round-4 additions first (zero
         # evidence from ANY driver or judge round), then the round-3
         # queries that have only judge-run (softer) evidence so far.
+        "winnow_near_pairs": q_winnow_near_pairs,
         "host_content_entropy": q_host_content_entropy,
         "dedup_methods_overlap": q_dedup_methods_overlap,
         "quality_confusion": q_quality_confusion,
@@ -2300,6 +2321,35 @@ def _host_case(e: str) -> str:
         f"WHEN ({e}) % 100 < 85 THEN 'h2.example.com' "
         f"ELSE 'h' || (3 + ({e}) % 13) || '.example.com' END"
     )
+
+
+def _winnow_ctes(src: str) -> str:
+    """Winnowing fingerprint chain over ``src(doc_id, text)`` (mirrors
+    dedup.winnow_fingerprints: md5 5-gram hashes, window-4 minima,
+    short-doc single-window fallback). Ends at
+    ``wfp(doc_id, fingerprint)`` distinct; shared by winnow_fingerprints
+    and winnow_near_pairs."""
+    return f"""wt AS (SELECT doc_id, string_split(text, ' ') AS w
+                      FROM {src}),
+            wh AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) >= 5
+                          THEN list_transform(range(1, len(w) - 3),
+                               i -> md5(array_to_string(w[i : i + 4], ' ')))
+                          ELSE [] END AS hs
+              FROM wt
+            ),
+            wm AS (
+              SELECT doc_id,
+                     CASE WHEN len(hs) >= 4
+                          THEN list_transform(range(1, len(hs) - 2),
+                               i -> list_min(hs[i : i + 3]))
+                          WHEN len(hs) > 0 THEN [list_min(hs)]
+                          ELSE [] END AS mins
+              FROM wh
+            ),
+            wx AS (SELECT doc_id, unnest(mins) AS fingerprint FROM wm),
+            wfp AS (SELECT DISTINCT doc_id, fingerprint FROM wx)"""
 
 
 # Seed-trained Naive-Bayes quality chain (mirrors
@@ -3659,27 +3709,30 @@ def oracle_sql() -> dict[str, str]:
                    min(ref) AS first_ref
             FROM pairs GROUP BY k
         """,
-        "winnow_fingerprints": """
-            WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-            h AS (
-              SELECT doc_id,
-                     CASE WHEN len(w) >= 5
-                          THEN list_transform(range(1, len(w) - 3),
-                               i -> md5(array_to_string(w[i : i + 4], ' ')))
-                          ELSE [] END AS hs
-              FROM t
+        "winnow_fingerprints": f"""
+            WITH {_winnow_ctes("documents")}
+            SELECT doc_id, fingerprint FROM wfp
+        """,
+        "winnow_near_pairs": f"""
+            WITH docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 3000000,
+                     array_to_string(string_split(text, ' ')[1:40], ' ')
+                     || ' unique continuation ' || doc_id
+              FROM documents WHERE doc_id % 9 = 0
             ),
-            m AS (
-              SELECT doc_id,
-                     CASE WHEN len(hs) >= 4
-                          THEN list_transform(range(1, len(hs) - 2),
-                               i -> list_min(hs[i : i + 3]))
-                          WHEN len(hs) > 0 THEN [list_min(hs)]
-                          ELSE [] END AS mins
-              FROM h
-            ),
-            x AS (SELECT doc_id, unnest(mins) AS fingerprint FROM m)
-            SELECT DISTINCT doc_id, fingerprint FROM x
+            {_winnow_ctes("docs")},
+            ok AS (SELECT fingerprint FROM wfp GROUP BY 1
+                   HAVING count(*) BETWEEN 2 AND 1000),
+            pr AS (
+              SELECT a.doc_id AS a, b.doc_id AS b,
+                     count(*)::BIGINT AS n_shared
+              FROM wfp a JOIN wfp b
+                ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+              JOIN ok ON ok.fingerprint = a.fingerprint
+              GROUP BY 1, 2)
+            SELECT a, b, n_shared FROM pr WHERE n_shared >= 2
         """,
         "token_counts": """
             SELECT doc_id,

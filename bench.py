@@ -154,6 +154,7 @@ EXTRA4: tuple[str, ...] = (
     "quality_confusion",
     "dedup_methods_overlap",
     "host_content_entropy",
+    "winnow_near_pairs",
     "minhash_accuracy_eval",
     "simhash_near_pairs",
     "jaccard_histogram",

@@ -1513,3 +1513,37 @@ def dedup_methods_overlap(df: DataFrame, key: str = "doc_id",
         .groupBy("in_jaccard", "in_lsh", "in_simhash")
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+def winnow_near_pairs(df: DataFrame, key: str = "doc_id",
+                      col: str = "text", k: int = SHINGLE_K,
+                      window: int = 4, min_shared: int = 2,
+                      max_posting: int | None = 1000) -> DataFrame:
+    """Winnowing-based overlap pairs — the MOSS pair stage on top of
+    :func:`winnow_fingerprints`, completing the fourth dedup family's
+    retrieval step (Jaccard, MinHash-LSH and SimHash already have
+    theirs): all (a < b) sharing at least ``min_shared`` selected
+    fingerprints. Winnowing guarantees any shared run of ~window+k-1
+    words yields a shared fingerprint, so this finds LOCAL overlap
+    (quoted passages, partial plagiarism) that whole-document Jaccard
+    dilutes away. Output: (a, b, n_shared).
+
+    Scale shape: identical discipline to :func:`minhash_lsh_candidates`
+    — fingerprint postings group once, pairs generate IN the posting
+    array, ``max_posting`` caps boilerplate fingerprints (a footer
+    every page shares; cap only under-counts n_shared for capped
+    fingerprints, never invents pairs), and only (a, b) long pairs
+    shuffle to the final count.
+    """
+    fps = winnow_fingerprints(df, key, col, k, window)
+    postings = fps.groupBy("fingerprint").agg(
+        F.collect_list(F.col(key)).alias("ids")
+    ).filter(F.size("ids") >= 2)
+    if max_posting is not None:
+        postings = postings.filter(F.size("ids") <= max_posting)
+    return (
+        postings.select(F.explode(_posting_pairs(F.col("ids"))).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

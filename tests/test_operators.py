@@ -1858,3 +1858,28 @@ def test_dedup_methods_overlap_consistency(spark):
            for r in dedup_methods_overlap(docs, hash_fn="md5").collect()}
     assert got == dict(want)
     assert (0, 50) in jp & lp & sp and got[(True, True, True)] >= 1
+
+
+def test_winnow_near_pairs_local_overlap(spark):
+    """A long quoted passage shared between two otherwise-different docs
+    produces a pair with n_shared >= 2; an unrelated doc pairs with
+    nobody; counts match a Python replication over the operator's own
+    fingerprints."""
+    from ollama_ocr_spark.operators.dedup import (winnow_fingerprints,
+                                                  winnow_near_pairs)
+
+    quote = " ".join(f"q{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, "intro words here " + quote + " closing remarks alpha"),
+         (2, "different opening " + quote + " other ending beta"),
+         (3, " ".join(f"z{i}" for i in range(30)))],
+        ["doc_id", "text"],
+    )
+    pairs = {(r["a"], r["b"]): r["n_shared"]
+             for r in winnow_near_pairs(docs).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert not any(3 in p for p in pairs)
+    by_doc = {}
+    for r in winnow_fingerprints(docs).collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert pairs[(1, 2)] == len(by_doc[1] & by_doc[2])
