@@ -5129,6 +5129,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_methods_overlap": f"""
             WITH {_SHINGLES_CTE}, {_JPAIRS_CTES}, {_LSH_PAIRS_CTES},
             {_simhash_sig_ctes("documents", "sx")},
+            {_winnow_ctes("documents")},
             jp AS (
               SELECT a, b FROM inter
               JOIN sizes sa ON sa.doc_id = a
@@ -5147,22 +5148,34 @@ def oracle_sql() -> dict[str, str]:
                 ON x.bkey = y.bkey AND x.doc_id < y.doc_id
               JOIN sxok ON sxok.bkey = x.bkey
               WHERE bit_count(xor(x.simhash, y.simhash)) <= 3),
+            wok AS (SELECT fingerprint FROM wfp GROUP BY 1
+                    HAVING count(*) BETWEEN 2 AND 1000),
+            wp AS (
+              SELECT x.doc_id AS a, y.doc_id AS b
+              FROM wfp x JOIN wfp y
+                ON x.fingerprint = y.fingerprint
+                AND x.doc_id < y.doc_id
+              JOIN wok ON wok.fingerprint = x.fingerprint
+              GROUP BY 1, 2 HAVING count(*) >= 2),
             allp AS (
               SELECT DISTINCT a, b FROM (
                 SELECT a, b FROM jp
                 UNION ALL SELECT a, b FROM pairs
-                UNION ALL SELECT a, b FROM sp)),
+                UNION ALL SELECT a, b FROM sp
+                UNION ALL SELECT a, b FROM wp)),
             fl AS (
               SELECT (j.a IS NOT NULL) AS in_jaccard,
                      (l.a IS NOT NULL) AS in_lsh,
-                     (s.a IS NOT NULL) AS in_simhash
+                     (s.a IS NOT NULL) AS in_simhash,
+                     (w2.a IS NOT NULL) AS in_winnow
               FROM allp al
               LEFT JOIN jp j ON j.a = al.a AND j.b = al.b
               LEFT JOIN pairs l ON l.a = al.a AND l.b = al.b
-              LEFT JOIN sp s ON s.a = al.a AND s.b = al.b)
-            SELECT in_jaccard, in_lsh, in_simhash,
+              LEFT JOIN sp s ON s.a = al.a AND s.b = al.b
+              LEFT JOIN wp w2 ON w2.a = al.a AND w2.b = al.b)
+            SELECT in_jaccard, in_lsh, in_simhash, in_winnow,
                    count(*)::BIGINT AS n_pairs
-            FROM fl GROUP BY 1, 2, 3
+            FROM fl GROUP BY 1, 2, 3, 4
         """,
         "quality_confusion": f"""
             WITH {_SHINGLES_CTE}, {_VERDICT_CTES}, {_NB_CTES},

@@ -1476,22 +1476,26 @@ def minhash_accuracy_eval(df: DataFrame, key: str = "doc_id",
 def dedup_methods_overlap(df: DataFrame, key: str = "doc_id",
                           col: str = "text", k: int = SHINGLE_K,
                           jaccard_threshold: float = 0.5,
-                          max_hamming: int = 3,
+                          max_hamming: int = 3, min_shared: int = 2,
                           hash_fn: str = "xxhash64") -> DataFrame:
     """Which near-dup family catches what: the pairwise overlap of the
-    three pair detectors over ONE corpus — exact n-gram Jaccard at
-    ``jaccard_threshold``, MinHash-LSH banding, and SimHash Hamming
-    ``<= max_hamming``. Grouped by presence vector, so the 7 possible
+    FOUR pair detectors over ONE corpus — exact n-gram Jaccard at
+    ``jaccard_threshold``, MinHash-LSH banding, SimHash Hamming
+    ``<= max_hamming``, and winnowing local overlap (``>= min_shared``
+    shared fingerprints). Grouped by presence vector, so the 15 possible
     cells read directly as a Venn diagram: pairs only SimHash sees
-    (word-order rearrangements), pairs only Jaccard sees (LSH band
-    misses near the threshold), three-way agreement, etc. The report a
-    data lead reads before picking (and budgeting) a dedup method.
+    (word-order rearrangements), pairs only winnowing sees (one long
+    quoted passage inside otherwise-different docs), pairs only Jaccard
+    sees (LSH band misses near the threshold), full agreement, etc. The
+    report a data lead reads before picking (and budgeting) a dedup
+    method.
 
-    Scale shape: three independent candidate pipelines (each already
-    bounded — capped postings, tiny LSH buckets, capped simhash bands)
-    full-outer-joined on bare (a, b) long pairs, then a ≤7-row
-    aggregate; nothing corpus-sized is added on top of the detectors
-    themselves. This is an EVAL: run it on a corpus sample, not 100 TB.
+    Scale shape: four independent candidate pipelines (each already
+    bounded — capped postings, tiny LSH buckets, capped simhash bands,
+    capped fingerprint postings) full-outer-joined on bare (a, b) long
+    pairs, then a ≤15-row aggregate; nothing corpus-sized is added on
+    top of the detectors themselves. This is an EVAL: run it on a
+    corpus sample, not 100 TB.
     """
     jp = jaccard_pairs(
         df, key, col, k, threshold=jaccard_threshold
@@ -1502,15 +1506,22 @@ def dedup_methods_overlap(df: DataFrame, key: str = "doc_id",
     sp = simhash_near_pairs(
         df, key, col, hash_fn=hash_fn, max_hamming=max_hamming
     ).select("a", "b", F.lit(True).alias("in_simhash"))
-    u = jp.join(lp, ["a", "b"], "full_outer").join(sp, ["a", "b"],
-                                                   "full_outer")
+    wp = winnow_near_pairs(
+        df, key, col, k, min_shared=min_shared
+    ).select("a", "b", F.lit(True).alias("in_winnow"))
+    u = (
+        jp.join(lp, ["a", "b"], "full_outer")
+        .join(sp, ["a", "b"], "full_outer")
+        .join(wp, ["a", "b"], "full_outer")
+    )
     return (
         u.select(
             F.coalesce("in_jaccard", F.lit(False)).alias("in_jaccard"),
             F.coalesce("in_lsh", F.lit(False)).alias("in_lsh"),
             F.coalesce("in_simhash", F.lit(False)).alias("in_simhash"),
+            F.coalesce("in_winnow", F.lit(False)).alias("in_winnow"),
         )
-        .groupBy("in_jaccard", "in_lsh", "in_simhash")
+        .groupBy("in_jaccard", "in_lsh", "in_simhash", "in_winnow")
         .agg(F.count("*").alias("n_pairs"))
     )
 

@@ -1840,7 +1840,8 @@ def test_dedup_methods_overlap_consistency(spark):
     from ollama_ocr_spark.operators.dedup import (dedup_methods_overlap,
                                                   jaccard_pairs,
                                                   minhash_lsh_candidates,
-                                                  simhash_near_pairs)
+                                                  simhash_near_pairs,
+                                                  winnow_near_pairs)
 
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     docs = spark.createDataFrame(
@@ -1853,11 +1854,15 @@ def test_dedup_methods_overlap_consistency(spark):
     lp = {(r["a"], r["b"]) for r in minhash_lsh_candidates(docs).collect()}
     sp = {(r["a"], r["b"]) for r in
           simhash_near_pairs(docs, hash_fn="md5").collect()}
-    want = Counter((p in jp, p in lp, p in sp) for p in jp | lp | sp)
-    got = {(r["in_jaccard"], r["in_lsh"], r["in_simhash"]): r["n_pairs"]
+    wp = {(r["a"], r["b"]) for r in winnow_near_pairs(docs).collect()}
+    want = Counter((p in jp, p in lp, p in sp, p in wp)
+                   for p in jp | lp | sp | wp)
+    got = {(r["in_jaccard"], r["in_lsh"], r["in_simhash"], r["in_winnow"]):
+           r["n_pairs"]
            for r in dedup_methods_overlap(docs, hash_fn="md5").collect()}
     assert got == dict(want)
-    assert (0, 50) in jp & lp & sp and got[(True, True, True)] >= 1
+    assert (0, 50) in jp & lp & sp & wp
+    assert got[(True, True, True, True)] >= 1
 
 
 def test_winnow_near_pairs_local_overlap(spark):
