@@ -673,6 +673,25 @@ def export_shards(df: DataFrame, path: str,
     df.write.mode("overwrite").partitionBy(*part_cols).parquet(path)
 
 
+def export_jsonl(df: DataFrame, path: str,
+                 part_cols: tuple[str, ...] = ("split",),
+                 compression: str = "gzip") -> None:
+    """Materialize the training export as hive-partitioned gzip JSON
+    Lines — the de-facto interchange format every tokenizer/trainer
+    ingests (one JSON object per document, one directory per split).
+    The parquet twin (:func:`export_shards`) is the lakehouse layout;
+    this is what leaves the lakehouse.
+
+    Spark's native json writer streams per-task (no driver collect, no
+    reshuffle beyond what the caller's plan already did); gzip keeps the
+    wire/disk ~5x smaller at web-text entropy. Column types serialize as
+    their JSON natural forms — keep the projection to scalar/array
+    training fields (text, token counts, labels) before calling.
+    """
+    (df.write.mode("overwrite").partitionBy(*part_cols)
+     .option("compression", compression).json(path))
+
+
 def compaction_plan(files: DataFrame, target_bytes: int,
                     part_cols: tuple[str, ...] = ("part",),
                     order_col: str = "file_id",

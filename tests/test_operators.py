@@ -1888,3 +1888,31 @@ def test_winnow_near_pairs_local_overlap(spark):
     for r in winnow_fingerprints(docs).collect():
         by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
     assert pairs[(1, 2)] == len(by_doc[1] & by_doc[2])
+
+
+def test_export_jsonl_roundtrip(spark, tmp_path):
+    """export_jsonl writes per-split gzip JSONL a plain-Python reader can
+    consume line-by-line; the roundtrip preserves every row and field."""
+    import gzip
+    import json
+    import os
+
+    from ollama_ocr_spark.operators.maintenance import export_jsonl, hash_split
+
+    docs = spark.createDataFrame(
+        [(i, f"doc body {i}", i % 7 + 1) for i in range(120)],
+        ["doc_id", "text", "n_tokens"],
+    )
+    path = str(tmp_path / "jsonl")
+    export_jsonl(hash_split(docs, key="doc_id"), path)
+    splits = sorted(d for d in os.listdir(path) if d.startswith("split="))
+    assert splits == ["split=test", "split=train", "split=val"]
+    rows = []
+    for split in splits:
+        for f in os.listdir(f"{path}/{split}"):
+            if f.endswith(".gz"):
+                with gzip.open(f"{path}/{split}/{f}", "rt") as fh:
+                    rows += [json.loads(l) for l in fh]
+    assert len(rows) == 120
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[5]["text"] == "doc body 5" and by_id[5]["n_tokens"] == 6
