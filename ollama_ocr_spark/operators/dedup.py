@@ -1346,6 +1346,23 @@ def jaccard_histogram(df: DataFrame, key: str = "doc_id", col: str = "text",
     )
 
 
+def simhash_band_keys(simhash_col: str):
+    """The 4×16-bit blocking keys for a 64-bit simhash column: band i's
+    chunk ``(sig >>> 16i) & 0xFFFF`` with the band index packed into
+    bits 16+ so ONE bigint column equi-groups across bands. Shared by
+    :func:`simhash_near_pairs` and the streaming twin
+    (``streaming.incremental.incremental_simhash``) so both block
+    identically."""
+    return F.array(*[
+        (
+            F.shiftrightunsigned(F.col(simhash_col), 16 * i)
+            .bitwiseAND(F.lit(0xFFFF))
+            + F.lit(i << 16)
+        ).cast("bigint")
+        for i in range(4)
+    ])
+
+
 def simhash_near_pairs(df: DataFrame, key: str = "doc_id", col: str = "text",
                        hash_fn: str = "xxhash64", max_hamming: int = 3,
                        max_bucket: int | None = 1000) -> DataFrame:
@@ -1372,15 +1389,9 @@ def simhash_near_pairs(df: DataFrame, key: str = "doc_id", col: str = "text",
     sigs = simhash64(df, key, col, hash_fn).select(
         F.col(key).alias("id"), "simhash"
     )
-    bkeys = F.array(*[
-        (
-            F.shiftrightunsigned(F.col("simhash"), 16 * i)
-            .bitwiseAND(F.lit(0xFFFF))
-            + F.lit(i << 16)
-        ).cast("bigint")
-        for i in range(4)
-    ])
-    banded = sigs.select("id", "simhash", F.explode(bkeys).alias("bkey"))
+    banded = sigs.select(
+        "id", "simhash", F.explode(simhash_band_keys("simhash")).alias("bkey")
+    )
     postings = banded.groupBy("bkey").agg(
         F.sort_array(
             F.collect_list(F.struct(F.col("id"), F.col("simhash")))

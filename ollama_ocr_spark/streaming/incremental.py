@@ -128,6 +128,92 @@ def incremental_minhash(
     )
 
 
+def incremental_simhash(
+    spark: SparkSession,
+    pages_dir: str,
+    sig_tbl: IceTable,
+    cand_tbl: IceTable,
+    checkpoint_dir: str,
+    key: str = "url",
+    max_hamming: int = 3,
+) -> None:
+    """Incremental SimHash near-dup detection over a capture stream —
+    the Hamming-distance twin of :func:`incremental_minhash`.
+
+    Signatures (``simhash64``) are pure map-side expressions, so they
+    stream with no state store; the cross-document part runs per
+    micro-batch in ``foreachBatch``: the NEW batch's 4x16-bit band keys
+    (``simhash_band_keys`` — the SAME blocking as the batch operator)
+    join against the accumulated signature table's band keys, popcount
+    verifies ``<= max_hamming``, and already-emitted pairs are
+    anti-joined away — append-only exactly-once across resumes, each
+    arriving document compared once against everything seen so far
+    (new x all, which includes new x new).
+
+    Batch-equivalence (pytest-checked): after draining any split of the
+    input into micro-batches, the union of emitted pairs equals
+    ``simhash_near_pairs`` over the full corpus (uncapped). At scale,
+    partition the signature table by band key and add the batch
+    operator's ``max_bucket``-style hot-band cap on the accumulated
+    side — a boilerplate-heavy corpus can make one 16-bit band chunk
+    arbitrarily hot.
+    """
+    from ..operators.dedup import simhash64, simhash_band_keys
+
+    pages = spark.readStream.schema(PAGES_SCHEMA).parquet(pages_dir)
+    extracted = extract_stage(pages).select(key, "text")
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        new_sigs = simhash64(batch_df, key=key, col="text").select(
+            key, "simhash"
+        )
+        prior = sig_tbl.read(spark)
+        all_sigs = new_sigs if prior is None else prior.select(
+            key, "simhash"
+        ).unionByName(new_sigs)
+        nb = new_sigs.select(
+            F.col(key).alias("nk"), F.col("simhash").alias("nsig"),
+            F.explode(simhash_band_keys("simhash")).alias("bkey"),
+        )
+        ab = all_sigs.select(
+            F.col(key).alias("ak"), F.col("simhash").alias("asig"),
+            F.explode(simhash_band_keys("simhash")).alias("bkey"),
+        )
+        cand = (
+            nb.join(ab, "bkey")
+            .filter(F.col("nk") != F.col("ak"))
+            .select(
+                F.least("nk", "ak").alias("a"),
+                F.greatest("nk", "ak").alias("b"),
+                F.expr("bit_count(nsig ^ asig)").cast("int")
+                .alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct()
+        )
+        existing = cand_tbl.read(spark)
+        if existing is not None:
+            cand = cand.join(
+                existing.select("a", "b"), ["a", "b"], "left_anti"
+            )
+        cand_tbl.append(cand)
+        # Idempotency guard (batch retry after append, before checkpoint
+        # commit): never re-append signatures already in the table.
+        if prior is not None:
+            new_sigs = new_sigs.join(
+                prior.select(key), [key], "left_anti"
+            )
+        sig_tbl.append(new_sigs)
+
+    (
+        extracted.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def session_window_agg(events: DataFrame, gap: str = "30 minutes",
                        watermark: str = "2 hours") -> DataFrame:
     """Gap sessionization via Spark's built-in ``session_window`` — the

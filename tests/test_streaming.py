@@ -244,3 +244,40 @@ def test_streaming_url_filter_frontier(spark, tmp_path):
     _write(["https://a.com/new.html?a=1&b=2&c=3"])
     second = _drain()                      # only the new arrival re-emits
     assert second == {"https://a.com/new.html?a=1&b=2&c=3": "too_many_params"}
+
+
+def test_incremental_simhash_matches_batch(spark, documents_smoke, tmp_path):
+    """Draining the corpus in two micro-batch runs must emit exactly the
+    batch simhash_near_pairs set — same band blocking via the shared
+    simhash_band_keys — with no duplicate pairs across batches."""
+    from ollama_ocr_spark.operators.dedup import simhash_near_pairs
+    from ollama_ocr_spark.operators.extract import extract_stage
+    from ollama_ocr_spark.operators.maintenance import latest_capture
+    from ollama_ocr_spark.streaming.incremental import incremental_simhash
+
+    pages_dir = str(tmp_path / "pages")
+    ckpt = str(tmp_path / "ckpt")
+    sigs = IceTable(str(tmp_path / "sigs"))
+    cands = IceTable(str(tmp_path / "cands"))
+
+    docs = documents_smoke.filter("doc_id < 200")
+    latest_capture(synthesize_stage(docs.filter("doc_id < 120"))).write.mode(
+        "append").parquet(pages_dir)
+    incremental_simhash(spark, pages_dir, sigs, cands, ckpt)
+    latest_capture(synthesize_stage(docs.filter("doc_id >= 120"))).write.mode(
+        "append").parquet(pages_dir)
+    incremental_simhash(spark, pages_dir, sigs, cands, ckpt)
+
+    got_rows = cands.read(spark).collect()
+    got = {(r["a"], r["b"], r["hamming"]) for r in got_rows}
+    assert len(got) == len(got_rows), "duplicate pairs emitted"
+
+    batch_text = extract_stage(
+        latest_capture(synthesize_stage(docs))
+    ).select("url", "text")
+    want = {
+        (r["a"], r["b"], r["hamming"])
+        for r in simhash_near_pairs(batch_text, key="url",
+                                    max_bucket=None).collect()
+    }
+    assert got == want
