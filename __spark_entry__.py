@@ -1796,6 +1796,22 @@ def q_length_histogram(spark, sf_dir):
     return length_histogram(_docs(spark, sf_dir))
 
 
+def q_chunk_dedup(spark, sf_dir):
+    """Chunk-level exact dedup over the corpus plus planted full copies
+    (every doc_id%13==0 doc is duplicated at doc_id+4000000): sliding
+    chunks (32/24) digest-grouped; keeper = min bit-packed (doc, chunk)
+    position; copies carry the digest multiplicity."""
+    from ollama_ocr_spark.operators.dedup import dedup_chunks
+    from ollama_ocr_spark.operators.textstats import chunk_documents
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 4000000).alias("doc_id"), "text"
+    )
+    chunks = chunk_documents(docs.unionByName(copies), size=32, stride=24)
+    return dedup_chunks(chunks)
+
+
 def q_winnow_near_pairs(spark, sf_dir):
     """MOSS-style local-overlap pairs over the corpus plus planted
     partial copies (every doc_id%9==0 doc gets a variant sharing its
@@ -2111,6 +2127,7 @@ _QUERIES = {
         # item 2 — rotating coverage). Round-4 additions first (zero
         # evidence from ANY driver or judge round), then the round-3
         # queries that have only judge-run (softer) evidence so far.
+        "chunk_dedup": q_chunk_dedup,
         "winnow_near_pairs": q_winnow_near_pairs,
         "host_content_entropy": q_host_content_entropy,
         "dedup_methods_overlap": q_dedup_methods_overlap,
@@ -2321,6 +2338,27 @@ def _host_case(e: str) -> str:
         f"WHEN ({e}) % 100 < 85 THEN 'h2.example.com' "
         f"ELSE 'h' || (3 + ({e}) % 13) || '.example.com' END"
     )
+
+
+def _chunk_ctes(src: str) -> str:
+    """Sliding-window chunk grid over ``src(doc_id, text)`` (mirrors
+    textstats.chunk_documents size=32 stride=24). Ends at
+    ``chunks(doc_id, chunk_id, n_words, chunk)``; shared by
+    chunk_documents and chunk_dedup."""
+    return f"""cw AS (SELECT doc_id, string_split(text, ' ') AS w
+                      FROM {src}),
+            cmeta AS (
+              SELECT doc_id, w,
+                     CASE WHEN len(w) <= 32 THEN 1
+                          ELSE ceil((len(w) - 32) / 24)::INT + 1 END AS nc
+              FROM cw),
+            cch AS (SELECT doc_id, w, unnest(range(nc)) AS cid FROM cmeta),
+            chunks AS (
+              SELECT doc_id, cid::INT AS chunk_id,
+                     len(w[cid * 24 + 1 : cid * 24 + 32])::INT AS n_words,
+                     coalesce(array_to_string(
+                       w[cid * 24 + 1 : cid * 24 + 32], ' '), '') AS chunk
+              FROM cch)"""
 
 
 def _winnow_ctes(src: str) -> str:
@@ -5187,25 +5225,29 @@ def oracle_sql() -> dict[str, str]:
                    round((count(*) * 1.0) / (SELECT t FROM t), 4) AS share
             FROM j GROUP BY 1, 2
         """,
-        "chunk_documents": """
-            WITH w AS (
-              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        "chunk_documents": f"""
+            WITH {_chunk_ctes("documents")}
+            SELECT doc_id, chunk_id, n_words, chunk FROM chunks
+        """,
+        "chunk_dedup": f"""
+            WITH docs AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 4000000, text FROM documents
+              WHERE doc_id % 13 = 0
             ),
-            meta AS (
-              SELECT doc_id, w,
-                     CASE WHEN len(w) <= 32 THEN 1
-                          ELSE ceil((len(w) - 32) / 24)::INT + 1 END AS nc
-              FROM w
-            ),
-            ch AS (
-              SELECT doc_id, w, unnest(range(nc)) AS cid FROM meta
-            )
-            SELECT doc_id, cid::INT AS chunk_id,
-                   len(w[cid * 24 + 1 : cid * 24 + 32])::INT AS n_words,
-                   coalesce(
-                     array_to_string(w[cid * 24 + 1 : cid * 24 + 32], ' '),
-                     '') AS chunk
-            FROM ch
+            {_chunk_ctes("docs")},
+            dd AS (
+              SELECT doc_id, chunk_id,
+                     doc_id::BIGINT * 4194304 + chunk_id AS p,
+                     md5(chunk) AS d
+              FROM chunks),
+            ag AS (
+              SELECT d, min(p) AS keepp, count(*)::BIGINT AS n_copies
+              FROM dd GROUP BY 1)
+            SELECT dd.doc_id, dd.chunk_id, dd.p = ag.keepp AS keep,
+                   ag.n_copies
+            FROM dd JOIN ag USING (d)
         """,
         "shingle_novelty": """
             WITH w AS (

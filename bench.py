@@ -155,6 +155,7 @@ EXTRA4: tuple[str, ...] = (
     "dedup_methods_overlap",
     "host_content_entropy",
     "winnow_near_pairs",
+    "chunk_dedup",
     "minhash_accuracy_eval",
     "simhash_near_pairs",
     "jaccard_histogram",

@@ -1916,3 +1916,22 @@ def test_export_jsonl_roundtrip(spark, tmp_path):
     assert len(rows) == 120
     by_id = {r["doc_id"]: r for r in rows}
     assert by_id[5]["text"] == "doc body 5" and by_id[5]["n_tokens"] == 6
+
+
+def test_dedup_chunks_keeper_and_multiplicity(spark):
+    """Min bit-packed (doc, chunk) position keeps; every copy carries the
+    digest multiplicity; unique chunks keep with n_copies=1."""
+    from ollama_ocr_spark.operators.dedup import dedup_chunks
+
+    chunks = spark.createDataFrame(
+        [(1, 0, "shared passage"), (1, 1, "only here"),
+         (2, 0, "shared passage"), (2, 1, "shared passage"),
+         (3, 0, "another one")],
+        ["doc_id", "chunk_id", "chunk"],
+    )
+    rows = {(r["doc_id"], r["chunk_id"]): r
+            for r in dedup_chunks(chunks).collect()}
+    assert rows[(1, 0)]["keep"] and rows[(1, 0)]["n_copies"] == 3
+    assert not rows[(2, 0)]["keep"] and not rows[(2, 1)]["keep"]
+    assert rows[(1, 1)]["keep"] and rows[(1, 1)]["n_copies"] == 1
+    assert rows[(3, 0)]["keep"]
