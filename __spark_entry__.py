@@ -1796,6 +1796,41 @@ def q_length_histogram(spark, sf_dir):
     return length_histogram(_docs(spark, sf_dir))
 
 
+def q_crawl_priority(spark, sf_dir):
+    """Ranked per-host crawl priority for the next round: seeded
+    TrustRank (spam-resistant authority) x domain-quality pass rate —
+    trust says who the web vouches for, quality says what their pages
+    were actually worth; the product ranks where the next fetch budget
+    goes. 6dp-rounded trust and 4dp ok_rate multiply into a 6dp
+    priority; rank ties break by host. Host-table-sized throughout."""
+    from pyspark.sql import Window
+
+    from ollama_ocr_spark.operators.linkgraph import (host_trustrank,
+                                                      outlink_edges)
+    from ollama_ocr_spark.operators.maintenance import doc_id_expr, host_expr
+    from ollama_ocr_spark.operators.textstats import domain_quality
+
+    pages = _latest_pages(spark, sf_dir)
+    trust = host_trustrank(
+        outlink_edges(pages), seeds=["h0.example.com", "h1.example.com"]
+    )
+    hosts = pages.select(host_expr().alias("host"),
+                         doc_id_expr().alias("doc_id"))
+    dq = domain_quality(
+        hosts.join(_docs(spark, sf_dir).select("doc_id", "text"), "doc_id"),
+        min_docs=5, min_ok_rate=0.85,
+    )
+    j = trust.join(dq.select("host", "ok_rate"), "host")
+    w = Window.orderBy(F.desc("priority"), F.asc("host"))
+    return (
+        j.select(
+            "host", "trust", "ok_rate",
+            F.round(F.col("trust") * F.col("ok_rate"), 6).alias("priority"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )
+
+
 def q_chunk_dedup(spark, sf_dir):
     """Chunk-level exact dedup over the corpus plus planted full copies
     (every doc_id%13==0 doc is duplicated at doc_id+4000000): sliding
@@ -2127,6 +2162,7 @@ _QUERIES = {
         # item 2 — rotating coverage). Round-4 additions first (zero
         # evidence from ANY driver or judge round), then the round-3
         # queries that have only judge-run (softer) evidence so far.
+        "crawl_priority": q_crawl_priority,
         "chunk_dedup": q_chunk_dedup,
         "winnow_near_pairs": q_winnow_near_pairs,
         "host_content_entropy": q_host_content_entropy,
@@ -2515,10 +2551,13 @@ SELECT host, round(rank, 6) AS rank FROM r{iterations}
 """
 
 
-def _trustrank_oracle(iterations: int = 3) -> str:
-    """DuckDB twin of linkgraph.host_trustrank: seed-restricted teleport
-    ((1.0 - 0.85) * seed, seed = 1/|S∩hosts|), iterations unrolled as
-    chained CTEs, identical per-term double arithmetic."""
+def _trustrank_ctes(iterations: int = 3) -> str:
+    """TrustRank CTE chain (mirrors linkgraph.host_trustrank:
+    seed-restricted teleport (1.0 - 0.85) * seed, seed = 1/|S∩hosts|,
+    iterations unrolled — identical per-term double arithmetic).
+    Requires _EDGES_CTES before it; ends at
+    ``ttr(host, trust)`` with trust 6dp-rounded. Shared by
+    host_trustrank and the crawl_priority composite."""
     seeds_sql = "('h0.example.com', 'h1.example.com')"
     steps = []
     for i in range(1, iterations + 1):
@@ -2533,7 +2572,6 @@ t{i} AS (
   GROUP BY s.host, s.seed
 )""")
     return f"""
-WITH {_EDGES_CTES},
 ce AS (SELECT * FROM edges WHERE src_host <> dst_host),
 hosts AS (
   SELECT DISTINCT host FROM (
@@ -2553,8 +2591,17 @@ wf AS (
   FROM ce e JOIN deg d USING (src_host)
 ),
 t0 AS (SELECT host, seed AS rank FROM s0),
-{",".join(steps)}
-SELECT host, round(rank, 6) AS trust FROM t{iterations}
+{",".join(steps)},
+ttr AS (SELECT host, round(rank, 6) AS trust FROM t{iterations})
+"""
+
+
+def _trustrank_oracle(iterations: int = 3) -> str:
+    """DuckDB twin of linkgraph.host_trustrank (see _trustrank_ctes)."""
+    return f"""
+WITH {_EDGES_CTES},
+{_trustrank_ctes(iterations)}
+SELECT host, trust FROM ttr
 """
 
 
@@ -3582,6 +3629,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT part, file_id, bytes, (cb // 3000)::BIGINT AS grp FROM c
         """,
         "host_trustrank": _trustrank_oracle(3),
+        "crawl_priority": f"""
+            WITH {_EDGES_CTES},
+            {_trustrank_ctes(3)},
+            {_DOMQ_CTES},
+            pq AS (
+              SELECT t.host, t.trust,
+                     round(g.n_ok * 1.0 / g.n_docs, 4) AS ok_rate
+              FROM ttr t JOIN dqg g USING (host)),
+            pr AS (
+              SELECT host, trust, ok_rate,
+                     round(trust * ok_rate, 6) AS priority
+              FROM pq)
+            SELECT host, trust, ok_rate, priority,
+                   row_number() OVER (ORDER BY priority DESC, host)::INT
+                     AS rank
+            FROM pr
+        """,
         "pretraining_export": f"""
             WITH RECURSIVE {_SHINGLES_CTE},
             {_LSH_COMP_CTES},

@@ -156,6 +156,7 @@ EXTRA4: tuple[str, ...] = (
     "host_content_entropy",
     "winnow_near_pairs",
     "chunk_dedup",
+    "crawl_priority",
     "minhash_accuracy_eval",
     "simhash_near_pairs",
     "jaccard_histogram",
