@@ -1796,6 +1796,17 @@ def q_length_histogram(spark, sf_dir):
     return length_histogram(_docs(spark, sf_dir))
 
 
+def q_simhash_band_recall(spark, sf_dir):
+    """Banding tuning curve: candidate volume vs recall against the
+    brute-force Hamming<=3 truth set for 2/4/8 band blocking — md5
+    signatures so both engines see identical pair sets; pigeonhole
+    predicts recall 1.0 at 4 and 8 bands, the 2-band row shows the
+    loss."""
+    from ollama_ocr_spark.operators.dedup import simhash_band_recall
+
+    return simhash_band_recall(_docs(spark, sf_dir), hash_fn="md5")
+
+
 def q_crawl_priority(spark, sf_dir):
     """Ranked per-host crawl priority for the next round: seeded
     TrustRank (spam-resistant authority) x domain-quality pass rate —
@@ -2162,6 +2173,7 @@ _QUERIES = {
         # item 2 — rotating coverage). Round-4 additions first (zero
         # evidence from ANY driver or judge round), then the round-3
         # queries that have only judge-run (softer) evidence so far.
+        "simhash_band_recall": q_simhash_band_recall,
         "crawl_priority": q_crawl_priority,
         "chunk_dedup": q_chunk_dedup,
         "winnow_near_pairs": q_winnow_near_pairs,
@@ -2374,6 +2386,44 @@ def _host_case(e: str) -> str:
         f"WHEN ({e}) % 100 < 85 THEN 'h2.example.com' "
         f"ELSE 'h' || (3 + ({e}) % 13) || '.example.com' END"
     )
+
+
+def _simhash_band_recall_oracle(band_counts=(2, 4, 8)) -> str:
+    """DuckDB twin of dedup.simhash_band_recall: brute-force popcount
+    truth over md5-parity signatures, one banded candidate CTE per band
+    count (width = 64/n, masked arithmetic shift == logical shift)."""
+    parts, rows = [], []
+    for nb in band_counts:
+        width = 64 // nb
+        mask = (1 << width) - 1
+        parts.append(f"""
+bd{nb} AS (
+  SELECT doc_id,
+         ((simhash >> ({width} * i.i)::INT) & {mask})
+           + (i.i::BIGINT << {width}) AS bkey
+  FROM sxsig, (SELECT unnest(range({nb})) AS i) i),
+c{nb} AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bd{nb} x JOIN bd{nb} y
+    ON x.bkey = y.bkey AND x.doc_id < y.doc_id),
+r{nb} AS (
+  SELECT {nb} AS n_bands,
+         (SELECT count(*) FROM c{nb})::BIGINT AS n_candidates,
+         (SELECT count(*) FROM c{nb} JOIN tr USING (a, b))::BIGINT
+           AS n_hits)""")
+        rows.append(f"SELECT * FROM r{nb}")
+    return f"""
+            WITH {_simhash_sig_ctes("documents", "sx")},
+            tr AS (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM sxsig a JOIN sxsig b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+            tn AS (SELECT count(*)::BIGINT AS n_truth FROM tr),
+            {",".join(parts)}
+            SELECT n_bands, n_candidates, n_hits, tn.n_truth,
+                   round(n_hits * 1.0 / tn.n_truth, 4) AS recall
+            FROM ({" UNION ALL ".join(rows)}) u CROSS JOIN tn
+"""
 
 
 def _chunk_ctes(src: str) -> str:
@@ -3629,6 +3679,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT part, file_id, bytes, (cb // 3000)::BIGINT AS grp FROM c
         """,
         "host_trustrank": _trustrank_oracle(3),
+        "simhash_band_recall": _simhash_band_recall_oracle(),
         "crawl_priority": f"""
             WITH {_EDGES_CTES},
             {_trustrank_ctes(3)},

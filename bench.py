@@ -157,6 +157,7 @@ EXTRA4: tuple[str, ...] = (
     "winnow_near_pairs",
     "chunk_dedup",
     "crawl_priority",
+    "simhash_band_recall",
     "minhash_accuracy_eval",
     "simhash_near_pairs",
     "jaccard_histogram",

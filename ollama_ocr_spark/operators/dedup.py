@@ -1608,3 +1608,69 @@ def dedup_chunks(chunks: DataFrame, doc_col: str = "doc_id",
         (F.col("__p") == F.col("__keep")).alias("keep"),
         "n_copies",
     )
+
+
+def simhash_band_recall(df: DataFrame, key: str = "doc_id",
+                        col: str = "text", hash_fn: str = "xxhash64",
+                        max_hamming: int = 3,
+                        band_counts: tuple[int, ...] = (2, 4, 8)) -> DataFrame:
+    """Banding tuning curve for SimHash blocking: for each candidate band
+    count, how many candidate pairs does the banded join surface and what
+    fraction of the TRUE Hamming-``<= max_hamming`` pair set does it
+    recall? Pigeonhole says bands > max_hamming gives recall 1.0 — this
+    report shows the price (candidate volume explodes as chunks narrow)
+    and what recall 2 coarse bands actually lose. The
+    :func:`ann_recall_eval` pattern applied to the Hamming family.
+
+    Ground truth is a brute-force all-pairs popcount over the signature
+    table (broadcast self-join) — inherent to recall evaluation; run it
+    on a corpus SAMPLE, exactly like ann_recall_eval's exact baseline.
+    Output: (n_bands, n_candidates, n_hits, n_truth, recall).
+    """
+    sigs = simhash64(df, key, col, hash_fn).select(
+        F.col(key).alias("id"), "simhash"
+    )
+    right = sigs.select(F.col("id").alias("id2"),
+                        F.col("simhash").alias("sim2"))
+    truth = (
+        sigs.crossJoin(F.broadcast(right))
+        .filter(F.col("id") < F.col("id2"))
+        .filter(F.expr("bit_count(simhash ^ sim2)") <= max_hamming)
+        .select(F.col("id").alias("a"), F.col("id2").alias("b"))
+    )
+    n_truth = truth.agg(F.count("*").alias("n_truth"))
+    outs = []
+    for nb in band_counts:
+        width = 64 // nb
+        mask = (1 << width) - 1
+        bkeys = F.array(*[
+            (
+                F.shiftrightunsigned(F.col("simhash"), width * i)
+                .bitwiseAND(F.lit(mask))
+                + F.shiftleft(F.lit(i).cast("bigint"), width)
+            ).cast("bigint")
+            for i in range(nb)
+        ])
+        banded = sigs.select("id", F.explode(bkeys).alias("bkey"))
+        cands = (
+            banded.groupBy("bkey")
+            .agg(F.collect_list("id").alias("ids"))
+            .filter(F.size("ids") >= 2)
+            .select(F.explode(_posting_pairs(F.col("ids"))).alias("p"))
+            .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .distinct()
+        )
+        hit = cands.join(truth, ["a", "b"], "left_semi")
+        outs.append(
+            cands.agg(F.count("*").alias("n_candidates"))
+            .crossJoin(F.broadcast(hit.agg(F.count("*").alias("n_hits"))))
+            .select(F.lit(nb).alias("n_bands"), "n_candidates", "n_hits")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.crossJoin(F.broadcast(n_truth)).select(
+        "n_bands", "n_candidates", "n_hits", "n_truth",
+        F.round(F.col("n_hits") * F.lit(1.0) / F.col("n_truth"), 4)
+        .alias("recall"),
+    )

@@ -1935,3 +1935,25 @@ def test_dedup_chunks_keeper_and_multiplicity(spark):
     assert not rows[(2, 0)]["keep"] and not rows[(2, 1)]["keep"]
     assert rows[(1, 1)]["keep"] and rows[(1, 1)]["n_copies"] == 1
     assert rows[(3, 0)]["keep"]
+
+
+def test_simhash_band_recall_pigeonhole(spark):
+    """bands > max_hamming guarantees recall 1.0 (pigeonhole); candidate
+    volume is monotone in band count; truth is shared across rows."""
+    from ollama_ocr_spark.operators.dedup import simhash_band_recall
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(i, base + f" s{i % 4} t{i % 3}") for i in range(12)]
+        + [(90, base + " s0 t0")],
+        ["doc_id", "text"],
+    )
+    rows = {r["n_bands"]: r
+            for r in simhash_band_recall(docs, hash_fn="md5").collect()}
+    assert set(rows) == {2, 4, 8}
+    assert rows[4]["n_truth"] == rows[2]["n_truth"] > 0
+    assert rows[4]["recall"] == 1.0 and rows[8]["recall"] == 1.0
+    assert rows[2]["recall"] <= 1.0
+    assert (rows[2]["n_candidates"] <= rows[4]["n_candidates"]
+            <= rows[8]["n_candidates"])
+    assert all(r["n_hits"] <= r["n_truth"] for r in rows.values())
