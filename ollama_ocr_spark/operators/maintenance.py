@@ -1055,6 +1055,37 @@ def cluster_by_zorder(df: DataFrame, x_col: str, y_col: str,
     )
 
 
+def frontier_verdicts(urls: DataFrame, rules: DataFrame,
+                      blocked_hosts: DataFrame,
+                      blocked_pattern: str | None = None,
+                      url_col: str = "url") -> DataFrame:
+    """The verdict stage of :func:`fetch_frontier` (hygiene → robots →
+    host blocklist), WITHOUT the politeness wave: (url, host, verdict).
+    Factored out so the streaming gate
+    (``streaming.incremental.incremental_frontier``) applies the exact
+    same policy chain per micro-batch — waves need a global per-host
+    ordering and are assigned at fetch-scheduling time over the
+    accumulated fetchable set, not incrementally."""
+    gated = url_filter(
+        urls.select(F.col(url_col).alias("url")).distinct(), "url",
+        blocked_pattern=blocked_pattern,
+    )
+    rb = robots_filter(gated.select("url"), rules)
+    bh = blocked_hosts.select(F.col("host").alias("__bh")).distinct()
+    verdict = (
+        F.when(F.col("reason") != "ok",
+               F.concat(F.lit("filtered:"), F.col("reason")))
+        .when(~F.col("allowed"), F.lit("robots"))
+        .when(F.col("__bh").isNotNull(), F.lit("blocked_host"))
+        .otherwise(F.lit("fetch"))
+    )
+    return (
+        gated.join(rb, "url")
+        .join(F.broadcast(bh), F.col("host") == F.col("__bh"), "left")
+        .select("url", "host", verdict.alias("verdict"))
+    )
+
+
 def fetch_frontier(urls: DataFrame, rules: DataFrame,
                    blocked_hosts: DataFrame,
                    blocked_pattern: str | None = None,
@@ -1081,24 +1112,9 @@ def fetch_frontier(urls: DataFrame, rules: DataFrame,
     (host)-window over surviving urls for waves, one url-key join back —
     candidate URLs never carry payloads through any of it.
     """
-    gated = url_filter(
-        urls.select(F.col(url_col).alias("url")).distinct(), "url",
-        blocked_pattern=blocked_pattern,
-    )
-    rb = robots_filter(gated.select("url"), rules)
-    bh = blocked_hosts.select(F.col("host").alias("__bh")).distinct()
-    verdict = (
-        F.when(F.col("reason") != "ok",
-               F.concat(F.lit("filtered:"), F.col("reason")))
-        .when(~F.col("allowed"), F.lit("robots"))
-        .when(F.col("__bh").isNotNull(), F.lit("blocked_host"))
-        .otherwise(F.lit("fetch"))
-    )
-    out = (
-        gated.join(rb, "url")
-        .join(F.broadcast(bh), F.col("host") == F.col("__bh"), "left")
-        .select("url", "host", verdict.alias("verdict"))
-    )
+    out = frontier_verdicts(urls, rules, blocked_hosts,
+                            blocked_pattern=blocked_pattern,
+                            url_col=url_col)
     waves = politeness_waves(
         out.filter(F.col("verdict") == "fetch").select("url"),
         per_host_burst,

@@ -214,6 +214,63 @@ def incremental_simhash(
     )
 
 
+def incremental_frontier(
+    spark: SparkSession,
+    urls_dir: str,
+    verdict_tbl: IceTable,
+    checkpoint_dir: str,
+    rules_rows: list,
+    blocked_hosts_rows: list,
+    blocked_pattern: str | None = None,
+) -> None:
+    """Streaming frontier gate: candidate URLs arrive as a parquet
+    stream (one ``url`` column — discovered outlinks, sitemap drops,
+    recrawl candidates) and each micro-batch runs the EXACT batch policy
+    chain (``maintenance.frontier_verdicts``: hygiene → robots → host
+    blocklist) in ``foreachBatch``, appending (url, host, verdict) rows
+    exactly-once (url anti-join against the accumulated verdict table,
+    so a re-discovered URL is never re-verdicted). Politeness waves are
+    deliberately NOT assigned here — they need a global per-host
+    ordering, so the fetch scheduler runs ``politeness_waves`` over the
+    accumulated fetchable set when it cuts a wave plan.
+
+    Batch-equivalence (pytest-checked): after draining any split of the
+    candidate urls, the accumulated verdict rows equal
+    ``frontier_verdicts`` over the full url set.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from ..operators.maintenance import frontier_verdicts
+
+    schema = StructType([StructField("url", StringType())])
+    stream = spark.readStream.schema(schema).parquet(urls_dir)
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        rules = spark.createDataFrame(
+            rules_rows, "host string, disallow string"
+        )
+        blocked = spark.createDataFrame(
+            [(h,) for h in blocked_hosts_rows], "host string"
+        )
+        out = frontier_verdicts(
+            batch_df, rules, blocked, blocked_pattern=blocked_pattern
+        )
+        existing = verdict_tbl.read(spark)
+        if existing is not None:
+            out = out.join(
+                existing.select("url"), ["url"], "left_anti"
+            )
+        verdict_tbl.append(out)
+
+    (
+        stream.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def session_window_agg(events: DataFrame, gap: str = "30 minutes",
                        watermark: str = "2 hours") -> DataFrame:
     """Gap sessionization via Spark's built-in ``session_window`` — the

@@ -281,3 +281,44 @@ def test_incremental_simhash_matches_batch(spark, documents_smoke, tmp_path):
                                     max_bucket=None).collect()
     }
     assert got == want
+
+
+def test_incremental_frontier_matches_batch(spark, tmp_path):
+    """Draining candidate urls in two micro-batch runs must produce
+    exactly frontier_verdicts over the full url set, one row per url
+    (re-discovered urls are never re-verdicted)."""
+    from ollama_ocr_spark.operators.maintenance import frontier_verdicts
+    from ollama_ocr_spark.streaming.incremental import incremental_frontier
+
+    urls_dir = str(tmp_path / "urls")
+    ckpt = str(tmp_path / "ckpt")
+    verdicts = IceTable(str(tmp_path / "verdicts"))
+    rules = [("a.com", "/priv/")]
+    blocked = ["b.com"]
+
+    u1 = [("https://a.com/x/p1.html",), ("https://a.com/priv/p.html",),
+          ("https://b.com/x/p.html",)]
+    # second batch re-discovers p1 and adds new urls
+    u2 = [("https://a.com/x/p1.html",), ("https://a.com/x/p2.jpg",),
+          ("https://c.com/ok.html",)]
+    spark.createDataFrame(u1, ["url"]).write.mode("append").parquet(urls_dir)
+    incremental_frontier(spark, urls_dir, verdicts, ckpt, rules, blocked)
+    spark.createDataFrame(u2, ["url"]).write.mode("append").parquet(urls_dir)
+    incremental_frontier(spark, urls_dir, verdicts, ckpt, rules, blocked)
+
+    rows = verdicts.read(spark).collect()
+    got = {(r["url"], r["host"], r["verdict"]) for r in rows}
+    assert len(got) == len(rows) == 5, "re-discovered url re-verdicted"
+
+    batch = frontier_verdicts(
+        spark.createDataFrame(u1 + u2, ["url"]),
+        spark.createDataFrame(rules, "host string, disallow string"),
+        spark.createDataFrame([(h,) for h in blocked], "host string"),
+    )
+    want = {(r["url"], r["host"], r["verdict"]) for r in batch.collect()}
+    assert got == want
+    by_url = {u: v for u, _, v in got}
+    assert by_url["https://a.com/priv/p.html"] == "robots"
+    assert by_url["https://b.com/x/p.html"] == "blocked_host"
+    assert by_url["https://a.com/x/p2.jpg"] == "filtered:binary_ext"
+    assert by_url["https://a.com/x/p1.html"] == "fetch"
