@@ -1796,6 +1796,42 @@ def q_length_histogram(spark, sf_dir):
     return length_histogram(_docs(spark, sf_dir))
 
 
+def q_host_topic_labels(spark, sf_dir):
+    """Top-3 weak-supervision topic anchors per host after the ubiquity
+    chrome filter (anchor pointing at >50% of hosts = nav boilerplate).
+    The corpus's own chrome is identical across hosts — the filter
+    correctly drops ALL of it (pytest-pinned) — so the driver query
+    unions deterministic host-NAMING anchors (inbound links that call
+    the target by name, the classic anchor signal) which are
+    host-specific by construction and must survive."""
+    from ollama_ocr_spark.operators.linkgraph import (anchor_text_stats,
+                                                      host_topic_labels)
+    from ollama_ocr_spark.operators.maintenance import doc_id_expr, host_expr
+
+    pages = _latest_pages(spark, sf_dir)
+    hosts = pages.select(host_expr().alias("dst_host"),
+                         doc_id_expr().alias("doc_id"))
+    named = [
+        ("guide to ", 5),   # every doc_id%5==0 page earns one
+        ("news from ", 3),
+    ]
+    extras = [
+        hosts.filter(F.col("doc_id") % m == 0)
+        .groupBy("dst_host")
+        .agg(F.count("*").alias("n_links"))
+        .select(
+            "dst_host",
+            F.concat(F.lit(p), F.col("dst_host")).alias("anchor"),
+            "n_links",
+        )
+        for p, m in named
+    ]
+    anchors = anchor_text_stats(pages)
+    for e in extras:
+        anchors = anchors.unionByName(e)
+    return host_topic_labels(anchors)
+
+
 def q_simhash_band_recall(spark, sf_dir):
     """Banding tuning curve: candidate volume vs recall against the
     brute-force Hamming<=3 truth set for 2/4/8 band blocking — md5
@@ -2173,6 +2209,7 @@ _QUERIES = {
         # item 2 — rotating coverage). Round-4 additions first (zero
         # evidence from ANY driver or judge round), then the round-3
         # queries that have only judge-run (softer) evidence so far.
+        "host_topic_labels": q_host_topic_labels,
         "simhash_band_recall": q_simhash_band_recall,
         "crawl_priority": q_crawl_priority,
         "chunk_dedup": q_chunk_dedup,
@@ -2386,6 +2423,43 @@ def _host_case(e: str) -> str:
         f"WHEN ({e}) % 100 < 85 THEN 'h2.example.com' "
         f"ELSE 'h' || (3 + ({e}) % 13) || '.example.com' END"
     )
+
+
+# Inbound anchors reconstructed from corpus arithmetic (fixed
+# per-archetype chrome anchors + constant-text partner links to
+# corpus.partner_hosts). Ends at anchors(dst_host, anchor, n_links);
+# shared by anchor_text_stats and host_topic_labels.
+_ANCHOR_CTES = f"""
+hd AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id % 10 <= 6
+    AND NOT (doc_id % 10 = 4 AND doc_id % 20 = 14)
+),
+base AS (SELECT doc_id, {_HOST_CASE} AS h FROM hd),
+selfa AS (
+  SELECT h AS dst_host,
+         unnest(['section 0','section 1','section 2','section 3',
+                 'section 4','section 5','terms','privacy'])
+           AS anchor
+  FROM base
+  UNION ALL
+  SELECT h AS dst_host,
+         unnest(['sponsored: one weird trick','limited offer',
+                 'related story one','related story two','more'])
+           AS anchor
+  FROM base WHERE doc_id % 10 <> 4
+),
+para AS (
+  SELECT {_host_case('doc_id * 7 + 11 * j + 3')} AS dst_host,
+         'partner' AS anchor
+  FROM hd, (SELECT unnest(range(3)) AS j) g
+),
+anchors AS (
+  SELECT dst_host, anchor, count(*)::BIGINT AS n_links
+  FROM (SELECT * FROM selfa UNION ALL SELECT * FROM para)
+  GROUP BY 1, 2
+)
+"""
 
 
 def _simhash_band_recall_oracle(band_counts=(2, 4, 8)) -> str:
@@ -5069,33 +5143,44 @@ def oracle_sql() -> dict[str, str]:
         # archetypes add the aside/link-farm five; footers add 3 constant
         # "partner" anchors to corpus.partner_hosts.
         "anchor_text_stats": f"""
-            WITH hd AS (
-              SELECT doc_id FROM documents
-              WHERE doc_id % 10 <= 6
-                AND NOT (doc_id % 10 = 4 AND doc_id % 20 = 14)
-            ),
-            base AS (SELECT doc_id, {_HOST_CASE} AS h FROM hd),
-            selfa AS (
-              SELECT h AS dst_host,
-                     unnest(['section 0','section 1','section 2','section 3',
-                             'section 4','section 5','terms','privacy'])
-                       AS anchor
-              FROM base
+            WITH {_ANCHOR_CTES}
+            SELECT dst_host, anchor, n_links FROM anchors
+        """,
+        "host_topic_labels": f"""
+            WITH {_ANCHOR_CTES},
+            named AS (
+              SELECT {_HOST_CASE} AS dst_host,
+                     'guide to ' || {_HOST_CASE} AS anchor,
+                     count(*)::BIGINT AS n_links
+              FROM documents WHERE doc_id % 5 = 0 GROUP BY 1, 2
               UNION ALL
-              SELECT h AS dst_host,
-                     unnest(['sponsored: one weird trick','limited offer',
-                             'related story one','related story two','more'])
-                       AS anchor
-              FROM base WHERE doc_id % 10 <> 4
+              SELECT {_HOST_CASE} AS dst_host,
+                     'news from ' || {_HOST_CASE} AS anchor,
+                     count(*)::BIGINT AS n_links
+              FROM documents WHERE doc_id % 3 = 0 GROUP BY 1, 2
             ),
-            para AS (
-              SELECT {_host_case('doc_id * 7 + 11 * j + 3')} AS dst_host,
-                     'partner' AS anchor
-              FROM hd, (SELECT unnest(range(3)) AS j) g
-            )
-            SELECT dst_host, anchor, count(*)::BIGINT AS n_links
-            FROM (SELECT * FROM selfa UNION ALL SELECT * FROM para)
-            GROUP BY 1, 2
+            anchors2 AS (
+              SELECT * FROM anchors UNION ALL SELECT * FROM named),
+            nh AS (SELECT count(DISTINCT dst_host) AS n FROM anchors2),
+            chrome AS (
+              SELECT anchor FROM anchors2 CROSS JOIN nh
+              GROUP BY anchor, nh.n
+              HAVING count(DISTINCT dst_host) * 100 > 50 * nh.n),
+            topical AS (
+              SELECT a.dst_host, a.anchor, a.n_links
+              FROM anchors2 a
+              WHERE a.anchor NOT IN (SELECT anchor FROM chrome)),
+            ranked AS (
+              SELECT dst_host, anchor, n_links,
+                     row_number() OVER (
+                       PARTITION BY dst_host
+                       ORDER BY n_links DESC, anchor)::INT AS rnk,
+                     (sum(n_links) OVER (PARTITION BY dst_host))::BIGINT
+                       AS tot
+              FROM topical)
+            SELECT dst_host, rnk, anchor, n_links,
+                   round(n_links * 1.0 / tot, 4) AS share
+            FROM ranked WHERE rnk <= 3
         """,
         # recrawl_schedule: doc_id % 5 == 0 urls have two captures
         # (corpus.capture_rows) — k=5 changed -> 24h, k=0 identical ->

@@ -158,6 +158,7 @@ EXTRA4: tuple[str, ...] = (
     "chunk_dedup",
     "crawl_priority",
     "simhash_band_recall",
+    "host_topic_labels",
     "minhash_accuracy_eval",
     "simhash_near_pairs",
     "jaccard_histogram",

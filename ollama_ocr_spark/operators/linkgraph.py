@@ -23,7 +23,7 @@ Scale shape:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .maintenance import host_expr
@@ -298,5 +298,54 @@ def host_degree_stats(edges: DataFrame, drop_self: bool = True) -> DataFrame:
             F.coalesce("out_links", F.lit(0)).alias("out_links"),
             F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
             F.coalesce("in_links", F.lit(0)).alias("in_links"),
+        )
+    )
+
+
+def host_topic_labels(anchors: DataFrame, k: int = 3,
+                      max_host_pct: int = 50) -> DataFrame:
+    """Weak-supervision topic labels per host from inbound anchor text
+    (the classic target-description signal): the top-``k`` anchors per
+    dst_host AFTER dropping chrome anchors — an anchor is chrome when it
+    points at more than ``max_host_pct`` percent of all hosts ("more",
+    "terms", nav labels), the ubiquity test
+    :func:`~ollama_ocr_spark.operators.dedup.boilerplate_paragraphs`
+    applies to paragraphs. What survives is what the WEB calls each
+    host, usable directly as curation/topic-mix features.
+
+    Chrome detection is exact integer arithmetic
+    (``hosts_with * 100 > max_host_pct * n_hosts`` — never a float
+    fraction compare); share = n_links / host's topical total, one
+    double division. Output: (dst_host, rnk, anchor, n_links, share).
+
+    Scale shape: input is the already-aggregated (dst_host, anchor,
+    n_links) table from :func:`anchor_text_stats` — anchors, never
+    pages; one distinct-host aggregate broadcasts, one anchor-ubiquity
+    aggregate, one per-host window over topical anchor rows.
+    """
+    nh = anchors.agg(
+        F.count_distinct(F.col("dst_host")).alias("__n")
+    )
+    chrome = (
+        anchors.crossJoin(F.broadcast(nh))
+        .groupBy("anchor", "__n")
+        .agg(F.count_distinct(F.col("dst_host")).alias("__hw"))
+        .filter(F.col("__hw") * 100 > F.lit(max_host_pct) * F.col("__n"))
+        .select("anchor")
+    )
+    topical = anchors.join(F.broadcast(chrome), "anchor", "left_anti")
+    w = Window.partitionBy("dst_host").orderBy(
+        F.desc("n_links"), F.asc("anchor")
+    )
+    tw = Window.partitionBy("dst_host")
+    return (
+        topical
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .withColumn("__tot", F.sum("n_links").over(tw))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "dst_host", "rnk", "anchor", "n_links",
+            F.round(F.col("n_links") * F.lit(1.0) / F.col("__tot"), 4)
+            .alias("share"),
         )
     )

@@ -278,3 +278,29 @@ def test_length_histogram_bucket_boundaries(spark):
         == (2, 23, 8, 15)
     assert rows[("en", 0)]["n_docs"] == 1
     assert rows[("de", 1)]["total_chars"] == 1
+
+
+def test_host_topic_labels_chrome_filter_and_rank(spark):
+    """Ubiquitous anchors (>50% of hosts) drop as chrome; host-specific
+    anchors rank by link count with anchor tiebreak; share is over the
+    TOPICAL total only."""
+    from ollama_ocr_spark.operators.linkgraph import host_topic_labels
+
+    anchors = spark.createDataFrame(
+        [("a.com", "more", 100), ("b.com", "more", 90), ("c.com", "more", 80),
+         ("a.com", "rust guides", 6), ("a.com", "crab books", 3),
+         ("a.com", "zz niche", 1),
+         ("b.com", "cooking", 5)],
+        ["dst_host", "anchor", "n_links"],
+    )
+    rows = {(r["dst_host"], r["rnk"]): r
+            for r in host_topic_labels(anchors, k=2).collect()}
+    # 'more' hits 3/3 hosts -> chrome; c.com has nothing topical
+    assert not any(h == "c.com" for h, _ in rows)
+    assert not any(r["anchor"] == "more" for r in rows.values())
+    a1, a2 = rows[("a.com", 1)], rows[("a.com", 2)]
+    assert (a1["anchor"], a1["n_links"]) == ("rust guides", 6)
+    assert a2["anchor"] == "crab books"
+    assert a1["share"] == 0.6  # 6 / (6+3+1) topical total, k-cut after
+    assert rows[("b.com", 1)]["share"] == 1.0
+    assert ("a.com", 3) not in rows  # k=2 cut
