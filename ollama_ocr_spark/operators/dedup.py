@@ -1652,12 +1652,18 @@ def simhash_band_recall(df: DataFrame, key: str = "doc_id",
             for i in range(nb)
         ])
         banded = sigs.select("id", F.explode(bkeys).alias("bkey"))
+        # Equi-JOIN pair generation, NOT collect_list + in-array pairs:
+        # narrow chunks make buckets pathologically hot (measured at
+        # sf0.1: the top 8-bit bucket held 3058 of 5000 docs, and the
+        # in-array C(3058,2) ~ 4.7M-struct transform ran quadratically
+        # inside ONE task — a multi-minute hang on an idle box). The
+        # join spreads the same pair volume across the shuffle and AQE
+        # can split the skewed bucket.
+        right = banded.select(F.col("id").alias("id2"), "bkey")
         cands = (
-            banded.groupBy("bkey")
-            .agg(F.collect_list("id").alias("ids"))
-            .filter(F.size("ids") >= 2)
-            .select(F.explode(_posting_pairs(F.col("ids"))).alias("p"))
-            .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            banded.join(right, "bkey")
+            .filter(F.col("id") < F.col("id2"))
+            .select(F.col("id").alias("a"), F.col("id2").alias("b"))
             .distinct()
         )
         hit = cands.join(truth, ["a", "b"], "left_semi")
