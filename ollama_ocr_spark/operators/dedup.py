@@ -479,8 +479,13 @@ def minhash_lsh_candidates(df: DataFrame, key: str = "doc_id",
 
     # Pair generation inside each bucket's posting list (one shuffle on the
     # band key) instead of a bucket×bucket self-join that would recompute
-    # the signature lineage twice. LSH buckets are tiny by construction, so
-    # the in-list pair expansion is bounded.
+    # the signature lineage twice. LSH buckets are tiny by construction
+    # FOR A DEDUPED INPUT: run exact dedup first — a corpus with
+    # thousands of byte-identical documents puts them all in one bucket,
+    # and the in-array expansion goes quadratic inside one task (the
+    # simhash_band_recall hang; see that operator's join-form fix). If
+    # exact dups can't be removed upstream, switch this stage to the
+    # equi-join form over a localCheckpointed banded table.
     return (
         buckets.groupBy("band", "bucket")
         .agg(F.collect_list(F.col(key)).alias("ids"))
