@@ -1796,6 +1796,16 @@ def q_length_histogram(spark, sf_dir):
     return length_histogram(_docs(spark, sf_dir))
 
 
+def q_wave_makespan(spark, sf_dir):
+    """Politeness capacity planning: per burst size (8/16/32), wave count
+    and deterministic makespan over the corpus urls — per-host latency is
+    the md5_u32 portable hash (engine-exact), all integer arithmetic
+    ((n + b - 1) div b wave counts, never float ceil)."""
+    from ollama_ocr_spark.operators.maintenance import wave_makespan
+
+    return wave_makespan(_latest_pages(spark, sf_dir))
+
+
 def q_host_topic_labels(spark, sf_dir):
     """Top-3 weak-supervision topic anchors per host after the ubiquity
     chrome filter (anchor pointing at >50% of hosts = nav boilerplate).
@@ -2209,6 +2219,7 @@ _QUERIES = {
         # item 2 — rotating coverage). Round-4 additions first (zero
         # evidence from ANY driver or judge round), then the round-3
         # queries that have only judge-run (softer) evidence so far.
+        "wave_makespan": q_wave_makespan,
         "host_topic_labels": q_host_topic_labels,
         "simhash_band_recall": q_simhash_band_recall,
         "crawl_priority": q_crawl_priority,
@@ -2459,6 +2470,34 @@ anchors AS (
   FROM (SELECT * FROM selfa UNION ALL SELECT * FROM para)
   GROUP BY 1, 2
 )
+"""
+
+
+def _wave_makespan_oracle(burst_sizes=(8, 16, 32)) -> str:
+    """DuckDB twin of maintenance.wave_makespan: per-host md5_u32
+    latency, integer wave grids via unnest(range(...)) in a projection
+    (no lateral generate_series in DuckDB 1.0), per-wave max + sum."""
+    parts, rows = [], []
+    for b in burst_sizes:
+        parts.append(f"""
+wv{b} AS (
+  SELECT unnest(range((n + {b} - 1) // {b})) AS w, n, lat FROM hc),
+pw{b} AS (
+  SELECT w, max(least({b}, n - w * {b}) * lat) AS wdur
+  FROM wv{b} GROUP BY 1),
+r{b} AS (
+  SELECT {b} AS burst, count(*)::BIGINT AS n_waves,
+         sum(wdur)::BIGINT AS makespan_ms FROM pw{b})""")
+        rows.append(f"SELECT * FROM r{b}")
+    return f"""
+            WITH hc AS (
+              SELECT host, count(*)::BIGINT AS n,
+                     ({_md5_u32_sql('host')} % 200 + 50) AS lat
+              FROM (SELECT {_HOST_CASE} AS host FROM documents)
+              GROUP BY host
+            ),
+            {",".join(parts)}
+            {" UNION ALL ".join(rows)}
 """
 
 
@@ -3753,6 +3792,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT part, file_id, bytes, (cb // 3000)::BIGINT AS grp FROM c
         """,
         "host_trustrank": _trustrank_oracle(3),
+        "wave_makespan": _wave_makespan_oracle(),
         "simhash_band_recall": _simhash_band_recall_oracle(),
         "crawl_priority": f"""
             WITH {_EDGES_CTES},

@@ -163,6 +163,7 @@ EXTRA4: tuple[str, ...] = (
     # the equi-join fix; it is a sample-scale eval, driver-verified via
     # the sf0.01 oracle.
     "host_topic_labels",
+    "wave_makespan",
     "minhash_accuracy_eval",
     "simhash_near_pairs",
     "jaccard_histogram",

@@ -1126,3 +1126,60 @@ def fetch_frontier(urls: DataFrame, rules: DataFrame,
             F.coalesce(F.col("wave"), F.lit(-1)).cast("int").alias("wave"),
         )
     )
+
+
+def wave_makespan(urls: DataFrame, burst_sizes: tuple[int, ...] = (8, 16, 32),
+                  url_col: str = "url") -> DataFrame:
+    """Politeness capacity planning — what burst size actually costs: for
+    each candidate ``per_host_burst``, simulate :func:`politeness_waves`
+    against a deterministic per-host fetch latency and report the crawl
+    round's makespan. Wave w's duration is its slowest host
+    (``min(burst, remaining) * latency``, hosts fetch sequentially
+    within a wave out of politeness); the makespan is the sum over
+    waves, and the biggest host alone sets the wave COUNT — the report
+    shows exactly when shrinking bursts stops buying politeness and
+    starts costing wall-clock.
+
+    Latency is a pure function of the host name
+    (``md5_u32(host) % 200 + 50`` ms — the engine-portable uniform hash
+    idiom), so the simulation is deterministic on any engine or cluster.
+    All integer arithmetic: wave counts via ``(n + b - 1) div b``, never
+    float ceil. Output: (burst, n_waves, makespan_ms).
+
+    Scale shape: one host-count aggregate, then per burst size a
+    |hosts| x waves explode (waves ≤ max-host-size / burst — host-table
+    scale, never urls) and a per-wave max + one sum.
+    """
+    counts = (
+        urls.select(host_expr(url_col).alias("host"))
+        .groupBy("host")
+        .agg(F.count("*").alias("n"))
+    )
+    hc = counts.select(
+        "host", "n",
+        (md5_u32_expr("host") % 200 + 50).alias("lat"),
+    )
+    outs = []
+    for b in burst_sizes:
+        nwaves = F.expr(f"int((n + {b} - 1) div {b})")
+        waves = hc.select(
+            "n", "lat",
+            F.explode(F.sequence(F.lit(0), nwaves - 1)).alias("w"),
+        )
+        dur = F.least(F.lit(b).cast("bigint"),
+                      F.col("n") - F.col("w") * b) * F.col("lat")
+        per_wave = (
+            waves.select("w", dur.alias("dur"))
+            .groupBy("w")
+            .agg(F.max("dur").alias("wdur"))
+        )
+        outs.append(
+            per_wave.agg(
+                F.count("*").alias("n_waves"),
+                F.sum("wdur").alias("makespan_ms"),
+            ).select(F.lit(b).alias("burst"), "n_waves", "makespan_ms")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

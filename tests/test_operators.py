@@ -1957,3 +1957,33 @@ def test_simhash_band_recall_pigeonhole(spark):
     assert (rows[2]["n_candidates"] <= rows[4]["n_candidates"]
             <= rows[8]["n_candidates"])
     assert all(r["n_hits"] <= r["n_truth"] for r in rows.values())
+
+
+def test_wave_makespan_simulation(spark):
+    """Python replication of the simulator on hand counts: the big host
+    alone sets the wave count; shrinking bursts adds waves but each wave
+    is cheaper; makespans match exactly (integer arithmetic)."""
+    import hashlib
+
+    from ollama_ocr_spark.operators.maintenance import wave_makespan
+
+    hosts = {"big.com": 40, "mid.com": 10, "tiny.com": 2}
+    urls = spark.createDataFrame(
+        [(f"https://{h}/p{i}.html",) for h, n in hosts.items()
+         for i in range(n)],
+        ["url"],
+    )
+    def lat(h):
+        return int(hashlib.md5(h.encode()).hexdigest()[:8], 16) % 200 + 50
+    def model(b):
+        waves = {}
+        for h, n in hosts.items():
+            for w in range((n + b - 1) // b):
+                d = min(b, n - w * b) * lat(h)
+                waves[w] = max(waves.get(w, 0), d)
+        return len(waves), sum(waves.values())
+    rows = {r["burst"]: r for r in wave_makespan(urls, (8, 16, 32)).collect()}
+    for b in (8, 16, 32):
+        nw, ms = model(b)
+        assert (rows[b]["n_waves"], rows[b]["makespan_ms"]) == (nw, ms), b
+    assert rows[8]["n_waves"] == 5 and rows[32]["n_waves"] == 2
