@@ -1796,6 +1796,32 @@ def q_length_histogram(spark, sf_dir):
     return length_histogram(_docs(spark, sf_dir))
 
 
+def q_quality_by_crawl_round(spark, sf_dir):
+    """Selection-drift monitor: is each crawl round's url slice
+    quality-representative of the corpus? Round 0 = every url's first
+    capture, round 1 = the recrawl slice (corpus arithmetic:
+    doc_id%5==0); per round, doc count and quality pass rate — a skewed
+    recrawl policy shows up as ok_rate drift between rounds."""
+    from ollama_ocr_spark.operators.textstats import with_quality_score
+
+    docs = with_quality_score(_docs(spark, sf_dir)).select(
+        "doc_id", "quality_ok"
+    )
+    rounds = docs.select(F.lit(0).alias("round"), "quality_ok").unionByName(
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            F.lit(1).alias("round"), "quality_ok"
+        )
+    )
+    return rounds.groupBy("round").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("quality_ok").cast("int")).alias("n_ok"),
+        F.round(
+            F.sum(F.col("quality_ok").cast("int")) * F.lit(1.0)
+            / F.count("*"), 4
+        ).alias("ok_rate"),
+    )
+
+
 def q_wave_makespan(spark, sf_dir):
     """Politeness capacity planning: per burst size (8/16/32), wave count
     and deterministic makespan over the corpus urls — per-host latency is
@@ -2219,6 +2245,7 @@ _QUERIES = {
         # item 2 — rotating coverage). Round-4 additions first (zero
         # evidence from ANY driver or judge round), then the round-3
         # queries that have only judge-run (softer) evidence so far.
+        "quality_by_crawl_round": q_quality_by_crawl_round,
         "wave_makespan": q_wave_makespan,
         "host_topic_labels": q_host_topic_labels,
         "simhash_band_recall": q_simhash_band_recall,
@@ -3792,6 +3819,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT part, file_id, bytes, (cb // 3000)::BIGINT AS grp FROM c
         """,
         "host_trustrank": _trustrank_oracle(3),
+        "quality_by_crawl_round": f"""
+            WITH {_DOMQ_CTES},
+            q AS (
+              SELECT doc_id,
+                     (n_words >= 10 AND mean_wl >= 2.0 AND mean_wl <= 12.0
+                      AND stop_ratio >= 0.01) AS ok
+              FROM dqq),
+            r AS (
+              SELECT 0 AS round, ok FROM q
+              UNION ALL
+              SELECT 1 AS round, ok FROM q WHERE doc_id % 5 = 0)
+            SELECT round, count(*)::BIGINT AS n_docs,
+                   sum(ok::INT)::BIGINT AS n_ok,
+                   round(sum(ok::INT) * 1.0 / count(*), 4) AS ok_rate
+            FROM r GROUP BY round
+        """,
         "wave_makespan": _wave_makespan_oracle(),
         "simhash_band_recall": _simhash_band_recall_oracle(),
         "crawl_priority": f"""

@@ -164,6 +164,7 @@ EXTRA4: tuple[str, ...] = (
     # the sf0.01 oracle.
     "host_topic_labels",
     "wave_makespan",
+    "quality_by_crawl_round",
     "minhash_accuracy_eval",
     "simhash_near_pairs",
     "jaccard_histogram",
