@@ -1796,6 +1796,15 @@ def q_length_histogram(spark, sf_dir):
     return length_histogram(_docs(spark, sf_dir))
 
 
+def q_containment_histogram(spark, sf_dir):
+    """Containment band histogram (20 bands): the asymmetric threshold-
+    tuning twin of jaccard_histogram — exact integer bucketing over
+    inter / min(|A|, |B|) raw counts."""
+    from ollama_ocr_spark.operators.dedup import containment_histogram
+
+    return containment_histogram(_docs(spark, sf_dir))
+
+
 def q_quality_by_crawl_round(spark, sf_dir):
     """Selection-drift monitor: is each crawl round's url slice
     quality-representative of the corpus? Round 0 = every url's first
@@ -2245,6 +2254,7 @@ _QUERIES = {
         # item 2 — rotating coverage). Round-4 additions first (zero
         # evidence from ANY driver or judge round), then the round-3
         # queries that have only judge-run (softer) evidence so far.
+        "containment_histogram": q_containment_histogram,
         "quality_by_crawl_round": q_quality_by_crawl_round,
         "wave_makespan": q_wave_makespan,
         "host_topic_labels": q_host_topic_labels,
@@ -3819,6 +3829,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT part, file_id, bytes, (cb // 3000)::BIGINT AS grp FROM c
         """,
         "host_trustrank": _trustrank_oracle(3),
+        "containment_histogram": f"""
+            WITH {_SHINGLES_CTE}, {_JPAIRS_CTES},
+            cu AS (
+              SELECT inter AS i, least(sa.n, sb.n) AS m
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = a
+              JOIN sizes sb ON sb.doc_id = b),
+            h AS (SELECT least((i * 20) // m, 19)::INT AS bucket FROM cu)
+            SELECT bucket, round(bucket / 20.0, 4) AS lo,
+                   count(*)::BIGINT AS n_pairs
+            FROM h GROUP BY 1
+        """,
         "quality_by_crawl_round": f"""
             WITH {_DOMQ_CTES},
             q AS (

@@ -165,6 +165,7 @@ EXTRA4: tuple[str, ...] = (
     "host_topic_labels",
     "wave_makespan",
     "quality_by_crawl_round",
+    "containment_histogram",
     "minhash_accuracy_eval",
     "simhash_near_pairs",
     "jaccard_histogram",

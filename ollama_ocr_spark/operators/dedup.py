@@ -1685,3 +1685,33 @@ def simhash_band_recall(df: DataFrame, key: str = "doc_id",
         F.round(F.col("n_hits") * F.lit(1.0) / F.col("n_truth"), 4)
         .alias("recall"),
     )
+
+
+def containment_histogram(df: DataFrame, key: str = "doc_id",
+                          col: str = "text", k: int = SHINGLE_K,
+                          buckets: int = 20,
+                          max_posting: int | None = 1000) -> DataFrame:
+    """Candidate-pair CONTAINMENT distribution — :func:`jaccard_histogram`
+    for the asymmetric signal: how many pairs sit in each
+    ``inter / min(|A|, |B|)`` band, i.e. what a containment threshold
+    move would actually catch (embedded copies whose Jaccard stays low).
+    Same exact integer band edges (``(inter * buckets) div min``), same
+    shared inverted-index plan, one ``buckets``-row aggregate on top.
+    Output: (bucket, lo, n_pairs)."""
+    na, nb, inter = _packed_intersections(df, key, col, k, max_posting)
+    pairs = inter.select(
+        F.col("inter").alias("i"), F.least(na, nb).alias("m")
+    )
+    bucket = F.least(
+        F.expr(f"int((i * {buckets}) div m)"), F.lit(buckets - 1)
+    )
+    return (
+        pairs.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_pairs"))
+        .select(
+            "bucket",
+            F.round(F.col("bucket") / float(buckets), 4).alias("lo"),
+            "n_pairs",
+        )
+    )

@@ -1987,3 +1987,22 @@ def test_wave_makespan_simulation(spark):
         nw, ms = model(b)
         assert (rows[b]["n_waves"], rows[b]["makespan_ms"]) == (nw, ms), b
     assert rows[8]["n_waves"] == 5 and rows[32]["n_waves"] == 2
+
+
+def test_containment_histogram_asymmetric_bands(spark):
+    """A short doc fully embedded in a long one lands in the TOP
+    containment band even though its Jaccard band is low — the asymmetry
+    the report exists to expose."""
+    from ollama_ocr_spark.operators.dedup import (containment_histogram,
+                                                  jaccard_histogram)
+
+    short = "a b c d e f"                       # 2 shingles
+    long_ = short + " " + " ".join(f"w{i}" for i in range(30))
+    docs = spark.createDataFrame([(1, short), (2, long_)],
+                                 ["doc_id", "text"])
+    c = {r["bucket"]: r["n_pairs"]
+         for r in containment_histogram(docs, max_posting=None).collect()}
+    j = {r["bucket"]: r["n_pairs"]
+         for r in jaccard_histogram(docs, max_posting=None).collect()}
+    assert c == {19: 1}          # containment 2/2 = 1.0 -> top band
+    assert max(j) < 19           # jaccard 2/32 -> a low band
