@@ -1796,6 +1796,15 @@ def q_length_histogram(spark, sf_dir):
     return length_histogram(_docs(spark, sf_dir))
 
 
+def q_minhash_band_recall(spark, sf_dir):
+    """LSH S-curve measured on this corpus: per (bands, rows) split of
+    the 8-hash signature, candidate volume and recall vs the rounded-
+    Jaccard >= 0.5 truth; equi-join candidates (cap-or-join rule)."""
+    from ollama_ocr_spark.operators.dedup import minhash_band_recall
+
+    return minhash_band_recall(_docs(spark, sf_dir))
+
+
 def q_containment_histogram(spark, sf_dir):
     """Containment band histogram (20 bands): the asymmetric threshold-
     tuning twin of jaccard_histogram — exact integer bucketing over
@@ -2254,6 +2263,7 @@ _QUERIES = {
         # item 2 — rotating coverage). Round-4 additions first (zero
         # evidence from ANY driver or judge round), then the round-3
         # queries that have only judge-run (softer) evidence so far.
+        "minhash_band_recall": q_minhash_band_recall,
         "containment_histogram": q_containment_histogram,
         "quality_by_crawl_round": q_quality_by_crawl_round,
         "wave_makespan": q_wave_makespan,
@@ -2507,6 +2517,51 @@ anchors AS (
   FROM (SELECT * FROM selfa UNION ALL SELECT * FROM para)
   GROUP BY 1, 2
 )
+"""
+
+
+def _minhash_band_recall_oracle(band_counts=(2, 4, 8)) -> str:
+    """DuckDB twin of dedup.minhash_band_recall: per (bands, rows) split
+    of the 8-hash md5 signature, banded candidate pairs (equi-join) vs
+    the rounded-Jaccard >= 0.5 truth set from the capped intersections."""
+    parts, rows = [], []
+    for b in band_counts:
+        r = 8 // b
+        parts.append(f"""
+mb{b} AS (
+  SELECT doc_id, j // {r} AS band,
+         md5(string_agg(m, '' ORDER BY j)) AS bucket
+  FROM sig GROUP BY doc_id, j // {r}),
+mc{b} AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM mb{b} x JOIN mb{b} y
+    ON x.band = y.band AND x.bucket = y.bucket
+    AND x.doc_id < y.doc_id),
+mr{b} AS (
+  SELECT {b} AS n_bands, {r} AS rows_per_band,
+         (SELECT count(*) FROM mc{b})::BIGINT AS n_candidates,
+         (SELECT count(*) FROM mc{b} JOIN jtr USING (a, b))::BIGINT
+           AS n_hits)""")
+        rows.append(f"SELECT * FROM mr{b}")
+    return f"""
+            WITH {_SHINGLES_CTE}, {_JPAIRS_CTES},
+            sig AS (
+              SELECT doc_id, g.j AS j,
+                     min(md5(g.j || '|' || shingle)) AS m
+              FROM sh, generate_series(0, 7) AS g(j)
+              GROUP BY doc_id, g.j
+            ),
+            jtr AS (
+              SELECT a, b FROM inter
+              JOIN sizes sa ON sa.doc_id = a
+              JOIN sizes sb ON sb.doc_id = b
+              WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 4) >= 0.5),
+            jtn AS (SELECT count(*)::BIGINT AS n_truth FROM jtr),
+            {",".join(parts)}
+            SELECT n_bands, rows_per_band, n_candidates, n_hits,
+                   jtn.n_truth,
+                   round(n_hits * 1.0 / jtn.n_truth, 4) AS recall
+            FROM ({" UNION ALL ".join(rows)}) u CROSS JOIN jtn
 """
 
 
@@ -3829,6 +3884,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT part, file_id, bytes, (cb // 3000)::BIGINT AS grp FROM c
         """,
         "host_trustrank": _trustrank_oracle(3),
+        "minhash_band_recall": _minhash_band_recall_oracle(),
         "containment_histogram": f"""
             WITH {_SHINGLES_CTE}, {_JPAIRS_CTES},
             cu AS (

@@ -166,6 +166,10 @@ EXTRA4: tuple[str, ...] = (
     "wave_makespan",
     "quality_by_crawl_round",
     "containment_histogram",
+    # minhash_band_recall joins three banded candidate pipelines against
+    # the exact-intersection truth set (~19 s cold at sf0.1) — like
+    # simhash_band_recall it is a sample-scale eval, driver-verified via
+    # the sf0.01 oracle, not timed here.
     "minhash_accuracy_eval",
     "simhash_near_pairs",
     "jaccard_histogram",

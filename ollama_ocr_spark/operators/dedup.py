@@ -1715,3 +1715,70 @@ def containment_histogram(df: DataFrame, key: str = "doc_id",
             "n_pairs",
         )
     )
+
+
+def minhash_band_recall(df: DataFrame, key: str = "doc_id",
+                        col: str = "text", k: int = SHINGLE_K,
+                        num_hashes: int = 8,
+                        band_counts: tuple[int, ...] = (2, 4, 8),
+                        threshold: float = 0.5,
+                        max_posting: int | None = 1000) -> DataFrame:
+    """The LSH S-curve, measured instead of assumed: for each (bands,
+    rows-per-band) split of the ``num_hashes`` MinHash signature, how
+    many candidate pairs does banding surface and what fraction of the
+    TRUE Jaccard-``>= threshold`` pair set does it recall? More bands =
+    higher recall but more false candidates to verify (the datasketch
+    b/r tuning knob, evaluated on THIS corpus rather than the
+    theoretical 1-(1-s^r)^b curve). Companion evals:
+    :func:`lsh_precision_eval` scores the shipped config;
+    :func:`simhash_band_recall` is the Hamming twin.
+
+    Candidate pairs use the EQUI-JOIN form, not in-array posting pairs —
+    1-row bands bucket on a single minhash value and can be
+    pathologically hot (the cap-or-join rule from simhash_band_recall's
+    measured single-task hang). Truth reuses the exact inverted-index
+    intersections with the standard hot-shingle cap, banded on the
+    ROUNDED 4dp Jaccard (the same value a threshold filter would see).
+    Output: (n_bands, rows_per_band, n_candidates, n_hits, n_truth,
+    recall). A sample-scale EVAL, like its companions.
+    """
+    sigs = minhash_signatures(df, key, col, k, num_hashes)
+    na, nb, inter = _packed_intersections(df, key, col, k, max_posting)
+    truth = inter.select(
+        F.shiftrightunsigned(F.col("pa"), 22).alias("a"),
+        F.shiftrightunsigned(F.col("pb"), 22).alias("b"),
+    ).where(
+        F.round(F.col("inter") / (na + nb - F.col("inter")), 4)
+        >= threshold
+    )
+    n_truth = truth.agg(F.count("*").alias("n_truth"))
+    outs = []
+    for bands in band_counts:
+        bb = band_buckets(sigs, key, num_hashes, bands).select(
+            F.col(key).alias("id"), "band", "bucket"
+        )
+        right = bb.select(F.col("id").alias("id2"), "band", "bucket")
+        cands = (
+            bb.join(right, ["band", "bucket"])
+            .filter(F.col("id") < F.col("id2"))
+            .select(F.col("id").alias("a"), F.col("id2").alias("b"))
+            .distinct()
+        )
+        hits = cands.join(truth, ["a", "b"], "left_semi")
+        outs.append(
+            cands.agg(F.count("*").alias("n_candidates"))
+            .crossJoin(F.broadcast(hits.agg(F.count("*").alias("n_hits"))))
+            .select(
+                F.lit(bands).alias("n_bands"),
+                F.lit(num_hashes // bands).alias("rows_per_band"),
+                "n_candidates", "n_hits",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.crossJoin(F.broadcast(n_truth)).select(
+        "n_bands", "rows_per_band", "n_candidates", "n_hits", "n_truth",
+        F.round(F.col("n_hits") * F.lit(1.0) / F.col("n_truth"), 4)
+        .alias("recall"),
+    )

@@ -2006,3 +2006,26 @@ def test_containment_histogram_asymmetric_bands(spark):
          for r in jaccard_histogram(docs, max_posting=None).collect()}
     assert c == {19: 1}          # containment 2/2 = 1.0 -> top band
     assert max(j) < 19           # jaccard 2/32 -> a low band
+
+
+def test_minhash_band_recall_monotone(spark):
+    """Recall and candidate volume are non-decreasing in band count;
+    truth is shared across rows; an identical-doc pair is recalled by
+    every banding (equal signatures share every band)."""
+    from ollama_ocr_spark.operators.dedup import minhash_band_recall
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(i, base + f" s{i % 5} t{i % 3} u{i % 2}") for i in range(14)]
+        + [(70, base + " s0 t0 u0")],     # identical to doc 0
+        ["doc_id", "text"],
+    )
+    rows = {r["n_bands"]: r
+            for r in minhash_band_recall(docs, max_posting=None).collect()}
+    assert set(rows) == {2, 4, 8}
+    assert rows[2]["rows_per_band"] == 4 and rows[8]["rows_per_band"] == 1
+    assert rows[2]["n_truth"] == rows[8]["n_truth"] > 0
+    assert (rows[2]["n_candidates"] <= rows[4]["n_candidates"]
+            <= rows[8]["n_candidates"])
+    assert rows[2]["recall"] <= rows[4]["recall"] <= rows[8]["recall"]
+    assert all(r["n_hits"] >= 1 for r in rows.values())  # the planted dup
