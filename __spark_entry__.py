@@ -1796,6 +1796,19 @@ def q_length_histogram(spark, sf_dir):
     return length_histogram(_docs(spark, sf_dir))
 
 
+def q_robots_rule_stats(spark, sf_dir):
+    """Disallow-rule utilization over the corpus urls: longest-match
+    attribution per blocked url, dead/shadowed rules report 0 — the
+    h0 '/src0/' rule is fully shadowed by '/src0/article' (every src0
+    stem is 'article'), which only this view exposes."""
+    from ollama_ocr_spark.operators.maintenance import robots_rule_stats
+
+    rules = spark.createDataFrame(
+        _ROBOTS_RULES, "host string, disallow string"
+    )
+    return robots_rule_stats(_latest_pages(spark, sf_dir), rules)
+
+
 def q_minhash_band_recall(spark, sf_dir):
     """LSH S-curve measured on this corpus: per (bands, rows) split of
     the 8-hash signature, candidate volume and recall vs the rounded-
@@ -2263,6 +2276,7 @@ _QUERIES = {
         # item 2 — rotating coverage). Round-4 additions first (zero
         # evidence from ANY driver or judge round), then the round-3
         # queries that have only judge-run (softer) evidence so far.
+        "robots_rule_stats": q_robots_rule_stats,
         "minhash_band_recall": q_minhash_band_recall,
         "containment_histogram": q_containment_histogram,
         "quality_by_crawl_round": q_quality_by_crawl_round,
@@ -3884,6 +3898,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT part, file_id, bytes, (cb // 3000)::BIGINT AS grp FROM c
         """,
         "host_trustrank": _trustrank_oracle(3),
+        "robots_rule_stats": f"""
+            WITH u AS (
+              SELECT DISTINCT
+                     'https://' || {_HOST_CASE} || '/' || source || '/' ||
+                     {_STEM_CASE} || '-' || doc_id || {_EXT_CASE} AS url,
+                     {_HOST_CASE} AS host,
+                     '/' || source || '/' || {_STEM_CASE} || '-' || doc_id
+                     || {_EXT_CASE} AS path
+              FROM documents
+            ),
+            r AS (
+              SELECT * FROM (VALUES {", ".join(
+                  f"('{h}', '{d}')" for h, d in _ROBOTS_RULES
+              )}) t(rhost, dis)
+            ),
+            m AS (
+              SELECT u.url, u.host,
+                     max(CASE WHEN r.dis IS NOT NULL
+                         THEN lpad(length(r.dis)::VARCHAR, 3, '0') || r.dis
+                         END) AS rk
+              FROM u LEFT JOIN r
+                ON r.rhost = u.host AND starts_with(u.path, r.dis)
+              GROUP BY 1, 2
+            ),
+            blocked AS (
+              SELECT host, substr(rk, 4) AS rule, count(*)::BIGINT AS n
+              FROM m WHERE rk IS NOT NULL GROUP BY 1, 2
+            )
+            SELECT r.rhost AS host, r.dis AS rule,
+                   coalesce(b.n, 0)::BIGINT AS n_blocked,
+                   coalesce(b.n, 0) > 0 AS fires
+            FROM r LEFT JOIN blocked b
+              ON b.host = r.rhost AND b.rule = r.dis
+        """,
         "minhash_band_recall": _minhash_band_recall_oracle(),
         "containment_histogram": f"""
             WITH {_SHINGLES_CTE}, {_JPAIRS_CTES},

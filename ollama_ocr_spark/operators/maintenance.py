@@ -1183,3 +1183,35 @@ def wave_makespan(urls: DataFrame, burst_sizes: tuple[int, ...] = (8, 16, 32),
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def robots_rule_stats(urls: DataFrame, rules: DataFrame,
+                      url_col: str = "url") -> DataFrame:
+    """Disallow-rule utilization audit: per (host, rule), how many urls
+    the rule actually blocks — each blocked url attributed to its
+    LONGEST matching rule (:func:`robots_filter` semantics), so a rule
+    with ``n_blocked = 0`` is DEAD: either nothing matches it or a
+    more-specific rule shadows it everywhere. The report a crawl
+    operator reads before trimming a grown rule table (and the shadowing
+    it exposes is invisible in the per-url verdict view).
+
+    Output: (host, rule, n_blocked, fires). Scale shape: rides
+    robots_filter's one (url, host, path) shuffle down to a
+    |rules|-sized left join — rules broadcast by nature.
+    """
+    rb = robots_filter(urls, rules, url_col)
+    blocked = (
+        rb.filter(~F.col("allowed"))
+        .groupBy("host", "rule")
+        .agg(F.count("*").alias("__n"))
+    )
+    return (
+        rules.select("host", F.col("disallow").alias("rule"))
+        .join(blocked, ["host", "rule"], "left")
+        .select(
+            "host", "rule",
+            F.coalesce(F.col("__n"), F.lit(0)).cast("bigint")
+            .alias("n_blocked"),
+            (F.coalesce(F.col("__n"), F.lit(0)) > 0).alias("fires"),
+        )
+    )

@@ -348,6 +348,35 @@ def test_robots_filter_longest_match(spark):
     assert out["https://b.com/docs/guide-3.html"]["allowed"]
 
 
+def test_robots_rule_stats_shadowed_rule_is_dead(spark):
+    """A rule fully shadowed by a longer rule reports n_blocked=0 (every
+    blocked url attributes to its LONGEST match), and rules with no
+    matching urls at all also surface with fires=False."""
+    from ollama_ocr_spark.operators.maintenance import robots_rule_stats
+
+    pages = spark.createDataFrame(
+        [("https://a.com/docs/guide-1.html",),
+         ("https://a.com/docs/guide-2.html",),
+         ("https://a.com/blog/post-3.html",)],
+        ["url"],
+    )
+    rules = spark.createDataFrame(
+        [("a.com", "/docs/"),          # shadowed: every /docs/ url is guide*
+         ("a.com", "/docs/guide"),     # wins both docs urls
+         ("a.com", "/admin/"),         # dead: nothing matches
+         ("b.com", "/docs/")],         # dead: host absent from corpus
+        ["host", "disallow"],
+    )
+    out = {(r["host"], r["rule"]): r
+           for r in robots_rule_stats(pages, rules).collect()}
+    assert len(out) == 4  # one row per rule, dead ones included
+    assert out[("a.com", "/docs/guide")]["n_blocked"] == 2
+    assert out[("a.com", "/docs/guide")]["fires"]
+    for dead in [("a.com", "/docs/"), ("a.com", "/admin/"),
+                 ("b.com", "/docs/")]:
+        assert out[dead]["n_blocked"] == 0 and not out[dead]["fires"]
+
+
 def test_nb_quality_separates_seed_tokens(spark):
     from ollama_ocr_spark.operators.textstats import nb_quality_scores
 
