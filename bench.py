@@ -205,6 +205,7 @@ EXTRA4: tuple[str, ...] = (
     "bigram_logprob",
     "crawl_budget",
     "robots_filter",
+    "robots_rule_stats",
     "nb_quality",
     "ann_recall_eval",
     "curate_corpus_incremental",
