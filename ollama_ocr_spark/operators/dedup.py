@@ -61,22 +61,37 @@ def exact_dupes(df: DataFrame, key: str = "doc_id",
     )
 
 
+def _let(expr, fn):
+    """Single-element-transform let binding: evaluate ``expr`` ONCE per row
+    and hand it to ``fn`` as a lambda variable. A free variable inside a
+    HOF lambda is re-evaluated per ELEMENT (measured 20x on
+    winnow_fingerprints: the captured md5 array re-hashed per window
+    position), so any computed array a lambda closes over must be bound
+    this way — bare column references are the only safe free variables.
+    """
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
 def _shingle_set(col: str, k: int):
     """Per-row DISTINCT shingle array — native array lambdas only, so the
     whole shingling stage stays inside whole-stage codegen and the
     within-doc dedup happens map-side (``array_distinct``), never as a
     ``distinct()`` shuffle of exploded rows.
     """
-    words = F.split(F.col(col), " ")
-    # Guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0] rather than an
-    # empty array, so short texts need an explicit empty-index branch.
-    idx = F.when(
-        F.size(words) >= k,
-        F.sequence(F.lit(1), F.size(words) - F.lit(k - 1)),
-    ).otherwise(F.array().cast("array<int>"))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(words, i, k), " "))
-    )
+    def sh(ws):
+        # Guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0] rather
+        # than an empty array, so short texts need an explicit empty branch.
+        idx = F.when(
+            F.size(ws) >= k,
+            F.sequence(F.lit(1), F.size(ws) - F.lit(k - 1)),
+        ).otherwise(F.array().cast("array<int>"))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(ws, i, k), " "))
+        )
+
+    # _let: an unbound split() here would re-tokenize the document once
+    # per shingle position — O(W^2) char work.
+    return _let(F.split(F.col(col), " "), sh)
 
 
 def shingles(df: DataFrame, key: str = "doc_id", col: str = "text",
@@ -95,20 +110,47 @@ def _posting_pairs(ids_col):
 
     ``flatten(transform(...))`` keeps pair generation inside codegen; with a
     sorted list, nested slicing yields each unordered pair exactly once.
+    The sorted list is ``_let``-bound so the sort runs once per row — as a
+    free variable inside the pair lambdas it would re-sort the posting
+    list per generated pair.
     """
-    sorted_ids = F.sort_array(ids_col)
-    n = F.size(sorted_ids)
-    return F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.transform(
-                F.slice(sorted_ids, i + 1, n),
-                lambda y: F.struct(
-                    F.element_at(sorted_ids, i).alias("a"), y.alias("b")
+    def pairs(s):
+        n = F.size(s)
+        return F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.transform(
+                    F.slice(s, i + 1, n),
+                    lambda y: F.struct(
+                        F.element_at(s, i).alias("a"), y.alias("b")
+                    ),
                 ),
+            )
+        )
+
+    return _let(F.sort_array(ids_col), pairs)
+
+
+def _positional_spans(col: str, k: int):
+    """(md5 digest, 1-based position) structs for every k-gram of ``col``
+    — the shared map-side derivation of the span-coverage and
+    span-removal operators. ``_let``-bound so the tokenize runs once per
+    row, not once per span position.
+    """
+    def spans(ws):
+        n = F.size(ws)
+        idx = F.when(
+            n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                F.md5(F.array_join(F.slice(ws, i, k), " ")).alias("d"),
+                i.alias("pos"),
             ),
         )
-    )
+
+    return _let(F.split(F.col(col), " "), spans)
 
 
 def jaccard_pairs(df: DataFrame, key: str = "doc_id", col: str = "text",
@@ -242,21 +284,10 @@ def duplicated_ngram_coverage(df: DataFrame, key: str = "doc_id",
     that matches the cross-document contamination use. Docs shorter than
     k words get coverage 0.
     """
-    words = F.split(F.col(col), " ")
-    n_words = F.size(words)
-    idx = F.when(
-        n_words >= k, F.sequence(F.lit(1), n_words - F.lit(k - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    spans = F.transform(
-        idx,
-        lambda i: F.struct(
-            F.md5(F.array_join(F.slice(words, i, k), " ")).alias("d"),
-            i.alias("pos"),
-        ),
-    )
+    n_words = F.size(F.split(F.col(col), " "))
     exploded = (
         ensure_parallelism(df)
-        .select(F.col(key), F.explode(spans).alias("s"))
+        .select(F.col(key), F.explode(_positional_spans(col, k)).alias("s"))
         .select(key, F.col("s.d").alias("d"), F.col("s.pos").alias("pos"))
     )
     dups = (
@@ -320,21 +351,9 @@ def remove_duplicate_spans(df: DataFrame, key: str = "doc_id",
     Output: (key, n_words, n_removed, clean_text). Docs shorter than k
     words pass through uncut.
     """
-    words = F.split(F.col(col), " ")
-    n_words = F.size(words)
-    idx = F.when(
-        n_words >= k, F.sequence(F.lit(1), n_words - F.lit(k - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    spans = F.transform(
-        idx,
-        lambda i: F.struct(
-            F.md5(F.array_join(F.slice(words, i, k), " ")).alias("d"),
-            i.alias("pos"),
-        ),
-    )
     exploded = (
         ensure_parallelism(df)
-        .select(F.col(key), F.explode(spans).alias("s"))
+        .select(F.col(key), F.explode(_positional_spans(col, k)).alias("s"))
         .select(key, F.col("s.d").alias("d"), F.col("s.pos").alias("pos"))
     )
     dups = (
@@ -350,18 +369,32 @@ def remove_duplicate_spans(df: DataFrame, key: str = "doc_id",
     )
     base = df.join(starts, key, "left")
     st = F.coalesce(F.col("__starts"), F.array().cast("array<int>"))
-    kept = F.filter(
-        F.sequence(F.lit(1), n_words),
-        lambda p: ~F.exists(st, lambda s: (s <= p) & (p < s + k)),
-    )
-    clean = F.array_join(
-        F.transform(kept, lambda p: F.element_at(words, p)), " "
-    )
-    return base.select(
-        F.col(key),
-        n_words.cast("bigint").alias("n_words"),
-        (n_words - F.size(kept)).cast("bigint").alias("n_removed"),
-        clean.alias("clean_text"),
+
+    # The cut pass: tokens and the kept-position list are both _let-bound
+    # (an unbound `words` inside the rebuild lambda re-splits per kept
+    # word), folded into ONE struct so the three outputs share a single
+    # evaluation — a non-cheap multi-referenced alias is not re-inlined
+    # by projection collapse.
+    def rebuild(ws):
+        kept = F.filter(
+            F.sequence(F.lit(1), F.size(ws)),
+            lambda p: ~F.exists(st, lambda s: (s <= p) & (p < s + k)),
+        )
+        return _let(
+            kept,
+            lambda kp: F.struct(
+                F.size(ws).cast("bigint").alias("n_words"),
+                (F.size(ws) - F.size(kp)).cast("bigint").alias("n_removed"),
+                F.array_join(
+                    F.transform(kp, lambda p: F.element_at(ws, p)), " "
+                ).alias("clean_text"),
+            ),
+        )
+
+    return (
+        base.select(F.col(key), _let(F.split(F.col(col), " "), rebuild)
+                    .alias("__r"))
+        .select(key, "__r.n_words", "__r.n_removed", "__r.clean_text")
     )
 
 
@@ -507,30 +540,46 @@ def winnow_fingerprints(df: DataFrame, key: str = "doc_id",
     Hashes are md5 hex strings (lexicographic min == numeric min on equal
     length) so the DuckDB oracle reproduces selection exactly. Output:
     (key, fingerprint) distinct — typically ~2/(window+1) of all k-grams.
+
+    Evaluation shape (measured 20x, 5.3 s -> 0.26 s at sf0.1): a free
+    variable inside a HOF lambda is RE-EVALUATED per element, so naming
+    the hash array as a Python variable and sliding a window over it
+    recomputes ALL the md5s per window position — O(W^2) md5 calls per
+    document. Single-element-``transform`` let-bindings (``ws``/``hs``
+    below) make the arrays lambda variables, evaluated once per row.
+    The per-doc ``array_distinct`` replaces a corpus-sized global
+    ``.distinct()`` shuffle: window mins repeat locally, and per-doc
+    distinct == global distinct because ``key`` is in the output pair.
     """
-    words = F.split(F.col(col), " ")
-    idx = F.when(
-        F.size(words) >= k,
-        F.sequence(F.lit(1), F.size(words) - F.lit(k - 1)),
-    ).otherwise(F.array().cast("array<int>"))
-    hashes = F.transform(
-        idx, lambda i: F.md5(F.array_join(F.slice(words, i, k), " "))
+    def mins_of(hs):
+        n_h = F.size(hs)
+        return (
+            F.when(
+                n_h >= window,
+                F.transform(
+                    F.sequence(F.lit(1), n_h - F.lit(window - 1)),
+                    lambda i: F.array_min(F.slice(hs, i, window)),
+                ),
+            )
+            .when(n_h > 0, F.array(F.array_min(hs)))
+            .otherwise(F.array().cast("array<string>"))
+        )
+
+    def hashes_of(ws):
+        idx = F.when(
+            F.size(ws) >= k,
+            F.sequence(F.lit(1), F.size(ws) - F.lit(k - 1)),
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idx, lambda i: F.md5(F.array_join(F.slice(ws, i, k), " "))
+        )
+
+    mins = _let(
+        F.split(F.col(col), " "),
+        lambda ws: _let(hashes_of(ws), mins_of),
     )
-    n_h = F.size(hashes)
-    win_idx = F.when(
-        n_h >= window,
-        F.sequence(F.lit(1), n_h - F.lit(window - 1)),
-    ).otherwise(F.when(n_h > 0, F.array(F.lit(1))).otherwise(
-        F.array().cast("array<int>")
-    ))
-    mins = F.transform(
-        win_idx,
-        lambda i: F.array_min(F.slice(hashes, i, window)),
-    )
-    return (
-        ensure_parallelism(df)
-        .select(F.col(key), F.explode(mins).alias("fingerprint"))
-        .distinct()
+    return ensure_parallelism(df).select(
+        F.col(key), F.explode(F.array_distinct(mins)).alias("fingerprint")
     )
 
 

@@ -23,6 +23,32 @@ def _words(col: str = "text"):
     return F.split(F.col(col), " ")
 
 
+def _bigrams(col: str):
+    """Adjacent-token bigram strings from the ``TOKEN_RE`` tokenizer.
+
+    The token array is ``dedup._let``-bound: as a free variable inside
+    the position lambda it would re-run ``regexp_extract_all`` once per
+    bigram position — O(W^2) regex work per document (the HOF
+    free-variable trap, measured 20x on winnow_fingerprints).
+    """
+    from ollama_ocr_spark.operators.dedup import _let
+
+    def bg(toks):
+        return F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return _let(
+        F.regexp_extract_all(F.lower(F.col(col)), F.lit(TOKEN_RE), 0), bg
+    )
+
+
 def with_token_counts(df: DataFrame, col: str = "text") -> DataFrame:
     """Whitespace tokens + regex (BPE-ish pre-tokenizer) token counts."""
     return df.withColumns(
@@ -194,15 +220,7 @@ def bigram_logprob_scores(df: DataFrame, key: str = "doc_id",
     from ollama_ocr_spark.operators.dedup import ensure_parallelism
 
     toks = F.regexp_extract_all(F.lower(F.col(col)), F.lit(TOKEN_RE), 0)
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    bigrams = _bigrams(col)
     base = ensure_parallelism(df)
     vtot = base.select(
         F.explode(toks).alias("tok")
@@ -370,28 +388,44 @@ def with_repetition_stats(df: DataFrame, col: str = "text",
     All native array expressions (one pass, no explode/shuffle); exact
     DuckDB mirror in the ``repetition_stats`` oracle.
     """
+    from ollama_ocr_spark.operators.dedup import _let
+
     words = _words(col)
     n_words = F.size(words)
     n_distinct = F.size(F.array_distinct(words))
     # top word share via aggregate over distinct words, counting matches in
     # the full array — O(distinct * n) worst case but fully map-side; texts
-    # are documents, not books.
-    top_count = F.array_max(
-        F.transform(
-            F.array_distinct(words),
-            lambda w: F.size(F.filter(words, lambda x: x == w)),
-        )
+    # are documents, not books. The word array is _let-bound: free inside
+    # the match-count lambda it would re-split per distinct word.
+    top_count = _let(
+        words,
+        lambda ws: F.array_max(
+            F.transform(
+                F.array_distinct(ws),
+                lambda w: F.size(F.filter(ws, lambda x: x == w)),
+            )
+        ),
     )
-    idx = F.when(
-        n_words >= k,
-        F.sequence(F.lit(1), n_words - F.lit(k - 1)),
-    ).otherwise(F.array().cast("array<int>"))
-    kgrams = F.transform(idx, lambda i: F.array_join(F.slice(words, i, k), " "))
-    n_kgrams = F.size(kgrams)
-    dup_frac = F.when(
-        n_kgrams > 0,
-        F.round(1 - F.size(F.array_distinct(kgrams)) / n_kgrams, 4),
-    ).otherwise(F.lit(0.0))
+
+    def kgrams_of(ws):
+        n = F.size(ws)
+        idx = F.when(
+            n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idx, lambda i: F.array_join(F.slice(ws, i, k), " ")
+        )
+
+    dup_frac = _let(
+        words,
+        lambda ws: _let(
+            kgrams_of(ws),
+            lambda kg: F.when(
+                F.size(kg) > 0,
+                F.round(1 - F.size(F.array_distinct(kg)) / F.size(kg), 4),
+            ).otherwise(F.lit(0.0)),
+        ),
+    )
     distinct_frac = F.round(n_distinct / n_words, 4)
     top_frac = F.round(top_count / n_words, 4)
     return (
@@ -1103,19 +1137,9 @@ def dsir_importance_weights(df: DataFrame, target, key: str = "doc_id",
     Output: (key, n_feats, log_weight, keep) — keep = log_weight > 0.
     """
     def _buckets(frame: DataFrame, k: str) -> DataFrame:
-        toks = F.regexp_extract_all(F.lower(F.col(col)), F.lit(TOKEN_RE), 0)
-        bigrams = F.when(
-            F.size(toks) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
         return frame.select(
             F.col(k),
-            F.explode(bigrams).alias("bg"),
+            F.explode(_bigrams(col)).alias("bg"),
         ).select(
             F.col(k),
             F.pmod(
@@ -1249,15 +1273,21 @@ def chunk_documents(df: DataFrame, key: str = "doc_id", col: str = "text",
     whole-stage codegen: no shuffle, no UDF, chunks never leave the row
     until the final explode. Output: (key, chunk_id, n_words, chunk).
     """
-    words = F.split(F.col(col), " ")
-    n = F.size(words)
-    n_chunks = F.when(n <= size, F.lit(1)).otherwise(
-        F.ceil((n - size) / F.lit(stride)).cast("int") + 1
-    )
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.slice(words, i * stride + 1, size),
-    )
+    from ollama_ocr_spark.operators.dedup import _let
+
+    def chunks_of(ws):
+        n = F.size(ws)
+        n_chunks = F.when(n <= size, F.lit(1)).otherwise(
+            F.ceil((n - size) / F.lit(stride)).cast("int") + 1
+        )
+        # ws is _let-bound: free inside the slice lambda it would
+        # re-split the document once per chunk.
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.slice(ws, i * stride + 1, size),
+        )
+
+    chunks = _let(F.split(F.col(col), " "), chunks_of)
     out = df.select(
         F.col(key), F.posexplode(chunks).alias("chunk_id", "__w")
     )
