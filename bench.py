@@ -484,8 +484,15 @@ def main() -> None:
         trial_walls: list[float] = []
 
         def run_trial() -> None:
+            # Alternate which level runs first: within a trial the two
+            # levels sample ADJACENT load windows, so monotonically
+            # decaying (or ramping) co-tenant load with a fixed order
+            # systematically favors whichever level always runs second.
+            # Alternation turns that drift into symmetric noise across
+            # trials instead of a one-directional ratio bias.
+            order = (big, SMALL) if len(trial_walls) % 2 == 0 else (SMALL, big)
             t0 = time.monotonic()
-            for cores in (big, SMALL):
+            for cores in order:
                 levels.setdefault(cores, []).append(bench_level(cores))
             trial_walls.append(time.monotonic() - t0)
 
