@@ -285,6 +285,45 @@ def timed_extract(spark, cores: int) -> dict:
             "docs_per_sec": round(n / secs, 1)}
 
 
+def scaling_estimate(big_runs: list[float],
+                     small_runs: list[float]) -> tuple[float, list[float]]:
+    """N→4N efficiency from interleaved docs/sec samples — pure function,
+    unit-tested (tests/test_bench_estimator.py); the semantics here are
+    load-model-bearing, don't change one branch without its test.
+
+    Efficiency per TRIAL first (a trial's big and small runs execute
+    back-to-back in the same co-tenant load window, so the ratio controls
+    for neighbor load), then best trial. The cross-trial composite
+    (best big / 4x best small) understates whenever a loaded window's big
+    level is divided by a quiet window's small level: the 4N level starves
+    first on a shared box (~10 busy cores of real capacity) while N keeps
+    running at full speed. Measured on identical builds: composite 0.62 on
+    a loaded box vs 0.86-0.93 clean; per-trial pairing stays in the honest
+    band either way.
+
+    ``big_runs`` may be LONGER than ``small_runs`` (big-only retry samples
+    append past the paired prefix); zip truncation keeps trial pairing
+    index-exact, and the extra big samples reach the estimate through the
+    composite only.
+
+    A ratio > 1.0 is physically impossible for this workload (no
+    superlinear effect exists) — it flags a window where the SMALL level
+    starved, and is excluded from the capability estimate; the composite
+    gets the same plausibility cap. The two estimators fail in
+    complementary ways (per-trial max: no trial hit a balanced window;
+    composite: big's quietest window still busier than small's), so the
+    estimate is their max — both are legitimate best-of readings of the
+    same engine. Returns (efficiency, per-trial ratios).
+    """
+    ratios = [
+        round(b / (4 * s), 3) for b, s in zip(big_runs, small_runs)
+    ]
+    valid = [r for r in ratios if r <= 1.0] or ratios
+    composite = round(max(big_runs) / (4 * max(small_runs)), 3)
+    ests = [max(valid)] + ([composite] if composite <= 1.0 else [])
+    return max(ests), ratios
+
+
 def bench_level(cores: int, warm_rows: int = 20000) -> dict:
     """Run one pinned-level trial in a subprocess.
 
@@ -505,43 +544,10 @@ def main() -> None:
             trial_walls.append(time.monotonic() - t0)
 
         def estimate() -> tuple[float, list[float]]:
-            best = {
-                c: max(runs, key=lambda r: r["docs_per_sec"])
-                for c, runs in levels.items()
-            }
-            # Efficiency per TRIAL (its big and small runs execute
-            # back-to-back in the same co-tenant load window, so the ratio
-            # controls for neighbor load), then best trial. The cross-trial
-            # composite (best big / 4x best small) understates whenever a
-            # loaded window's big level is divided by a quiet window's
-            # small level: the 4N level starves first on a shared box (~10
-            # busy cores of real capacity) while N keeps running at full
-            # speed. Measured on identical builds: composite 0.62 on a
-            # loaded box vs 0.86-0.93 clean; per-trial pairing stays in the
-            # honest band either way.
-            ratios = [
-                round(b["docs_per_sec"] / (4 * s["docs_per_sec"]), 3)
-                for b, s in zip(levels[big], levels[SMALL])
-            ]
-            # a ratio > 1.0 is physically impossible for this workload (no
-            # superlinear effect exists) — it flags a window where the
-            # SMALL level starved; exclude those from the capability
-            # estimate.
-            valid = [r for r in ratios if r <= 1.0] or ratios
-            # Two capability estimators with complementary failure modes:
-            # per-trial max fails when no trial hits a balanced-load
-            # window; the cross-trial composite (best big over all trials
-            # / 4x best small) fails when big's quietest window is still
-            # busier than small's. Take the larger — both are legitimate
-            # best-of readings of the same engine. The composite gets the
-            # same physical-plausibility cap as the per-trial ratios:
-            # > 1.0 means a starved small level, not superlinear scaling.
-            composite = round(
-                best[big]["docs_per_sec"]
-                / (4 * best[SMALL]["docs_per_sec"]), 3
+            return scaling_estimate(
+                [r["docs_per_sec"] for r in levels[big]],
+                [r["docs_per_sec"] for r in levels[SMALL]],
             )
-            ests = [max(valid)] + ([composite] if composite <= 1.0 else [])
-            return max(ests), ratios
 
         for _ in range(TRIALS):
             run_trial()
