@@ -267,6 +267,47 @@ def q_image_features(spark, sf_dir):
     )
 
 
+def q_image_resize(spark, sf_dir):
+    """Distributed image resize over the opaque binary column: REAL header
+    dimension parse + integer aspect-preserving fit into a 128x128 box
+    (operators.media.fit_box — pure floor-div arithmetic the oracle
+    mirrors), STUB pixel resample behind the MEDIA_KERNELS swap seam (its
+    deterministic plan-string payload is md5-compared against the oracle,
+    so the whole stage — plan AND fake bytes — is hash-verified)."""
+    from ollama_ocr_spark.operators.maintenance import doc_id_expr
+    from ollama_ocr_spark.operators.media import resize_images_stage
+
+    _ensure_shipped(spark)
+    pages = _latest_pages(spark, sf_dir).filter(F.col("url").endswith(".jpg"))
+    out = resize_images_stage(pages, box_w=128, box_h=128)
+    return out.select(
+        doc_id_expr().alias("doc_id"),
+        "src_w", "src_h", "out_w", "out_h", "plan_bytes",
+        F.md5(F.col("resized")).alias("resized_md5"),
+    )
+
+
+def q_frame_sample(spark, sf_dir):
+    """Distributed video frame sampling: REAL mvhd timing parse (integer
+    ticks), ENGINE-SIDE frame plan (sequence/explode every 300 ticks —
+    the row expansion runs in codegen, no Python), STUB frame-grab kernel
+    over the post-explode rows (deterministic bytes, md5-compared). WAV
+    payloads (even doc_ids) drop at the timing filter — audio has no
+    frames to sample."""
+    from ollama_ocr_spark.operators.media import (sample_frames_stage,
+                                                  synthesize_media_stage)
+
+    _ensure_shipped(spark)
+    media = synthesize_media_stage(_docs(spark, sf_dir))
+    out = sample_frames_stage(media, step_ticks=300)
+    return out.select(
+        F.regexp_extract("url", r"media://(\d+)", 1).cast("bigint")
+        .alias("doc_id"),
+        "frame_idx", "ts_ticks", "ts_ms",
+        F.md5(F.col("frame")).alias("frame_md5"),
+    )
+
+
 def q_template_mining(spark, sf_dir):
     """Per-host template blocks via applyInPandas over the HTML archetypes
     (k <= 6). The oracle reconstructs each page's block inventory (chrome +
@@ -2276,6 +2317,8 @@ _QUERIES = {
         # item 2 — rotating coverage). Round-4 additions first (zero
         # evidence from ANY driver or judge round), then the round-3
         # queries that have only judge-run (softer) evidence so far.
+        "image_resize": q_image_resize,
+        "frame_sample": q_frame_sample,
         "robots_rule_stats": q_robots_rule_stats,
         "minhash_band_recall": q_minhash_band_recall,
         "containment_histogram": q_containment_histogram,
@@ -3324,6 +3367,46 @@ def oracle_sql() -> dict[str, str]:
                    (100 + doc_id % 400)::INT AS width,
                    (80 + doc_id % 300)::INT AS height
             FROM documents WHERE doc_id % 10 = 8
+        """,
+        "image_resize": """
+            WITH t AS (
+              SELECT doc_id,
+                     (100 + doc_id % 400)::INT AS sw,
+                     (80 + doc_id % 300)::INT AS sh
+              FROM documents WHERE doc_id % 10 = 8
+            ), p AS (
+              -- mirror operators.media.fit_box exactly: integer floor
+              -- division, limiting side lands on the 128x128 box
+              SELECT doc_id, sw, sh,
+                     (CASE WHEN sw * 128 <= 128 * sh
+                           THEN greatest(1, (sw * 128) // sh)
+                           ELSE 128 END)::INT AS ow,
+                     (CASE WHEN sw * 128 <= 128 * sh
+                           THEN 128
+                           ELSE greatest(1, (sh * 128) // sw) END)::INT AS oh
+              FROM t
+            )
+            SELECT doc_id, sw AS src_w, sh AS src_h, ow AS out_w,
+                   oh AS out_h, (ow * oh * 3)::BIGINT AS plan_bytes,
+                   md5('resized://' || sw || 'x' || sh || '->'
+                       || ow || 'x' || oh) AS resized_md5
+            FROM p
+        """,
+        "frame_sample": """
+            WITH v AS (
+              SELECT doc_id, 300 * (1 + doc_id % 10) AS dur
+              FROM documents WHERE doc_id % 2 = 1
+            ), f AS (
+              -- one frame every 300 ticks strictly before the duration
+              SELECT doc_id, unnest(range((dur - 1) // 300 + 1)) AS fi
+              FROM v
+            )
+            SELECT doc_id, fi::BIGINT AS frame_idx,
+                   (fi * 300)::BIGINT AS ts_ticks,
+                   (fi * 300 * 1000 // 600)::BIGINT AS ts_ms,
+                   md5('frame://media://' || doc_id || '.bin@'
+                       || (fi * 300)) AS frame_md5
+            FROM f
         """,
         "media_metadata": """
             SELECT doc_id,

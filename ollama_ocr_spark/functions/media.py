@@ -146,13 +146,14 @@ def wav_metadata(data: bytes) -> tuple[int, int, float] | None:
     return channels, rate, duration
 
 
-def mp4_metadata(data: bytes) -> tuple[str, float] | None:
-    """(brand, duration_secs) from an ISO-BMFF header — reads the ``ftyp``
-    major brand and the ``mvhd`` timescale/duration inside ``moov``
-    (top-level box walk + one nested scan; no codec work)."""
+def _mvhd_walk(data: bytes) -> tuple[int, int] | None:
+    """Raw (timescale, duration_ticks) from the ``mvhd`` box inside
+    ``moov`` — None when not ISO-BMFF at all, (0, 0) when it is but no
+    readable timing exists (missing/malformed mvhd). Shared by
+    :func:`mp4_metadata` (float seconds) and :func:`mp4_timing` (integer
+    ticks for frame planning)."""
     if len(data) < 12 or data[4:8] != b"ftyp":
         return None
-    brand = data[8:12].decode("ascii", errors="replace").strip()
     pos = 0
     while pos + 8 <= len(data):
         size = int.from_bytes(data[pos:pos + 4], "big")
@@ -173,20 +174,43 @@ def mp4_metadata(data: bytes) -> tuple[str, float] | None:
                     # v0: ver/flags(4) ctime(4) mtime(4) ts(4) dur(4)
                     # v1: ver/flags(4) ctime(8) mtime(8) ts(4) dur(8)
                     if body and body[0] == 1 and len(body) >= 32:
-                        timescale = int.from_bytes(body[20:24], "big")
-                        duration = int.from_bytes(body[24:32], "big")
-                    elif body and body[0] == 0 and len(body) >= 20:
-                        timescale = int.from_bytes(body[12:16], "big")
-                        duration = int.from_bytes(body[16:20], "big")
-                    else:
-                        break
-                    if timescale:
-                        return brand, round(duration / timescale, 4)
-                    break
+                        return (int.from_bytes(body[20:24], "big"),
+                                int.from_bytes(body[24:32], "big"))
+                    if body and body[0] == 0 and len(body) >= 20:
+                        return (int.from_bytes(body[12:16], "big"),
+                                int.from_bytes(body[16:20], "big"))
+                    return (0, 0)
                 j += bsize
-            return brand, 0.0
+            return (0, 0)
         pos += size
+    return (0, 0)
+
+
+def mp4_metadata(data: bytes) -> tuple[str, float] | None:
+    """(brand, duration_secs) from an ISO-BMFF header — reads the ``ftyp``
+    major brand and the ``mvhd`` timescale/duration inside ``moov``
+    (top-level box walk + one nested scan; no codec work)."""
+    timing = _mvhd_walk(data)
+    if timing is None:
+        return None
+    brand = data[8:12].decode("ascii", errors="replace").strip()
+    timescale, duration = timing
+    if timescale:
+        return brand, round(duration / timescale, 4)
     return brand, 0.0
+
+
+def mp4_timing(data: bytes | None) -> tuple[int, int] | None:
+    """(timescale, duration_ticks) — the INTEGER-exact raw form of
+    :func:`mp4_metadata`'s duration, for frame planning (tick arithmetic
+    stays engine-portable; a float-seconds round trip would not). None
+    when the payload is not ISO-BMFF or carries no readable mvhd."""
+    if not data:
+        return None
+    timing = _mvhd_walk(data)
+    if timing is None or timing[0] == 0:
+        return None
+    return timing
 
 
 def build_wav(channels: int = 2, rate: int = 44100, seconds: int = 2) -> bytes:
@@ -234,16 +258,22 @@ def decode_image(data: bytes):  # pragma: no cover - by design
 
 def resize_image(data: bytes, width: int, height: int):  # pragma: no cover
     """Resize an image payload. STUB: no codec library in-sandbox — the
-    Spark-side plumbing for pixel ops (schema, Arrow batching, partition
-    amortization) is exercised by image_features_stage; swap this in for
-    its kernel with PIL/opencv in production."""
+    distributed resize plumbing (header parse, integer fit plan, Arrow
+    batching, schema) is REAL in ``operators.media.resize_images_stage``;
+    production wraps PIL/cv2 and registers it via
+    ``operators.media.register_media_kernel('resize_pixels', fn)``."""
     raise MediaDecodeUnavailable(
         "image resize requires PIL/opencv; not available in this environment"
     )
 
 
 def sample_frames(data: bytes, every_n: int = 30):  # pragma: no cover
-    """Sample frames from a video payload. STUB: no ffmpeg in-sandbox."""
+    """Sample frames from a video payload. STUB: no ffmpeg in-sandbox —
+    the distributed plumbing (mvhd timing parse, engine-side tick plan,
+    post-explode Arrow batching) is REAL in
+    ``operators.media.sample_frames_stage``; production registers an
+    ffmpeg-backed grab via
+    ``operators.media.register_media_kernel('frame_pixels', fn)``."""
     raise MediaDecodeUnavailable(
         "video frame sampling requires ffmpeg; not available in this environment"
     )

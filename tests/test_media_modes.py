@@ -195,6 +195,117 @@ def test_audio_video_header_parsers():
     assert mp4_metadata(b"\x00\x00\x00\x08free") is None
 
 
+def test_mp4_timing_integer_exact():
+    from ollama_ocr_spark.functions.media import build_mp4, mp4_timing
+
+    assert mp4_timing(build_mp4(timescale=600, duration=1500)) == (600, 1500)
+    assert mp4_timing(build_mp4(timescale=90000, duration=7)) == (90000, 7)
+    assert mp4_timing(_wav_bytes()) is None
+    assert mp4_timing(b"not media") is None
+    assert mp4_timing(None) is None
+    # a zero timescale carries no usable timing — None, not a div-by-zero
+    assert mp4_timing(build_mp4(timescale=0, duration=100)) is None
+
+
+def test_fit_box_integer_plan():
+    from ollama_ocr_spark.operators.media import fit_box
+
+    assert fit_box(400, 200, 128, 128) == (128, 64)    # wide: width-limited
+    assert fit_box(100, 330, 128, 128) == (38, 128)    # tall: height-limited
+    assert fit_box(128, 128, 128, 128) == (128, 128)   # exact
+    assert fit_box(100, 80, 128, 128) == (128, 102)    # upscale to fill
+    assert fit_box(4000, 1, 128, 128) == (128, 1)      # floor never zero
+    assert fit_box(1, 4000, 128, 128) == (1, 128)
+
+
+def test_resize_stage_plan_and_stub(spark, documents_smoke):
+    from ollama_ocr_spark.corpus import image_dims
+    from ollama_ocr_spark.operators.media import fit_box, resize_images_stage
+
+    # run over ALL latest pages (repartitioned: multiple Arrow batches/
+    # tasks): non-image payloads must drop, the 50 k=8 images survive
+    out = resize_images_stage(_pages(documents_smoke).repartition(4))
+    rows = out.collect()
+    assert len(rows) == 50
+    for r in rows:
+        doc_id = int(r["url"].rsplit("-", 1)[1].split(".")[0])
+        assert (r["src_w"], r["src_h"]) == image_dims(doc_id)
+        ow, oh = fit_box(r["src_w"], r["src_h"], 128, 128)
+        assert (r["out_w"], r["out_h"]) == (ow, oh)
+        assert 128 in (ow, oh)  # the limiting side lands ON the box
+        assert r["plan_bytes"] == ow * oh * 3
+        want = f"resized://{r['src_w']}x{r['src_h']}->{ow}x{oh}"
+        assert bytes(r["resized"]) == want.encode("ascii")
+
+
+def test_resize_kernel_swap_seam(spark):
+    """Production pixel-resample drop-in: registering a kernel changes
+    ONLY the resized bytes — dims, plan, schema unchanged (the
+    OCR_KERNELS contract applied to MEDIA_KERNELS)."""
+    from ollama_ocr_spark.operators.media import (
+        MEDIA_KERNELS, register_media_kernel, resize_images_stage)
+
+    df = spark.createDataFrame(
+        [("u/i.jpg", build_image(8))], "url string, html binary"
+    )
+    before = resize_images_stage(df).collect()[0]
+    default = MEDIA_KERNELS["resize_pixels"]
+    try:
+        register_media_kernel(
+            "resize_pixels",
+            lambda p, sw, sh, ow, oh: b"PIXELS:%dx%d" % (ow, oh),
+        )
+        # the stage captures the registered kernel at PLAN-BUILD time —
+        # rebuild the plan after registering
+        after = resize_images_stage(df).collect()[0]
+    finally:
+        register_media_kernel("resize_pixels", default)
+    assert bytes(after["resized"]) == b"PIXELS:%dx%d" % (
+        after["out_w"], after["out_h"])
+    assert (after["src_w"], after["src_h"], after["out_w"],
+            after["out_h"], after["plan_bytes"]) == (
+        before["src_w"], before["src_h"], before["out_w"],
+        before["out_h"], before["plan_bytes"])
+    restored = resize_images_stage(df).collect()[0]
+    assert bytes(restored["resized"]) == bytes(before["resized"])
+
+
+def test_sample_frames_stage_plan(spark):
+    from ollama_ocr_spark.operators.media import sample_frames_stage
+
+    df = spark.createDataFrame(
+        [
+            ("v1", _mp4_bytes(timescale=600, duration=1500)),
+            ("v2", _mp4_bytes(timescale=600, duration=300)),
+            ("v0", _mp4_bytes(timescale=600, duration=0)),  # no frames,
+            # and no descending-sequence blowup (F.sequence(1,0) trap)
+            ("a", _wav_bytes()),
+            ("junk", b"not media"),
+            ("none", None),
+        ],
+        "url string, html binary",
+    )
+    rows = sample_frames_stage(df, step_ticks=300).collect()
+    by_url: dict[str, list] = {}
+    for r in rows:
+        by_url.setdefault(r["url"], []).append(r)
+    assert set(by_url) == {"v1", "v2"}  # audio/junk/none/zero-dur: no rows
+    v1 = sorted(by_url["v1"], key=lambda r: r["frame_idx"])
+    assert [r["ts_ticks"] for r in v1] == [0, 300, 600, 900, 1200]
+    assert [r["ts_ms"] for r in v1] == [0, 500, 1000, 1500, 2000]
+    assert [r["frame_idx"] for r in v1] == [0, 1, 2, 3, 4]
+    assert bytes(v1[2]["frame"]) == b"frame://v1@600"
+    assert [r["ts_ticks"] for r in by_url["v2"]] == [0]
+
+    # a kernel= override (the ffmpeg drop-in) changes only the bytes
+    rows2 = sample_frames_stage(
+        df, step_ticks=300, kernel=lambda u, t: b"GRAB!%d" % t
+    ).collect()
+    assert {bytes(r["frame"]) for r in rows2 if r["url"] == "v2"} == {
+        b"GRAB!0"}
+    assert len(rows2) == len(rows)
+
+
 def test_media_metadata_stage_dispatch(spark):
     from ollama_ocr_spark.operators.media import media_metadata_stage
 
