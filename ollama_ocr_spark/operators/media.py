@@ -205,6 +205,12 @@ def resize_images_stage(pages: DataFrame, box_w: int = 128,
     exchange carries only the pruned columns in; ``plan_bytes``
     (``out_w*out_h*3``) is what a real RGB kernel would emit per row —
     size output partitions by it, not by the input bytes.
+
+    Reference analog: the model-input resize inside TrOCR preprocessing
+    (`ocr_router.py:42-43` — `Image.open(...).convert('RGB')` then
+    `processor(images=...)`, which rescales to the encoder's input size);
+    here the geometry plan is explicit and engine-exact, the resample is
+    the swappable kernel.
     """
     resample = kernel or MEDIA_KERNELS["resize_pixels"]
 
@@ -282,6 +288,11 @@ def sample_frames_stage(videos: DataFrame, step_ticks: int = 300,
     Scale shape: map → explode → map; no shuffle. Output rows multiply by
     duration/step — repartition AFTER this stage if a real decode kernel
     follows (frame work, not video count, is the unit of cost).
+
+    Reference analog: `ocr_router.py:105-119` ``convert_pdf_to_images``
+    (one raster per page of a paged container, then per-page OCR) — the
+    same expand-then-process shape applied to timed media, with the
+    expansion planned engine-side instead of inside the decoder call.
     """
     grab = kernel or MEDIA_KERNELS["frame_pixels"]
     timing = video_frame_timing_stage(videos).filter(
