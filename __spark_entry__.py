@@ -2294,6 +2294,28 @@ def q_family_split(spark, sf_dir):
     )
 
 
+def q_selection_drift(spark, sf_dir):
+    """Selection-bias audit: TVD between full-corpus and recrawl-slice
+    (doc_id%5==0, the quality_by_crawl_round round-1 policy) source-share
+    distributions. The %5 slice hits only the doc_id%20 ∈ {0,5,10,15}
+    sources — TVD 0.8, the biased-recrawl finding this report exists to
+    surface. One conditional-agg corpus pass; windows over 20 group rows."""
+    from ollama_ocr_spark.operators.maintenance import selection_drift
+
+    return selection_drift(_docs(spark, sf_dir))
+
+
+def q_filter_attribution(spark, sf_dir):
+    """Per-rule curation audit: decomposes the quality/repetition/dup
+    composites into their 8 atomic rules, reporting any-fail, ONLY-fail
+    (marginal docs a relaxed rule recovers), fail rate, and the kept-set
+    size. On this corpus low_stopword is the single binding rule — the
+    dead-rule/shadowed-rule finding the report exists to surface."""
+    from ollama_ocr_spark.operators.textstats import filter_attribution
+
+    return filter_attribution(_docs(spark, sf_dir))
+
+
 def _utc_wrapped(fn):
     """Every query assumes UTC session semantics (timestamp↔epoch parity
     with the DuckDB oracle); the driver's session timezone is unknown."""
@@ -2317,6 +2339,8 @@ _QUERIES = {
         # item 2 — rotating coverage). Round-4 additions first (zero
         # evidence from ANY driver or judge round), then the round-3
         # queries that have only judge-run (softer) evidence so far.
+        "selection_drift": q_selection_drift,
+        "filter_attribution": q_filter_attribution,
         "image_resize": q_image_resize,
         "frame_sample": q_frame_sample,
         "robots_rule_stats": q_robots_rule_stats,
@@ -3190,6 +3214,110 @@ from ollama_ocr_spark.operators.textstats import PII_PHONE_RE as _PII_PHONE
 
 def oracle_sql() -> dict[str, str]:
     d = {
+        "selection_drift": """
+            WITH per AS (
+              SELECT source,
+                     count(*)::BIGINT AS n_full,
+                     sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_recrawl
+              FROM documents GROUP BY source
+            ), sh AS (
+              SELECT source, n_full, n_recrawl,
+                     round(n_full * 1.0 / sum(n_full) OVER (), 8)
+                       AS share_full,
+                     round(n_recrawl * 1.0 / sum(n_recrawl) OVER (), 8)
+                       AS share_recrawl
+              FROM per
+            )
+            SELECT source, n_full, n_recrawl, share_full, share_recrawl,
+                   round(abs(share_full - share_recrawl), 8) AS abs_delta,
+                   (round(sum(round(abs(share_full - share_recrawl), 8)
+                              ::DECIMAL(18,8)) OVER ()::DOUBLE / 2, 8))
+                     AS tvd
+            FROM sh
+        """,
+        "filter_attribution": """
+            WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS w
+                       FROM documents),
+            counts AS (
+              SELECT doc_id, count(*) AS c
+              FROM (SELECT doc_id, unnest(w) AS word FROM w)
+              GROUP BY doc_id, word
+            ),
+            top AS (SELECT doc_id, max(c) AS topc FROM counts GROUP BY 1),
+            kg AS (
+              SELECT doc_id,
+                     CASE WHEN len(w) >= 5
+                          THEN list_transform(range(1, len(w) - 3),
+                               i -> array_to_string(w[i : i + 4], ' '))
+                          ELSE [] END AS gs
+              FROM w
+            ),
+            keepers AS (SELECT md5(text) AS fp, min(doc_id) AS keeper
+                        FROM documents GROUP BY 1),
+            feat AS (
+              SELECT w.doc_id,
+                     len(w.w) AS n_words,
+                     round((length(w.text) - (len(w.w) - 1)) * 1.0
+                           / len(w.w), 4) AS mean_wl,
+                     round(len(list_filter(w.w, x -> x IN
+                               ('the','a','of','to','and','in','is')))
+                           * 1.0 / len(w.w), 4) AS stop_ratio,
+                     round(len(list_distinct(w.w)) * 1.0 / len(w.w), 4)
+                       AS distinct_frac,
+                     round(t.topc * 1.0 / len(w.w), 4) AS top_frac,
+                     CASE WHEN len(k.gs) > 0
+                          THEN round(1 - len(list_distinct(k.gs)) * 1.0
+                                     / len(k.gs), 4)
+                          ELSE 0.0 END AS dup_frac,
+                     (kp.keeper <> w.doc_id) AS is_dup
+              FROM w JOIN top t ON t.doc_id = w.doc_id
+                     JOIN kg k ON k.doc_id = w.doc_id
+                     JOIN keepers kp ON kp.fp = md5(w.text)
+            ),
+            flags AS (
+              SELECT doc_id,
+                     (n_words < 10) AS f0, (mean_wl < 2.0) AS f1,
+                     (mean_wl > 12.0) AS f2, (stop_ratio < 0.01) AS f3,
+                     (distinct_frac < 0.2) AS f4, (top_frac > 0.3) AS f5,
+                     (dup_frac > 0.6) AS f6, is_dup AS f7
+              FROM feat
+            ),
+            nf AS (
+              SELECT *, (f0::INT + f1::INT + f2::INT + f3::INT + f4::INT
+                         + f5::INT + f6::INT + f7::INT) AS n_fails
+              FROM flags
+            ),
+            agg AS (
+              SELECT count(*) AS n_docs,
+                sum((n_fails = 0)::INT) AS n_keep,
+                sum(f0::INT) AS a0, sum((f0 AND n_fails = 1)::INT) AS o0,
+                sum(f1::INT) AS a1, sum((f1 AND n_fails = 1)::INT) AS o1,
+                sum(f2::INT) AS a2, sum((f2 AND n_fails = 1)::INT) AS o2,
+                sum(f3::INT) AS a3, sum((f3 AND n_fails = 1)::INT) AS o3,
+                sum(f4::INT) AS a4, sum((f4 AND n_fails = 1)::INT) AS o4,
+                sum(f5::INT) AS a5, sum((f5 AND n_fails = 1)::INT) AS o5,
+                sum(f6::INT) AS a6, sum((f6 AND n_fails = 1)::INT) AS o6,
+                sum(f7::INT) AS a7, sum((f7 AND n_fails = 1)::INT) AS o7
+              FROM nf
+            )
+            SELECT r.rule,
+                   r.n_fail::BIGINT AS n_fail,
+                   r.n_fail_only::BIGINT AS n_fail_only,
+                   round(r.n_fail * 1.0 / agg.n_docs, 4) AS fail_rate,
+                   agg.n_keep::BIGINT AS n_keep
+            FROM agg, (
+              SELECT 'too_few_words' AS rule, a0 AS n_fail, o0 AS n_fail_only
+              FROM agg
+              UNION ALL SELECT 'mean_wl_low', a1, o1 FROM agg
+              UNION ALL SELECT 'mean_wl_high', a2, o2 FROM agg
+              UNION ALL SELECT 'low_stopword', a3, o3 FROM agg
+              UNION ALL SELECT 'low_distinct', a4, o4 FROM agg
+              UNION ALL SELECT 'top_word_heavy', a5, o5 FROM agg
+              UNION ALL SELECT 'dup_kgrams', a6, o6 FROM agg
+              UNION ALL SELECT 'duplicate', a7, o7 FROM agg
+            ) r
+        """,
         "host_degree_stats": f"""
             WITH {_EDGES_CTES},
             ce AS (SELECT * FROM edges WHERE src_host <> dst_host),

@@ -942,6 +942,55 @@ def group_holdout_split(df: DataFrame, group_col: str = "host",
     return df.join(F.broadcast(assign), group_col)
 
 
+def selection_drift(df: DataFrame, group_col: str = "source",
+                    key: str = "doc_id", recrawl_mod: int = 5) -> DataFrame:
+    """Selection-bias audit between the full corpus and a selected slice
+    (here: the recrawl policy ``key % recrawl_mod == 0``): per-group share
+    in each population, the absolute share delta, and the total-variation
+    distance ``TVD = sum(|p_full - p_slice|) / 2`` repeated on every row
+    as the headline number. A recrawl/sampling policy correlated with the
+    grouping (this corpus's %5 slice hits only 4 of 20 sources) shows up
+    as TVD near 1; an unbiased policy reads near 0.
+
+    Determinism contract: shares are round(n/total, 8) (IEEE division is
+    exact-rounded, identical on both engines); per-group |delta| is
+    rounded to 8dp then summed as DECIMAL(18,8) so the TVD total is
+    order-free (CLAUDE.md decimal-sum idiom); the final halving happens
+    in double (exact) after the decimal sum.
+
+    Scale shape: ONE groupBy over the corpus with a conditional partial
+    agg (full and slice counts in the same pass — the slice never scans
+    separately), then windows over the ≤|groups| aggregate rows only.
+    The single-partition window is over group rows, never data rows
+    (same fence as :func:`group_holdout_split`).
+    """
+    per = df.groupBy(group_col).agg(
+        F.count("*").alias("n_full"),
+        F.sum(
+            F.when(F.col(key) % recrawl_mod == 0, 1).otherwise(0)
+        ).alias("n_recrawl"),
+    )
+    w = Window.partitionBy()
+    shares = per.select(
+        group_col, "n_full", "n_recrawl",
+        F.round(F.col("n_full") * F.lit(1.0) / F.sum("n_full").over(w), 8)
+        .alias("share_full"),
+        F.round(
+            F.col("n_recrawl") * F.lit(1.0) / F.sum("n_recrawl").over(w), 8
+        ).alias("share_recrawl"),
+    )
+    deltas = shares.withColumn(
+        "abs_delta",
+        F.round(F.abs(F.col("share_full") - F.col("share_recrawl")), 8),
+    )
+    tvd = F.round(
+        F.sum(F.col("abs_delta").cast("decimal(18,8)")).over(w)
+        .cast("double") / 2,
+        8,
+    )
+    return deltas.withColumn("tvd", tvd)
+
+
 def temperature_mix(pages: DataFrame, alpha: float = 0.5,
                     target_frac: float = 0.5, key: str = "url",
                     source_col: str = "source") -> DataFrame:

@@ -593,6 +593,88 @@ def curation_funnel(df: DataFrame, key: str = "doc_id",
     )
 
 
+def filter_attribution(df: DataFrame, key: str = "doc_id",
+                       col: str = "text") -> DataFrame:
+    """Per-rule attribution audit for the curation gates — the report that
+    tells a data lead WHICH atomic filter rule is binding before a
+    threshold change. :func:`curation_funnel` attributes each drop to its
+    FIRST failing composite gate; this view decomposes the composites into
+    their 8 atomic rules and reports, per rule:
+
+    - ``n_fail``       — docs failing the rule at all,
+    - ``n_fail_only``  — docs failing ONLY this rule (the marginal docs
+      recovered if the rule were relaxed — a rule with n_fail > 0 but
+      n_fail_only == 0 is fully shadowed by other rules),
+    - ``fail_rate``    — n_fail / corpus size (round 4),
+    - ``n_keep``       — docs failing no rule (constant across rows).
+
+    Rules and thresholds are EXACTLY the production gates
+    (:func:`with_quality_score`, :func:`with_repetition_stats`, and the
+    exact-dup keeper): too_few_words, mean_wl_low/high, low_stopword,
+    low_distinct, top_word_heavy, dup_kgrams, duplicate.
+
+    Scale shape: rides the same single digest shuffle as curation_verdict
+    (keeper agg on md5, never text) plus the map-side feature
+    expressions; everything reduces to ONE 17-counter aggregate row that
+    unpivots to 8 rule rows driver-free (explode of a literal struct
+    array — no collect, no second corpus pass).
+    """
+    from ollama_ocr_spark.operators.dedup import ensure_parallelism
+
+    scored = with_repetition_stats(
+        with_quality_score(ensure_parallelism(df), col), col
+    )
+    keepers = df.groupBy(F.md5(F.col(col)).alias("__fp")).agg(
+        F.min(F.col(key)).alias("__keeper")
+    )
+    j = scored.withColumn("__fp", F.md5(F.col(col))).join(keepers, "__fp")
+    rules = [
+        ("too_few_words", F.col("n_words") < 10),
+        ("mean_wl_low", F.col("mean_word_len") < 2.0),
+        ("mean_wl_high", F.col("mean_word_len") > 12.0),
+        ("low_stopword", F.col("stopword_ratio") < 0.01),
+        ("low_distinct", F.col("distinct_word_frac") < 0.2),
+        ("top_word_heavy", F.col("top_word_frac") > 0.3),
+        ("dup_kgrams", F.col("dup_kgram_frac") > 0.6),
+        ("duplicate", F.col(key) != F.col("__keeper")),
+    ]
+    flagged = j.select(
+        *[cond.alias(f"__f{i}") for i, (_, cond) in enumerate(rules)]
+    )
+    n_fails = sum(
+        (F.col(f"__f{i}").cast("int") for i in range(len(rules))), F.lit(0)
+    )
+    flagged = flagged.withColumn("__nf", n_fails)
+    aggs = [F.count("*").alias("n_docs"),
+            F.sum((F.col("__nf") == 0).cast("int")).alias("n_keep")]
+    for i in range(len(rules)):
+        aggs.append(F.sum(F.col(f"__f{i}").cast("int")).alias(f"__a{i}"))
+        aggs.append(
+            F.sum((F.col(f"__f{i}") & (F.col("__nf") == 1)).cast("int"))
+            .alias(f"__o{i}")
+        )
+    row = flagged.agg(*aggs)
+    unpivot = F.array(*[
+        F.struct(
+            F.lit(name).alias("rule"),
+            F.col(f"__a{i}").alias("n_fail"),
+            F.col(f"__o{i}").alias("n_fail_only"),
+        )
+        for i, (name, _) in enumerate(rules)
+    ])
+    return (
+        row.select(F.explode(unpivot).alias("r"), "n_docs", "n_keep")
+        .select(
+            F.col("r.rule").alias("rule"),
+            F.col("r.n_fail").alias("n_fail"),
+            F.col("r.n_fail_only").alias("n_fail_only"),
+            F.round(F.col("r.n_fail") * F.lit(1.0) / F.col("n_docs"), 4)
+            .alias("fail_rate"),
+            "n_keep",
+        )
+    )
+
+
 # ftfy-style encoding-damage signatures: UTF-8 bytes read as Latin-1/cp1252
 # ('â€™', 'Ã©'), the replacement character, and stray C0 control bytes.
 MOJIBAKE_RE = "(â€|Ã[©¨¤¶¼])"

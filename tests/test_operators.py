@@ -2058,3 +2058,70 @@ def test_minhash_band_recall_monotone(spark):
             <= rows[8]["n_candidates"])
     assert rows[2]["recall"] <= rows[4]["recall"] <= rows[8]["recall"]
     assert all(r["n_hits"] >= 1 for r in rows.values())  # the planted dup
+
+
+def test_selection_drift_biased_slice(spark):
+    """A recrawl policy perfectly correlated with one source (all of a's
+    ids hit %5==0, none of b's) reads TVD 0.5; shares are 8dp-rounded and
+    the TVD headline repeats on every group row."""
+    from ollama_ocr_spark.operators.maintenance import selection_drift
+
+    rows = [(i, "a") for i in (0, 5, 10)] + [(i, "b") for i in (1, 2, 3)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = {r["source"]: r for r in selection_drift(df).collect()}
+    assert set(out) == {"a", "b"}
+    a, b = out["a"], out["b"]
+    assert a["n_full"] == 3 and a["n_recrawl"] == 3
+    assert b["n_full"] == 3 and b["n_recrawl"] == 0
+    assert a["share_full"] == 0.5 and a["share_recrawl"] == 1.0
+    assert b["share_recrawl"] == 0.0
+    assert a["abs_delta"] == 0.5 and b["abs_delta"] == 0.5
+    assert a["tvd"] == b["tvd"] == 0.5
+
+
+def test_selection_drift_unbiased_slice(spark):
+    """An unbiased slice (each source contributes proportionally) reads
+    TVD 0 — the no-drift baseline."""
+    from ollama_ocr_spark.operators.maintenance import selection_drift
+
+    rows = [(0, "a"), (1, "a"), (5, "b"), (6, "b")]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = selection_drift(df).collect()
+    assert all(r["tvd"] == 0.0 and r["abs_delta"] == 0.0 for r in out)
+
+
+def test_filter_attribution_marginal_vs_shadowed(spark):
+    """Atomic-rule audit: n_fail counts every failing doc, n_fail_only
+    only docs no OTHER rule also rejects — a rule with n_fail > 0 but
+    n_fail_only == 0 is fully shadowed."""
+    from ollama_ocr_spark.operators.textstats import filter_attribution
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away to the old stone house in the valley")
+    rows = [
+        (1, good),
+        (2, good),                                    # duplicate ONLY
+        (3, "tiny"),                   # too_few_words + low_stopword + top
+        (4, " ".join(["the"] * 12)),   # low_distinct + top + dup_kgrams
+        (5, "the the the the w1 w2 w3 w4 w5 w6"),     # top_word_heavy ONLY
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["rule"]: r for r in filter_attribution(df).collect()}
+    assert set(out) == {
+        "too_few_words", "mean_wl_low", "mean_wl_high", "low_stopword",
+        "low_distinct", "top_word_heavy", "dup_kgrams", "duplicate",
+    }
+    assert all(r["n_keep"] == 1 for r in out.values())      # only doc 1
+    assert out["duplicate"]["n_fail"] == 1
+    assert out["duplicate"]["n_fail_only"] == 1              # marginal
+    assert out["top_word_heavy"]["n_fail"] == 3
+    assert out["top_word_heavy"]["n_fail_only"] == 1         # doc 5
+    assert out["too_few_words"]["n_fail"] == 1
+    assert out["too_few_words"]["n_fail_only"] == 0          # shadowed
+    assert out["low_stopword"]["n_fail"] == 1
+    assert out["low_distinct"]["n_fail"] == 1
+    assert out["dup_kgrams"]["n_fail"] == 1
+    assert out["dup_kgrams"]["n_fail_only"] == 0
+    assert out["mean_wl_low"]["n_fail"] == 0
+    assert out["mean_wl_high"]["n_fail"] == 0
+    assert out["top_word_heavy"]["fail_rate"] == 0.6
