@@ -156,6 +156,8 @@ EXTRA3 = (
 # least accumulated perf evidence, so budget-skips should fall on the old
 # suites whose numbers already exist in BENCH_r02/BENCH.md).
 EXTRA4: tuple[str, ...] = (
+    "selection_drift",
+    "filter_attribution",
     "image_resize",
     "frame_sample",
     "fetch_frontier",
