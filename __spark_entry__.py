@@ -2316,6 +2316,16 @@ def q_filter_attribution(spark, sf_dir):
     return filter_attribution(_docs(spark, sf_dir))
 
 
+def q_token_drift(spark, sf_dir):
+    """Token-distribution drift under the recrawl policy: top-50 tokens'
+    full-corpus vs recrawl-slice shares + head-TVD. Pairs with
+    selection_drift (labels) to show what the source bias does to the
+    token mix a model would train on."""
+    from ollama_ocr_spark.operators.textstats import token_drift
+
+    return token_drift(_docs(spark, sf_dir))
+
+
 def _utc_wrapped(fn):
     """Every query assumes UTC session semantics (timestamp↔epoch parity
     with the DuckDB oracle); the driver's session timezone is unknown."""
@@ -2341,6 +2351,7 @@ _QUERIES = {
         # queries that have only judge-run (softer) evidence so far.
         "selection_drift": q_selection_drift,
         "filter_attribution": q_filter_attribution,
+        "token_drift": q_token_drift,
         "image_resize": q_image_resize,
         "frame_sample": q_frame_sample,
         "robots_rule_stats": q_robots_rule_stats,
@@ -3317,6 +3328,39 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 'dup_kgrams', a6, o6 FROM agg
               UNION ALL SELECT 'duplicate', a7, o7 FROM agg
             ) r
+        """,
+        "token_drift": """
+            WITH t AS (
+              SELECT (doc_id % 5 = 0) AS sel,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                       AS token
+              FROM documents
+            ),
+            per AS (
+              SELECT token, count(*)::BIGINT AS n_full,
+                     sum(sel::INT)::BIGINT AS n_recrawl
+              FROM t GROUP BY 1
+            ),
+            tot AS (
+              SELECT sum(n_full)::BIGINT AS tf,
+                     sum(n_recrawl)::BIGINT AS tr
+              FROM per
+            ),
+            top AS (
+              SELECT * FROM per ORDER BY n_full DESC, token LIMIT 50
+            ),
+            sh AS (
+              SELECT token, n_full, n_recrawl,
+                     round(n_full * 1.0 / tf, 8) AS share_full,
+                     round(n_recrawl * 1.0 / tr, 8) AS share_recrawl
+              FROM top, tot
+            )
+            SELECT token, n_full, n_recrawl, share_full, share_recrawl,
+                   round(abs(share_full - share_recrawl), 8) AS abs_delta,
+                   (round(sum(round(abs(share_full - share_recrawl), 8)
+                              ::DECIMAL(18,8)) OVER ()::DOUBLE / 2, 8))
+                     AS head_tvd
+            FROM sh
         """,
         "host_degree_stats": f"""
             WITH {_EDGES_CTES},

@@ -158,6 +158,7 @@ EXTRA3 = (
 EXTRA4: tuple[str, ...] = (
     "selection_drift",
     "filter_attribution",
+    "token_drift",
     "image_resize",
     "frame_sample",
     "fetch_frontier",

@@ -675,6 +675,61 @@ def filter_attribution(df: DataFrame, key: str = "doc_id",
     )
 
 
+def token_drift(df: DataFrame, key: str = "doc_id", col: str = "text",
+                k: int = 50, recrawl_mod: int = 5) -> DataFrame:
+    """Content-level drift between the full corpus and a selected slice
+    (the recrawl policy ``key % recrawl_mod == 0``): per-token share in
+    each population over the top-k full-corpus tokens, plus the head-TVD
+    ``sum(|p_full - p_slice|)/2`` over those k tokens repeated on every
+    row. The label-level :func:`~ollama_ocr_spark.operators.maintenance.
+    selection_drift` says WHICH sources the policy over-samples; this
+    view says what that does to the token distribution a model trains on
+    (the same ``TOKEN_RE`` pre-tokenizer as :func:`vocab_topk`).
+
+    Shares divide by TOTAL token mass (all tokens, not just the head), so
+    head_tvd is a lower bound on full TVD — documented, and the honest
+    number at 100 TB where the full vocabulary never fits a report.
+
+    Determinism: counts are exact integers; shares round(n/total, 8);
+    deltas 8dp-rounded then DECIMAL-summed (order-free); top-k breaks
+    count ties by token text. Scale shape: one explode → token partial
+    agg (counters shuffle, never documents), a broadcast 1-row totals
+    join, a distributed top-k (TakeOrdered — no single-partition sort of
+    the vocabulary), and windows over the k result rows only.
+    """
+    toks = df.select(
+        (F.col(key) % recrawl_mod == 0).alias("__sel"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(col)), F.lit(TOKEN_RE), 0)
+        ).alias("token"),
+    )
+    per = toks.groupBy("token").agg(
+        F.count("*").alias("n_full"),
+        F.sum(F.col("__sel").cast("int")).alias("n_recrawl"),
+    )
+    tot = per.agg(F.sum("n_full").alias("__tf"),
+                  F.sum("n_recrawl").alias("__tr"))
+    top = per.orderBy(F.desc("n_full"), F.asc("token")).limit(k)
+    shares = top.crossJoin(F.broadcast(tot)).select(
+        "token", "n_full", "n_recrawl",
+        F.round(F.col("n_full") * F.lit(1.0) / F.col("__tf"), 8)
+        .alias("share_full"),
+        F.round(F.col("n_recrawl") * F.lit(1.0) / F.col("__tr"), 8)
+        .alias("share_recrawl"),
+    )
+    deltas = shares.withColumn(
+        "abs_delta",
+        F.round(F.abs(F.col("share_full") - F.col("share_recrawl")), 8),
+    )
+    w = Window.partitionBy()
+    head_tvd = F.round(
+        F.sum(F.col("abs_delta").cast("decimal(18,8)")).over(w)
+        .cast("double") / 2,
+        8,
+    )
+    return deltas.withColumn("head_tvd", head_tvd)
+
+
 # ftfy-style encoding-damage signatures: UTF-8 bytes read as Latin-1/cp1252
 # ('â€™', 'Ã©'), the replacement character, and stray C0 control bytes.
 MOJIBAKE_RE = "(â€|Ã[©¨¤¶¼])"

@@ -2125,3 +2125,27 @@ def test_filter_attribution_marginal_vs_shadowed(spark):
     assert out["mean_wl_low"]["n_fail"] == 0
     assert out["mean_wl_high"]["n_fail"] == 0
     assert out["top_word_heavy"]["fail_rate"] == 0.6
+
+
+def test_token_drift_biased_slice(spark):
+    """Slice docs (id%5==0) use disjoint vocabulary from the rest: slice
+    tokens read share_recrawl ≈ 1·share, absent tokens read 0, and
+    head_tvd is the decimal-summed half-L1 over the top-k rows; ties in
+    n_full break by token text (k limit deterministic)."""
+    from ollama_ocr_spark.operators.textstats import token_drift
+
+    rows = [(0, "aa aa bb"), (5, "aa bb cc"),       # in slice
+            (1, "dd dd ee"), (2, "dd ee ff")]       # out of slice
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["token"]: r for r in token_drift(df, k=3).collect()}
+    # full counts: aa=3 dd=3 bb=2 ee=2 cc=1 ff=1 → top3 = aa, dd, bb
+    assert set(out) == {"aa", "bb", "dd"}
+    assert out["aa"]["n_full"] == 3 and out["aa"]["n_recrawl"] == 3
+    assert out["dd"]["n_full"] == 3 and out["dd"]["n_recrawl"] == 0
+    assert out["aa"]["share_full"] == 0.25           # 3/12
+    assert out["aa"]["share_recrawl"] == 0.5         # 3/6
+    assert out["dd"]["share_recrawl"] == 0.0
+    # deltas are computed from the 8dp-ROUNDED shares (the oracle
+    # contract): bb reads |0.16666667 - 0.33333333| = 0.16666666
+    assert out["bb"]["abs_delta"] == 0.16666666
+    assert all(r["head_tvd"] == 0.33333333 for r in out.values())
