@@ -506,7 +506,18 @@ def write_bucketed(df: DataFrame, table: str, key: str, *more_keys: str,
             stale = os.path.join(wh.path, table.lower())
             if os.path.exists(stale):
                 shutil.rmtree(stale)
-    writer = df.write.mode("overwrite").bucketBy(num_buckets, key, *more_keys)
+    # Pre-repartition on the bucket keys: repartition's Murmur3-pmod
+    # placement matches the bucketed write's bucket-id function, so each
+    # task holds exactly ONE bucket's rows and writes ONE file — without
+    # this, every upstream task writes a file per bucket it sees
+    # (tasks × buckets tiny files: measured 513 files and a 4× slower
+    # write at 32 tasks × 16 buckets; downstream scans then schedule per
+    # FILE). At larger scale raise num_buckets — don't widen the write
+    # back out with more tasks per bucket.
+    writer = (
+        df.repartition(num_buckets, key, *more_keys)
+        .write.mode("overwrite").bucketBy(num_buckets, key, *more_keys)
+    )
     if sort:
         writer = writer.sortBy(key, *more_keys)
     writer.saveAsTable(table)
