@@ -531,15 +531,13 @@ def q_boilerplate_paragraphs(spark, sf_dir):
     return boilerplate_paragraphs(docs, min_docs=2, k=20)
 
 
-def q_pii_scrub(spark, sf_dir):
-    """PII redaction (emails / IPv4 / phones) — native regexp ops. Both
-    engines append the same deterministic PII to documents.text, then the
-    oracle re-runs the scrub with DuckDB's RE2 engine: the patterns are a
-    shared dialect-safe subset (see textstats.PII_*_RE)."""
-    docs = _docs(spark, sf_dir)
+def _pii_text_expr():
+    """Deterministic synthetic PII appended to documents.text — shared by
+    q_pii_scrub and q_pii_stats; the oracle mirrors it in SQL (doc_id
+    arithmetic: every doc gains an email + IPv4, every third a phone)."""
     s = lambda c: c.cast("string")  # noqa: E731
     did = F.col("doc_id")
-    pii_text = F.concat(
+    return F.concat(
         F.col("text"),
         F.lit(" contact user"), s(did), F.lit("@mail.example.com or 10.0."),
         s(did % 256), F.lit("."), s((did * 7) % 256),
@@ -549,12 +547,33 @@ def q_pii_scrub(spark, sf_dir):
                      F.lpad(s(did % 10000), 4, "0")),
         ).otherwise(F.lit("")),
     )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (emails / IPv4 / phones) — native regexp ops. Both
+    engines append the same deterministic PII to documents.text, then the
+    oracle re-runs the scrub with DuckDB's RE2 engine: the patterns are a
+    shared dialect-safe subset (see textstats.PII_*_RE)."""
+    docs = _docs(spark, sf_dir)
     from ollama_ocr_spark.operators.textstats import with_pii_scrub
 
     return with_pii_scrub(
-        docs.select("doc_id", pii_text.alias("text"))
+        docs.select("doc_id", _pii_text_expr().alias("text"))
     ).select("doc_id", "n_emails", "n_ipv4", "n_phones", "scrubbed",
              "pii_free")
+
+
+def q_pii_stats(spark, sf_dir):
+    """Per-source PII exposure audit over the same synthesized PII text
+    as pii_scrub: doc counts, any-hit docs, per-type totals, hit-doc
+    rate — the pre-export privacy report. Counts only; scrubbed text is
+    never materialized."""
+    docs = _docs(spark, sf_dir)
+    from ollama_ocr_spark.operators.textstats import pii_stats
+
+    return pii_stats(
+        docs.select("doc_id", "source", _pii_text_expr().alias("text"))
+    )
 
 
 def q_resume_anti_join_bloom(spark, sf_dir):
@@ -2352,6 +2371,7 @@ _QUERIES = {
         "selection_drift": q_selection_drift,
         "filter_attribution": q_filter_attribution,
         "token_drift": q_token_drift,
+        "pii_stats": q_pii_stats,
         "image_resize": q_image_resize,
         "frame_sample": q_frame_sample,
         "robots_rule_stats": q_robots_rule_stats,
@@ -3328,6 +3348,32 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 'dup_kgrams', a6, o6 FROM agg
               UNION ALL SELECT 'duplicate', a7, o7 FROM agg
             ) r
+        """,
+        "pii_stats": f"""
+            WITH base AS (
+              SELECT source,
+                     text || ' contact user' || doc_id
+                          || '@mail.example.com or 10.0.'
+                          || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+                          || CASE WHEN doc_id % 3 = 0
+                             THEN ' ring +1 555 010 '
+                                  || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                             ELSE '' END AS t
+              FROM documents),
+            per AS (
+              SELECT source,
+                     len(regexp_extract_all(t, '{_PII_EMAIL}')) AS e,
+                     len(regexp_extract_all(t, '{_PII_IPV4}')) AS i,
+                     len(regexp_extract_all(t, '{_PII_PHONE}')) AS p
+              FROM base)
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   sum(((e + i + p) > 0)::INT)::BIGINT AS n_docs_with_pii,
+                   sum(e)::BIGINT AS total_emails,
+                   sum(i)::BIGINT AS total_ipv4,
+                   sum(p)::BIGINT AS total_phones,
+                   round(sum(((e + i + p) > 0)::INT) * 1.0 / count(*), 4)
+                     AS pii_doc_rate
+            FROM per GROUP BY source
         """,
         "token_drift": """
             WITH t AS (

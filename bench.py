@@ -159,6 +159,7 @@ EXTRA4: tuple[str, ...] = (
     "selection_drift",
     "filter_attribution",
     "token_drift",
+    "pii_stats",
     "image_resize",
     "frame_sample",
     "fetch_frontier",

@@ -1037,6 +1037,33 @@ def with_pii_scrub(df: DataFrame, col: str = "text") -> DataFrame:
     )
 
 
+def pii_stats(df: DataFrame, group_col: str = "source",
+              col: str = "text") -> DataFrame:
+    """Per-source PII exposure audit — the report a privacy review reads
+    before an export ships: per group, document count, documents with
+    ANY hit, per-type totals (emails / IPv4 / phones, the
+    :func:`with_pii_scrub` pattern table), and the hit-document rate.
+    A source whose rate spikes is a scrape of a contact-heavy site (or a
+    parser regression) and gets quarantined before packing.
+
+    Scale shape: the regexp counting is map-side codegen; ONE partial-agg
+    shuffle on the group key; output is |groups| rows. Scrubbed text is
+    never materialized here — counts only.
+    """
+    scored = with_pii_scrub(df, col)
+    return scored.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum((~F.col("pii_free")).cast("int")).alias("n_docs_with_pii"),
+        F.sum("n_emails").cast("bigint").alias("total_emails"),
+        F.sum("n_ipv4").cast("bigint").alias("total_ipv4"),
+        F.sum("n_phones").cast("bigint").alias("total_phones"),
+        F.round(
+            F.sum((~F.col("pii_free")).cast("int")) * F.lit(1.0)
+            / F.count("*"), 4
+        ).alias("pii_doc_rate"),
+    )
+
+
 C4_MIN_LINE_WORDS = 5
 # Substring blocklist for line filtering (C4 drops lines mentioning
 # javascript / cookie / lorem ipsum policy boilerplate).

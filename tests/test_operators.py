@@ -2149,3 +2149,26 @@ def test_token_drift_biased_slice(spark):
     # contract): bb reads |0.16666667 - 0.33333333| = 0.16666666
     assert out["bb"]["abs_delta"] == 0.16666666
     assert all(r["head_tvd"] == 0.33333333 for r in out.values())
+
+
+def test_pii_stats_per_source_rollup(spark):
+    """Per-source audit counts hit-docs once regardless of hit count,
+    totals per type, and rates against the group size."""
+    from ollama_ocr_spark.operators.textstats import pii_stats
+
+    rows = [
+        (1, "s1", "mail a@b.com and c@d.org here"),     # 2 emails
+        (2, "s1", "clean text"),
+        (3, "s2", "server 10.0.0.1 ring +1 555 010 1234"),  # ip + phone
+        (4, "s2", "also clean"),
+        (5, "s2", "still clean"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {r["source"]: r for r in pii_stats(df).collect()}
+    s1, s2 = out["s1"], out["s2"]
+    assert s1["n_docs"] == 2 and s1["n_docs_with_pii"] == 1
+    assert s1["total_emails"] == 2 and s1["total_ipv4"] == 0
+    assert s1["pii_doc_rate"] == 0.5
+    assert s2["n_docs"] == 3 and s2["n_docs_with_pii"] == 1
+    assert s2["total_ipv4"] == 1 and s2["total_phones"] == 1
+    assert s2["pii_doc_rate"] == 0.3333
