@@ -2293,6 +2293,18 @@ def q_shard_plan(spark, sf_dir):
     )
 
 
+def q_shard_manifest(spark, sf_dir):
+    """Per-shard export integrity manifest over the 8-shard token-balanced
+    plan: doc count, token mass, key range, and the order-free
+    md5_u32-sum checksum — the 5-number comparison that verifies a shard
+    re-run/restore without row diffs (this oracle comparison IS that
+    verification, run cross-engine)."""
+    from ollama_ocr_spark.operators.maintenance import (shard_manifest,
+                                                        shard_plan)
+
+    return shard_manifest(shard_plan(_docs(spark, sf_dir), n_shards=8))
+
+
 def q_family_split(spark, sf_dir):
     """Near-dup-leakage-safe split: connected-component family labels over
     the deterministic q_dedup_components edge fixture, then hash_split on
@@ -2372,6 +2384,7 @@ _QUERIES = {
         "filter_attribution": q_filter_attribution,
         "token_drift": q_token_drift,
         "pii_stats": q_pii_stats,
+        "shard_manifest": q_shard_manifest,
         "image_resize": q_image_resize,
         "frame_sample": q_frame_sample,
         "robots_rule_stats": q_robots_rule_stats,
@@ -3348,6 +3361,29 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 'dup_kgrams', a6, o6 FROM agg
               UNION ALL SELECT 'duplicate', a7, o7 FROM agg
             ) r
+        """,
+        "shard_manifest": f"""
+            WITH t AS (
+              SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+              FROM documents),
+            b AS (
+              SELECT doc_id, n_tokens,
+                     length(format('{{:b}}', n_tokens)) AS band,
+                     ({_md5_u32_sql("'shard|' || doc_id::VARCHAR")}) % 256
+                       AS cell
+              FROM t),
+            r AS (
+              SELECT doc_id, n_tokens, band, cell,
+                     row_number() OVER (PARTITION BY band, cell
+                                        ORDER BY doc_id) AS rn
+              FROM b)
+            SELECT ((rn - 1 + band + cell) % 8)::INT AS shard,
+                   count(*)::BIGINT AS n_docs,
+                   sum(n_tokens)::BIGINT AS n_tokens,
+                   min(doc_id) AS min_key, max(doc_id) AS max_key,
+                   sum({_md5_u32_sql("'manifest|' || doc_id::VARCHAR")})
+                     ::BIGINT AS checksum
+            FROM r GROUP BY 1
         """,
         "pii_stats": f"""
             WITH base AS (

@@ -160,6 +160,7 @@ EXTRA4: tuple[str, ...] = (
     "filter_attribution",
     "token_drift",
     "pii_stats",
+    "shard_manifest",
     "image_resize",
     "frame_sample",
     "fetch_frontier",

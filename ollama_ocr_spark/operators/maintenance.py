@@ -782,6 +782,31 @@ def shard_plan(docs: DataFrame, n_shards: int = 16, key: str = "doc_id",
     )
 
 
+def shard_manifest(sharded: DataFrame, key: str = "doc_id",
+                   tokens_col: str = "n_tokens",
+                   shard_col: str = "shard") -> DataFrame:
+    """Integrity manifest for a shard export — per shard: doc count,
+    token mass, key range, and an ORDER-FREE content checksum
+    ``sum(md5_u32('manifest|' || key))``. Two independently produced
+    copies of a shard (a re-run, a second engine, a restored backup)
+    compare by 5 numbers instead of row diffs; a silently dropped or
+    duplicated document moves both n_docs and checksum, and a swapped
+    document moves checksum alone. The checksum is an exact integer sum
+    of 32-bit md5 prefixes (``md5_u32_expr``) — commutative, so any
+    partitioning/ordering yields the same value on any engine; it
+    overflows bigint only past ~2^31 docs PER SHARD.
+
+    Scale shape: one partial-agg shuffle on the shard id; counters only.
+    """
+    return sharded.groupBy(shard_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(tokens_col).cast("bigint").alias("n_tokens"),
+        F.min(F.col(key)).alias("min_key"),
+        F.max(F.col(key)).alias("max_key"),
+        F.sum(md5_u32_expr(key, salt="manifest|")).alias("checksum"),
+    )
+
+
 def domain_mix(pages: DataFrame, weights: dict[str, float],
                key: str = "url", source_col: str = "source") -> DataFrame:
     """Deterministic per-source downsampling to a target corpus mix — the

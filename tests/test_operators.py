@@ -2172,3 +2172,26 @@ def test_pii_stats_per_source_rollup(spark):
     assert s2["n_docs"] == 3 and s2["n_docs_with_pii"] == 1
     assert s2["total_ipv4"] == 1 and s2["total_phones"] == 1
     assert s2["pii_doc_rate"] == 0.3333
+
+
+def test_shard_manifest_checksum_order_free_and_swap_sensitive(spark):
+    """The manifest checksum is order-free (same docs, any order/shard
+    layout → same value) but moves when a doc is SWAPPED even if counts
+    and token mass stay identical."""
+    from ollama_ocr_spark.operators.maintenance import shard_manifest
+
+    base = [(1, 5, 0), (2, 5, 0), (3, 5, 1)]
+    swapped = [(1, 5, 0), (4, 5, 0), (3, 5, 1)]     # doc 2 -> doc 4
+    cols = ["doc_id", "n_tokens", "shard"]
+    m = {r["shard"]: r for r in shard_manifest(
+        spark.createDataFrame(base, cols)).collect()}
+    m_rev = {r["shard"]: r for r in shard_manifest(
+        spark.createDataFrame(list(reversed(base)), cols)).collect()}
+    m_swp = {r["shard"]: r for r in shard_manifest(
+        spark.createDataFrame(swapped, cols)).collect()}
+    assert m[0]["n_docs"] == 2 and m[0]["n_tokens"] == 10
+    assert m[0]["min_key"] == 1 and m[0]["max_key"] == 2
+    assert m[0]["checksum"] == m_rev[0]["checksum"]       # order-free
+    assert m[1] == m_rev[1] == m_swp[1]                   # untouched shard
+    assert m_swp[0]["n_docs"] == 2 and m_swp[0]["n_tokens"] == 10
+    assert m_swp[0]["checksum"] != m[0]["checksum"]       # swap detected
