@@ -2293,6 +2293,27 @@ def q_shard_plan(spark, sf_dir):
     )
 
 
+def q_normalize_text(spark, sf_dir):
+    """Unicode NFC hygiene gate: both engines append deterministic
+    composed/decomposed suffixes (doc_id%3: decomposed 'cafe'+U+0301 /
+    precomposed 'café' / none), then normalize — Python unicodedata in
+    the Arrow kernel vs DuckDB nfc_normalize, byte-compared. Decomposed
+    rows read changed=true and shrink by one code point."""
+    from ollama_ocr_spark.operators.textstats import normalize_text_stage
+
+    _ensure_shipped(spark)
+    did = F.col("doc_id")
+    mixed = F.concat(
+        F.col("text"),
+        F.when(did % 3 == 0, F.lit(" cafe\u0301"))   # decomposed
+        .when(did % 3 == 1, F.lit(" caf\u00e9"))     # precomposed
+        .otherwise(F.lit("")),
+    )
+    return normalize_text_stage(
+        _docs(spark, sf_dir).select("doc_id", mixed.alias("text"))
+    )
+
+
 def q_shard_manifest(spark, sf_dir):
     """Per-shard export integrity manifest over the 8-shard token-balanced
     plan: doc count, token mass, key range, and the order-free
@@ -2385,6 +2406,7 @@ _QUERIES = {
         "token_drift": q_token_drift,
         "pii_stats": q_pii_stats,
         "shard_manifest": q_shard_manifest,
+        "normalize_text": q_normalize_text,
         "image_resize": q_image_resize,
         "frame_sample": q_frame_sample,
         "robots_rule_stats": q_robots_rule_stats,
@@ -3361,6 +3383,22 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 'dup_kgrams', a6, o6 FROM agg
               UNION ALL SELECT 'duplicate', a7, o7 FROM agg
             ) r
+        """,
+        "normalize_text": """
+            WITH base AS (
+              SELECT doc_id,
+                     text || CASE WHEN doc_id % 3 = 0
+                                  THEN ' cafe' || chr(769)
+                                  WHEN doc_id % 3 = 1
+                                  THEN ' caf' || chr(233)
+                                  ELSE '' END AS t
+              FROM documents)
+            SELECT doc_id,
+                   nfc_normalize(t) AS norm_text,
+                   (nfc_normalize(t) <> t) AS changed,
+                   length(t)::INT AS chars_in,
+                   length(nfc_normalize(t))::INT AS chars_out
+            FROM base
         """,
         "shard_manifest": f"""
             WITH t AS (

@@ -161,6 +161,7 @@ EXTRA4: tuple[str, ...] = (
     "token_drift",
     "pii_stats",
     "shard_manifest",
+    "normalize_text",
     "image_resize",
     "frame_sample",
     "fetch_frontier",

@@ -1037,6 +1037,51 @@ def with_pii_scrub(df: DataFrame, col: str = "text") -> DataFrame:
     )
 
 
+def normalize_text_stage(df: DataFrame, key: str = "doc_id",
+                         col: str = "text") -> DataFrame:
+    """Unicode hygiene gate — NFC-normalize text BEFORE any hashing or
+    dedup stage: the same visible string in composed vs decomposed form
+    ('café' as 4 vs 5 code points) md5-hashes differently, so exact dedup,
+    shingles, and digest joins all silently miss equal content until the
+    corpus is normalized to one form. Web text mixes forms freely
+    (different CMSes, different OSes).
+
+    Runs as ONE Arrow-batched ``mapInPandas`` wave over the column-pruned
+    (key, text) projection — stdlib ``unicodedata`` per batch, never
+    per-row Python UDF rows. Output: (key, norm_text, changed,
+    chars_in, chars_out); counts are code points (Python ``len`` ==
+    DuckDB ``length`` == Spark ``length`` semantics). The DuckDB oracle
+    mirrors with ``nfc_normalize()``, which agrees
+    codepoint-for-codepoint with Python's NFC — the oracle comparison is
+    the cross-implementation conformance check. Text is assumed non-null
+    (the corpus contract); a production variant adds NFKC/casefold the
+    same way.
+    """
+    import pandas as pd
+
+    def kernel(batches):
+        import unicodedata
+
+        for pdf in batches:
+            texts = list(pdf[col])
+            norm = [unicodedata.normalize("NFC", t) for t in texts]
+            yield pd.DataFrame(
+                {
+                    key: pdf[key],
+                    "norm_text": norm,
+                    "changed": [n != t for n, t in zip(norm, texts)],
+                    "chars_in": [len(t) for t in texts],
+                    "chars_out": [len(n) for n in norm],
+                }
+            )
+
+    return df.select(key, col).mapInPandas(
+        kernel,
+        f"{key} bigint, norm_text string, changed boolean, "
+        "chars_in int, chars_out int",
+    )
+
+
 def pii_stats(df: DataFrame, group_col: str = "source",
               col: str = "text") -> DataFrame:
     """Per-source PII exposure audit — the report a privacy review reads

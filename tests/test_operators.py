@@ -2195,3 +2195,26 @@ def test_shard_manifest_checksum_order_free_and_swap_sensitive(spark):
     assert m[1] == m_rev[1] == m_swp[1]                   # untouched shard
     assert m_swp[0]["n_docs"] == 2 and m_swp[0]["n_tokens"] == 10
     assert m_swp[0]["checksum"] != m[0]["checksum"]       # swap detected
+
+
+def test_normalize_text_nfc_kernel(spark):
+    """NFC composes decomposed sequences (changed=true, one code point
+    shorter), leaves composed/ASCII text alone, and matches Python's
+    unicodedata reference exactly."""
+    import unicodedata
+
+    from ollama_ocr_spark.operators.textstats import normalize_text_stage
+
+    rows = [
+        (1, "plain ascii"),
+        (2, "cafe\u0301 mixed"),      # decomposed -> composes
+        (3, "caf\u00e9 already"),     # precomposed -> unchanged
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in normalize_text_stage(df).collect()}
+    assert not out[1]["changed"] and out[1]["norm_text"] == "plain ascii"
+    assert out[2]["changed"]
+    assert out[2]["norm_text"] == unicodedata.normalize("NFC", rows[1][1])
+    assert out[2]["chars_in"] == out[2]["chars_out"] + 1
+    assert not out[3]["changed"]
+    assert out[3]["chars_in"] == out[3]["chars_out"]
