@@ -2133,6 +2133,17 @@ def q_minhash_accuracy_eval(spark, sf_dir):
     return minhash_accuracy_eval(_docs(spark, sf_dir))
 
 
+def q_bbit_minhash_eval(spark, sf_dir):
+    """b-bit minwise hashing (Li & König, WWW'10) accuracy vs the
+    full-width estimator, per exact-Jaccard band: low 4 bits per hash
+    (1/32 the signature bytes), chance-collision-corrected estimate
+    (c - 0.0625) / 0.9375 — identical literals on both engines. The
+    storage-budget table for a 100 TB signature store."""
+    from ollama_ocr_spark.operators.dedup import bbit_minhash_eval
+
+    return bbit_minhash_eval(_docs(spark, sf_dir))
+
+
 def q_simhash_near_pairs(spark, sf_dir):
     """SimHash Hamming-<=3 near-dup pairs over the corpus plus planted
     variants (an exact copy of every doc_id%7==3 doc and a 3-word-tail
@@ -2407,6 +2418,7 @@ _QUERIES = {
         "pii_stats": q_pii_stats,
         "shard_manifest": q_shard_manifest,
         "normalize_text": q_normalize_text,
+        "bbit_minhash_eval": q_bbit_minhash_eval,
         "image_resize": q_image_resize,
         "frame_sample": q_frame_sample,
         "robots_rule_stats": q_robots_rule_stats,
@@ -3383,6 +3395,38 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 'dup_kgrams', a6, o6 FROM agg
               UNION ALL SELECT 'duplicate', a7, o7 FROM agg
             ) r
+        """,
+        "bbit_minhash_eval": f"""
+            WITH {_SHINGLES_CTE}, {_JPAIRS_CTES}, {_LSH_PAIRS_CTES},
+            ag AS (
+              SELECT p.a, p.b,
+                     sum(CASE WHEN xa.m = xb.m THEN 1 ELSE 0 END)::BIGINT
+                       AS agree,
+                     sum(CASE WHEN substr(xa.m, 32, 1) = substr(xb.m, 32, 1)
+                         THEN 1 ELSE 0 END)::BIGINT AS agree_b
+              FROM pairs p
+              JOIN sig xa ON xa.doc_id = p.a
+              JOIN sig xb ON xb.doc_id = p.b AND xb.j = xa.j
+              GROUP BY 1, 2),
+            je AS (
+              SELECT g.agree, g.agree_b, i.inter,
+                     sa.n + sb.n - i.inter AS u
+              FROM ag g
+              JOIN inter i ON i.a = g.a AND i.b = g.b
+              JOIN sizes sa ON sa.doc_id = g.a
+              JOIN sizes sb ON sb.doc_id = g.b),
+            er AS (
+              SELECT least((inter * 20) // u, 19)::INT AS bucket,
+                     round(abs(agree / 8 - inter / u), 6)::DECIMAL(18,6)
+                       AS ef,
+                     round(abs((agree_b / 8 - 0.0625) / 0.9375
+                               - inter / u), 6)::DECIMAL(18,6) AS eb
+              FROM je)
+            SELECT bucket, round(bucket / 20.0, 4) AS lo,
+                   count(*)::BIGINT AS n_pairs,
+                   round(sum(ef)::DOUBLE / count(*), 4) AS err_full,
+                   round(sum(eb)::DOUBLE / count(*), 4) AS err_bbit
+            FROM er GROUP BY 1
         """,
         "normalize_text": """
             WITH base AS (

@@ -162,6 +162,7 @@ EXTRA4: tuple[str, ...] = (
     "pii_stats",
     "shard_manifest",
     "normalize_text",
+    "bbit_minhash_eval",
     "image_resize",
     "frame_sample",
     "fetch_frontier",

@@ -1538,6 +1538,96 @@ def minhash_accuracy_eval(df: DataFrame, key: str = "doc_id",
     )
 
 
+def bbit_minhash_eval(df: DataFrame, key: str = "doc_id",
+                      col: str = "text", k: int = SHINGLE_K,
+                      num_hashes: int = 8, b_bits: int = 4,
+                      buckets: int = 20,
+                      max_posting: int | None = 1000) -> DataFrame:
+    """b-bit minwise hashing accuracy (Li & König, WWW'10): keep only the
+    low ``b_bits`` of each minhash value — at b=4 that is 1/32 the
+    signature bytes of the 128-bit digests — and correct the random-
+    collision inflation with the unbiased estimator
+    ``J = (c - c0) / (1 - c0)`` where ``c`` is the matched fraction and
+    ``c0 = 2^-b`` the chance collision rate. Per exact-Jaccard band this
+    reports the FULL-width estimator's mean |error| next to the b-bit
+    one — the table that decides how many bits a 100 TB signature store
+    actually keeps (more hashes at fewer bits usually wins at equal
+    bytes).
+
+    Engine parity: the low bits are the last ``b_bits/4`` hex chars of
+    the md5 minhash (b_bits must be a multiple of 4); c0 literals
+    (0.0625, 0.9375 at b=4) are written identically on both engines
+    (never computed on one and literal on the other); per-pair errors
+    quantize to 6dp DECIMAL so band means are order-free. The raw b-bit
+    estimate may go slightly negative for dissimilar pairs — reported
+    unclamped, as published.
+
+    Scale shape identical to :func:`minhash_accuracy_eval`: every join
+    input is candidate-pair- or doc-sized; a sample-scale EVAL.
+    """
+    if b_bits % 4 != 0:
+        raise ValueError("b_bits must be a multiple of 4 (hex-digit slices)")
+    nchars = b_bits // 4
+    c0 = 1.0 / (1 << b_bits)
+    cands = minhash_lsh_candidates(df, key, col, k, num_hashes)
+    sigs = minhash_signatures(df, key, col, k, num_hashes)
+    na, nb, inter = _packed_intersections(df, key, col, k, max_posting)
+    exact = inter.select(
+        F.shiftrightunsigned(F.col("pa"), 22).alias("a"),
+        F.shiftrightunsigned(F.col("pb"), 22).alias("b"),
+        F.col("inter").alias("i"),
+        (na + nb - F.col("inter")).alias("u"),
+    )
+    sa = sigs.select(F.col(key).alias("a"), F.col("sig").alias("sa"))
+    sb = sigs.select(F.col(key).alias("b"), F.col("sig").alias("sb"))
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sa"), F.col("sb"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    lo_eq = F.zip_with(
+        F.col("sa"), F.col("sb"),
+        lambda x, y: (
+            F.substring(x, 33 - nchars, nchars)
+            == F.substring(y, 33 - nchars, nchars)
+        ),
+    )
+    agree_b = F.size(F.filter(lo_eq, lambda m: m))
+    true_j = F.col("i") / F.col("u")
+    est_full = agree / F.lit(num_hashes)
+    est_b = (agree_b / F.lit(num_hashes) - F.lit(c0)) / F.lit(1.0 - c0)
+    joined = (
+        cands.join(sa, "a").join(sb, "b").join(exact, ["a", "b"])
+        .select(
+            F.least(
+                F.expr(f"int((i * {buckets}) div u)"), F.lit(buckets - 1)
+            ).alias("bucket"),
+            F.round(F.abs(est_full - true_j), 6)
+            .cast("decimal(18,6)").alias("ef"),
+            F.round(F.abs(est_b - true_j), 6)
+            .cast("decimal(18,6)").alias("eb"),
+        )
+    )
+    return (
+        joined.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("ef").alias("__sf"),
+            F.sum("eb").alias("__sb"),
+        )
+        .select(
+            "bucket",
+            F.round(F.col("bucket") / float(buckets), 4).alias("lo"),
+            "n_pairs",
+            F.round(F.col("__sf").cast("double") / F.col("n_pairs"), 4)
+            .alias("err_full"),
+            F.round(F.col("__sb").cast("double") / F.col("n_pairs"), 4)
+            .alias("err_bbit"),
+        )
+    )
+
+
 def dedup_methods_overlap(df: DataFrame, key: str = "doc_id",
                           col: str = "text", k: int = SHINGLE_K,
                           jaccard_threshold: float = 0.5,

@@ -2218,3 +2218,23 @@ def test_normalize_text_nfc_kernel(spark):
     assert out[2]["chars_in"] == out[2]["chars_out"] + 1
     assert not out[3]["changed"]
     assert out[3]["chars_in"] == out[3]["chars_out"]
+
+
+def test_bbit_minhash_eval_identical_pair_exact(spark):
+    """An identical-doc pair reads zero error under BOTH estimators: the
+    full estimate is 8/8 = 1, and the b-bit correction maps a perfect
+    match back to exactly 1 ((1 - c0)/(1 - c0)); bands/columns match the
+    full-width eval's shape."""
+    from ollama_ocr_spark.operators.dedup import bbit_minhash_eval
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(i, base + f" s{i % 4} t{i % 3}") for i in range(10)]
+        + [(50, base + " s0 t0")],      # identical to doc 0
+        ["doc_id", "text"],
+    )
+    rows = bbit_minhash_eval(docs, max_posting=None).collect()
+    assert rows, "no candidate pairs scored"
+    top = {r["bucket"]: r for r in rows}[19]     # the j=1.0 band
+    assert top["err_full"] == 0.0 and top["err_bbit"] == 0.0
+    assert all(r["n_pairs"] >= 1 and r["err_bbit"] >= 0.0 for r in rows)
