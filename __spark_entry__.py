@@ -2325,6 +2325,25 @@ def q_normalize_text(spark, sf_dir):
     )
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Efraimidis-Spirakis deterministic weighted sample: top-100 docs by
+    ln(u)/w priority with u from the portable md5_u32 hash and w = token
+    count — inclusion ∝ token mass, bit-reproducible on both engines
+    (ln 8dp-rounded before the exact integer division; ties break by
+    doc_id)."""
+    from ollama_ocr_spark.operators.maintenance import weighted_sample
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    out = weighted_sample(d, k=100)
+    return out.select(
+        "doc_id", "n_tokens",
+        F.round(F.col("priority"), 8).alias("priority"),
+    )
+
+
 def q_shard_manifest(spark, sf_dir):
     """Per-shard export integrity manifest over the 8-shard token-balanced
     plan: doc count, token mass, key range, and the order-free
@@ -2419,6 +2438,7 @@ _QUERIES = {
         "shard_manifest": q_shard_manifest,
         "normalize_text": q_normalize_text,
         "bbit_minhash_eval": q_bbit_minhash_eval,
+        "weighted_sample": q_weighted_sample,
         "image_resize": q_image_resize,
         "frame_sample": q_frame_sample,
         "robots_rule_stats": q_robots_rule_stats,
@@ -3395,6 +3415,22 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 'dup_kgrams', a6, o6 FROM agg
               UNION ALL SELECT 'duplicate', a7, o7 FROM agg
             ) r
+        """,
+        "weighted_sample": f"""
+            WITH t AS (
+              SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+              FROM documents),
+            p AS (
+              SELECT doc_id, n_tokens,
+                     round(ln(({_md5_u32_sql("'wrs|' || doc_id::VARCHAR")}
+                               + 1) / 4294967296.0), 8) / n_tokens
+                       AS pri
+              FROM t)
+            SELECT doc_id, n_tokens::INT AS n_tokens,
+                   round(pri, 8) AS priority
+            FROM p
+            ORDER BY pri DESC, doc_id
+            LIMIT 100
         """,
         "bbit_minhash_eval": f"""
             WITH {_SHINGLES_CTE}, {_JPAIRS_CTES}, {_LSH_PAIRS_CTES},

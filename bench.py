@@ -163,6 +163,7 @@ EXTRA4: tuple[str, ...] = (
     "shard_manifest",
     "normalize_text",
     "bbit_minhash_eval",
+    "weighted_sample",
     "image_resize",
     "frame_sample",
     "fetch_frontier",

@@ -782,6 +782,36 @@ def shard_plan(docs: DataFrame, n_shards: int = 16, key: str = "doc_id",
     )
 
 
+def weighted_sample(df: DataFrame, k: int = 100, key: str = "doc_id",
+                    weight_col: str = "n_tokens",
+                    salt: str = "wrs|") -> DataFrame:
+    """Deterministic weighted sampling WITHOUT an RNG — Efraimidis &
+    Spirakis A-ES (IPL 2006): each row draws u ∈ (0,1] from a portable
+    hash and keeps priority ``ln(u) / w``; the k LARGEST priorities are
+    the sample, which makes inclusion probability proportional to the
+    weight (token mass here) and the draw reproducible on any engine,
+    any partitioning, any run — the eval-subset / debug-slice primitive
+    that a seeded RNG cannot give you across engines.
+
+    Engine parity: u = (md5_u32 + 1) / 2^32 is an exact double (integer
+    numerator, power-of-two divisor); ln is NOT correctly rounded across
+    engines, so it is 8dp-rounded before the division (the
+    unigram_logprob idiom) and the division by an integer weight is then
+    IEEE-exact on both. Ties (only possible at equal rounded priority)
+    break by key.
+
+    Scale shape: priorities are map-side; the top-k is TakeOrdered —
+    no global sort, no shuffle beyond k rows per partition.
+    """
+    u = (md5_u32_expr(key, salt=salt) + F.lit(1)) / F.lit(4294967296.0)
+    priority = F.round(F.log(u), 8) / F.col(weight_col)
+    return (
+        df.withColumn("priority", priority)
+        .orderBy(F.desc("priority"), F.asc(key))
+        .limit(k)
+    )
+
+
 def shard_manifest(sharded: DataFrame, key: str = "doc_id",
                    tokens_col: str = "n_tokens",
                    shard_col: str = "shard") -> DataFrame:

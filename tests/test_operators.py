@@ -2238,3 +2238,21 @@ def test_bbit_minhash_eval_identical_pair_exact(spark):
     top = {r["bucket"]: r for r in rows}[19]     # the j=1.0 band
     assert top["err_full"] == 0.0 and top["err_bbit"] == 0.0
     assert all(r["n_pairs"] >= 1 and r["err_bbit"] >= 0.0 for r in rows)
+
+
+def test_weighted_sample_deterministic_and_weight_biased(spark):
+    """A-ES sampling: identical input → identical sample (no RNG), k >= n
+    returns everything, priorities are non-positive and descending, and a
+    heavy row (weight 10^6 vs 1) wins a top-1 draw on this fixture."""
+    from ollama_ocr_spark.operators.maintenance import weighted_sample
+
+    rows = [(i, 1) for i in range(20)] + [(99, 1_000_000)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    s1 = weighted_sample(df, k=5).collect()
+    s2 = weighted_sample(df, k=5).collect()
+    assert [r["doc_id"] for r in s1] == [r["doc_id"] for r in s2]
+    pris = [r["priority"] for r in s1]
+    assert all(p <= 0 for p in pris) and pris == sorted(pris, reverse=True)
+    assert s1[0]["doc_id"] == 99                      # heavy row leads
+    everything = weighted_sample(df, k=100).collect()
+    assert len(everything) == 21
