@@ -2325,6 +2325,19 @@ def q_normalize_text(spark, sf_dir):
     )
 
 
+def q_event_funnel(spark, sf_dir):
+    """view → click → purchase funnel with strictly-after min-timestamp
+    chaining over exact epoch-micro times; per stage, users reached +
+    entry/step conversion (counters only, one per-user agg per stage)."""
+    from ollama_ocr_spark.operators.reports import event_funnel
+
+    e = _events(spark, sf_dir).select(
+        "user_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("ts_us"),
+    )
+    return event_funnel(e)
+
+
 def q_weighted_sample(spark, sf_dir):
     """Efraimidis-Spirakis deterministic weighted sample: top-100 docs by
     ln(u)/w priority with u from the portable md5_u32 hash and w = token
@@ -2439,6 +2452,7 @@ _QUERIES = {
         "normalize_text": q_normalize_text,
         "bbit_minhash_eval": q_bbit_minhash_eval,
         "weighted_sample": q_weighted_sample,
+        "event_funnel": q_event_funnel,
         "image_resize": q_image_resize,
         "frame_sample": q_frame_sample,
         "robots_rule_stats": q_robots_rule_stats,
@@ -3415,6 +3429,34 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 'dup_kgrams', a6, o6 FROM agg
               UNION ALL SELECT 'duplicate', a7, o7 FROM agg
             ) r
+        """,
+        "event_funnel": """
+            WITH e AS (
+              SELECT user_id AS u, event_type AS t, epoch_us(ts) AS us
+              FROM events),
+            s0 AS (SELECT u, min(us) AS mu FROM e
+                   WHERE t = 'view' GROUP BY 1),
+            s1 AS (SELECT e.u, min(us) AS mu
+                   FROM e JOIN s0 ON s0.u = e.u
+                   WHERE e.t = 'click' AND e.us > s0.mu GROUP BY 1),
+            s2 AS (SELECT e.u, min(us) AS mu
+                   FROM e JOIN s1 ON s1.u = e.u
+                   WHERE e.t = 'purchase' AND e.us > s1.mu GROUP BY 1),
+            c AS (SELECT (SELECT count(*) FROM s0) AS n0,
+                         (SELECT count(*) FROM s1) AS n1,
+                         (SELECT count(*) FROM s2) AS n2)
+            SELECT 1 AS stage, 'view' AS event_type, n0::BIGINT AS n_users,
+                   round(n0 * 1.0 / n0, 4) AS frac_of_entry,
+                   1.0 AS step_rate
+            FROM c
+            UNION ALL
+            SELECT 2, 'click', n1::BIGINT, round(n1 * 1.0 / n0, 4),
+                   round(n1 * 1.0 / n0, 4)
+            FROM c
+            UNION ALL
+            SELECT 3, 'purchase', n2::BIGINT, round(n2 * 1.0 / n0, 4),
+                   round(n2 * 1.0 / n1, 4)
+            FROM c
         """,
         "weighted_sample": f"""
             WITH t AS (

@@ -164,6 +164,7 @@ EXTRA4: tuple[str, ...] = (
     "normalize_text",
     "bbit_minhash_eval",
     "weighted_sample",
+    "event_funnel",
     "image_resize",
     "frame_sample",
     "fetch_frontier",

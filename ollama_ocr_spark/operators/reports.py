@@ -228,3 +228,71 @@ def agreement_matrix(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
             .alias("share"),
         )
     )
+
+
+def event_funnel(events: DataFrame,
+                 stages: tuple[str, ...] = ("view", "click", "purchase"),
+                 user: str = "user_id", ts_us: str = "ts_us",
+                 type_col: str = "event_type") -> DataFrame:
+    """Ordered-sequence funnel over an event stream: a user reaches stage
+    k iff a stage-k event occurs STRICTLY AFTER their earliest stage-(k-1)
+    completion time (min-timestamp chaining — the standard product-funnel
+    semantics; simultaneous events do not advance the funnel). Expects an
+    integer event-time column (unix micros) so the comparison is exact on
+    any engine. Output per stage: (stage, event_type, n_users,
+    frac_of_entry = n_k / n_1, step_rate = n_k / n_{k-1}; stage 1's
+    step_rate is the literal 1.0 on both engines). An empty entry stage
+    yields NULL fractions rather than a crash.
+
+    Scale shape: one filtered (user, min-ts) partial agg per stage —
+    payloads never shuffle, each join carries user-id keys only and the
+    per-stage tables shrink monotonically; the stage counts collapse to
+    a single row that unpivots driver-free (explode of a literal struct
+    array, the filter_attribution idiom).
+    """
+    e = events.select(
+        F.col(user).alias("u"),
+        F.col(type_col).alias("t"),
+        F.col(ts_us).alias("us"),
+    )
+    reached = []
+    prev = None
+    for st in stages:
+        f = e.filter(F.col("t") == st)
+        if prev is None:
+            cur = f.groupBy("u").agg(F.min("us").alias("mu"))
+        else:
+            cur = (
+                f.join(prev.select("u", F.col("mu").alias("pu")), "u")
+                .filter(F.col("us") > F.col("pu"))
+                .groupBy("u").agg(F.min("us").alias("mu"))
+            )
+        reached.append(cur)
+        prev = cur
+    row = None
+    for i, cur in enumerate(reached):
+        c = cur.agg(F.count("*").alias(f"__n{i}"))
+        row = c if row is None else row.crossJoin(F.broadcast(c))
+    structs = []
+    for i, st in enumerate(stages):
+        frac = F.round(F.col(f"__n{i}") * F.lit(1.0) / F.col("__n0"), 4)
+        step = (
+            F.lit(1.0) if i == 0
+            else F.round(
+                F.col(f"__n{i}") * F.lit(1.0) / F.col(f"__n{i - 1}"), 4
+            )
+        )
+        structs.append(
+            F.struct(
+                F.lit(i + 1).alias("stage"),
+                F.lit(st).alias("event_type"),
+                F.col(f"__n{i}").alias("n_users"),
+                frac.alias("frac_of_entry"),
+                step.alias("step_rate"),
+            )
+        )
+    return (
+        row.select(F.explode(F.array(*structs)).alias("r"))
+        .select("r.stage", "r.event_type", "r.n_users",
+                "r.frac_of_entry", "r.step_rate")
+    )

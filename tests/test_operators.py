@@ -2256,3 +2256,25 @@ def test_weighted_sample_deterministic_and_weight_biased(spark):
     assert s1[0]["doc_id"] == 99                      # heavy row leads
     everything = weighted_sample(df, k=100).collect()
     assert len(everything) == 21
+
+
+def test_event_funnel_order_and_simultaneity(spark):
+    """Funnel semantics: out-of-order (click before view), missing-step,
+    and simultaneous (strictly-after required) users all stall at stage
+    1; only the properly ordered user converts through stage 3."""
+    from ollama_ocr_spark.operators.reports import event_funnel
+
+    rows = [
+        ("a", "view", 1), ("a", "click", 2), ("a", "purchase", 3),
+        ("b", "click", 1), ("b", "view", 2),           # click too early
+        ("c", "view", 1), ("c", "purchase", 2),        # skipped click
+        ("d", "view", 1), ("d", "click", 1),           # simultaneous
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts_us"])
+    out = {r["stage"]: r for r in event_funnel(df).collect()}
+    assert out[1]["n_users"] == 4 and out[1]["step_rate"] == 1.0
+    assert out[2]["n_users"] == 1 and out[2]["step_rate"] == 0.25
+    assert out[3]["n_users"] == 1 and out[3]["step_rate"] == 1.0
+    assert out[3]["frac_of_entry"] == 0.25
+    assert [out[s]["event_type"] for s in (1, 2, 3)] == [
+        "view", "click", "purchase"]
