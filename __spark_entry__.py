@@ -2338,6 +2338,29 @@ def q_event_funnel(spark, sf_dir):
     return event_funnel(e)
 
 
+def q_host_triangles(spark, sf_dir):
+    """Triangle census + global clustering over the undirected host link
+    graph (ordered-triple three-way self-join, BIGINT wedge math) — the
+    community-density signal next to pagerank/trustrank."""
+    from ollama_ocr_spark.operators.linkgraph import (graph_triangles,
+                                                      outlink_edges)
+
+    return graph_triangles(outlink_edges(_latest_pages(spark, sf_dir)))
+
+
+def q_retention_cohorts(spark, sf_dir):
+    """Day-N retention triangle: first-active-epoch-day cohorts × later
+    active days (exact integer day arithmetic over epoch micros), with
+    per-(cohort, offset) distinct-user counts and rounded retention."""
+    from ollama_ocr_spark.operators.reports import retention_cohorts
+
+    e = _events(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("ts_us"),
+    )
+    return retention_cohorts(e)
+
+
 def q_weighted_sample(spark, sf_dir):
     """Efraimidis-Spirakis deterministic weighted sample: top-100 docs by
     ln(u)/w priority with u from the portable md5_u32 hash and w = token
@@ -2453,6 +2476,8 @@ _QUERIES = {
         "bbit_minhash_eval": q_bbit_minhash_eval,
         "weighted_sample": q_weighted_sample,
         "event_funnel": q_event_funnel,
+        "retention_cohorts": q_retention_cohorts,
+        "host_triangles": q_host_triangles,
         "image_resize": q_image_resize,
         "frame_sample": q_frame_sample,
         "robots_rule_stats": q_robots_rule_stats,
@@ -3429,6 +3454,53 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 'dup_kgrams', a6, o6 FROM agg
               UNION ALL SELECT 'duplicate', a7, o7 FROM agg
             ) r
+        """,
+        "host_triangles": f"""
+            WITH {_EDGES_CTES},
+            und AS (
+              SELECT DISTINCT least(src_host, dst_host) AS u,
+                     greatest(src_host, dst_host) AS v
+              FROM edges WHERE src_host <> dst_host),
+            tri AS (
+              SELECT count(*)::BIGINT AS n_triangles
+              FROM und ab
+              JOIN und bc ON bc.u = ab.v
+              JOIN und ac ON ac.u = ab.u AND ac.v = bc.v),
+            deg AS (
+              SELECT n, count(*)::BIGINT AS d
+              FROM (SELECT u AS n FROM und
+                    UNION ALL SELECT v AS n FROM und)
+              GROUP BY 1),
+            agg AS (
+              SELECT count(*)::BIGINT AS n_nodes,
+                     (SELECT count(*) FROM und)::BIGINT AS n_edges,
+                     sum((d * (d - 1)) // 2)::BIGINT AS n_wedges
+              FROM deg)
+            SELECT agg.n_nodes, agg.n_edges, tri.n_triangles, agg.n_wedges,
+                   CASE WHEN agg.n_wedges > 0
+                        THEN round(3 * tri.n_triangles * 1.0
+                                   / agg.n_wedges, 6)
+                        END AS global_clustering
+            FROM agg, tri
+        """,
+        "retention_cohorts": """
+            WITH ud AS (
+              SELECT DISTINCT user_id AS u,
+                     epoch_us(ts) // 86400000000 AS d
+              FROM events),
+            c AS (SELECT u, min(d) AS cd FROM ud GROUP BY 1),
+            sz AS (SELECT cd, count(*)::BIGINT AS cohort_size
+                   FROM c GROUP BY 1),
+            act AS (
+              SELECT c.cd, ud.d - c.cd AS off, count(*)::BIGINT AS n_users
+              FROM ud JOIN c ON c.u = ud.u
+              WHERE ud.d - c.cd <= 14
+              GROUP BY 1, 2)
+            SELECT act.cd AS cohort_day, act.off AS day_offset,
+                   act.n_users, sz.cohort_size,
+                   round(act.n_users * 1.0 / sz.cohort_size, 4)
+                     AS retention
+            FROM act JOIN sz ON sz.cd = act.cd
         """,
         "event_funnel": """
             WITH e AS (

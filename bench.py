@@ -165,6 +165,8 @@ EXTRA4: tuple[str, ...] = (
     "bbit_minhash_eval",
     "weighted_sample",
     "event_funnel",
+    "retention_cohorts",
+    "host_triangles",
     "image_resize",
     "frame_sample",
     "fetch_frontier",

@@ -296,3 +296,47 @@ def event_funnel(events: DataFrame,
         .select("r.stage", "r.event_type", "r.n_users",
                 "r.frac_of_entry", "r.step_rate")
     )
+
+
+def retention_cohorts(events: DataFrame, user: str = "user_id",
+                      ts_us: str = "ts_us",
+                      max_offset: int = 14) -> DataFrame:
+    """Cohort retention triangle: users are cohorted by their FIRST
+    active epoch-day, and each later day they appear counts toward that
+    cohort's retention at offset = day - cohort_day. The product-health
+    readout behind 'day-N retention'; on a crawl corpus the same shape
+    answers 'of hosts first seen in round r, how many still serve new
+    content k rounds later'. Day arithmetic is exact integer floor-div
+    of unix micros (no timezone/DST trap — UTC epoch days by
+    construction); retention is the single rounded division.
+
+    Output: (cohort_day, day_offset, n_users, cohort_size, retention),
+    offsets 0..max_offset. Scale shape: one distinct (user, day) agg
+    (map-side combine), a user-level min agg, a user-id-only broadcast-
+    sized join back, and a final (cohort, offset) partial agg — event
+    payloads never shuffle.
+    """
+    # exact BIGINT floor-div — double '/'+cast can flip a day boundary
+    # within rounding error at epoch-micro magnitudes
+    day = F.expr(f"{ts_us} div 86400000000")
+    ud = events.select(F.col(user).alias("u"), day.alias("d")).distinct()
+    cohorts = ud.groupBy("u").agg(F.min("d").alias("cd"))
+    sizes = cohorts.groupBy("cd").agg(F.count("*").alias("cohort_size"))
+    act = (
+        ud.join(cohorts, "u")
+        .select("cd", (F.col("d") - F.col("cd")).alias("off"))
+        .filter(F.col("off") <= max_offset)
+        .groupBy("cd", "off")
+        .agg(F.count("*").alias("n_users"))
+    )
+    return (
+        act.join(sizes, "cd")
+        .select(
+            F.col("cd").alias("cohort_day"),
+            F.col("off").alias("day_offset"),
+            "n_users", "cohort_size",
+            F.round(
+                F.col("n_users") * F.lit(1.0) / F.col("cohort_size"), 4
+            ).alias("retention"),
+        )
+    )

@@ -2278,3 +2278,57 @@ def test_event_funnel_order_and_simultaneity(spark):
     assert out[3]["frac_of_entry"] == 0.25
     assert [out[s]["event_type"] for s in (1, 2, 3)] == [
         "view", "click", "purchase"]
+
+
+def test_retention_cohorts_triangle(spark):
+    """Cohorting uses the FIRST active day; later-day activity counts at
+    its integer offset; multiple same-day events count a user once."""
+    from ollama_ocr_spark.operators.reports import retention_cohorts
+
+    D = 86_400_000_000
+    rows = [
+        ("a", 0), ("a", 10), ("a", D), ("a", 2 * D),   # cohort 0: d0,1,2
+        ("b", 0), ("b", 2 * D),                         # cohort 0: d0,2
+        ("c", D), ("c", D + 5),                         # cohort 1: d1 only
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts_us"])
+    out = {(r["cohort_day"], r["day_offset"]): r
+           for r in retention_cohorts(df).collect()}
+    assert out[(0, 0)]["n_users"] == 2 and out[(0, 0)]["retention"] == 1.0
+    assert out[(0, 1)]["n_users"] == 1 and out[(0, 1)]["retention"] == 0.5
+    assert out[(0, 2)]["n_users"] == 2
+    assert out[(1, 0)]["n_users"] == 1
+    assert out[(1, 0)]["cohort_size"] == 1
+    assert (1, 1) not in out          # c never returns
+
+
+def test_graph_triangles_census(spark):
+    """A known little graph: K3 (a,b,c) + a pendant edge (c,d) + a
+    directed duplicate and a self-loop that must canonicalize away.
+    T=1, nodes=4, edges=4, wedges = C(2,2)x2 + C(3,2) + C(1,2) = 1+1+3+0
+    = 5, clustering = 3/5."""
+    from ollama_ocr_spark.operators.linkgraph import graph_triangles
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("a", "c", 1),
+         ("c", "a", 9),          # duplicate of (a,c) after canonicalizing
+         ("d", "d", 1),          # self-loop dropped
+         ("c", "d", 1)],
+        ["src_host", "dst_host", "n_links"],
+    )
+    r = graph_triangles(edges).collect()[0]
+    assert r["n_nodes"] == 4 and r["n_edges"] == 4
+    assert r["n_triangles"] == 1 and r["n_wedges"] == 5
+    assert r["global_clustering"] == 0.6
+
+
+def test_graph_triangles_no_wedges_null(spark):
+    """A single isolated edge has no wedges: clustering is NULL, not a
+    division error."""
+    from ollama_ocr_spark.operators.linkgraph import graph_triangles
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1)], ["src_host", "dst_host", "n_links"])
+    r = graph_triangles(edges).collect()[0]
+    assert r["n_triangles"] == 0 and r["n_wedges"] == 0
+    assert r["global_clustering"] is None
