@@ -2338,6 +2338,19 @@ def q_event_funnel(spark, sf_dir):
     return event_funnel(e)
 
 
+def q_event_anomalies(spark, sf_dir):
+    """Daily per-type event-count z-scores against the trailing 3-day
+    window (exact BIGINT Σx/Σx² in the frame, mirrored double mean/var
+    tree, IEEE sqrt) — the collapsed-crawler / log-spam screen."""
+    from ollama_ocr_spark.operators.reports import event_anomalies
+
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("ts_us"),
+    )
+    return event_anomalies(e)
+
+
 def q_host_triangles(spark, sf_dir):
     """Triangle census + global clustering over the undirected host link
     graph (ordered-triple three-way self-join, BIGINT wedge math) — the
@@ -2478,6 +2491,7 @@ _QUERIES = {
         "event_funnel": q_event_funnel,
         "retention_cohorts": q_retention_cohorts,
         "host_triangles": q_host_triangles,
+        "event_anomalies": q_event_anomalies,
         "image_resize": q_image_resize,
         "frame_sample": q_frame_sample,
         "robots_rule_stats": q_robots_rule_stats,
@@ -3454,6 +3468,35 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 'dup_kgrams', a6, o6 FROM agg
               UNION ALL SELECT 'duplicate', a7, o7 FROM agg
             ) r
+        """,
+        "event_anomalies": """
+            WITH daily AS (
+              SELECT epoch_us(ts) // 86400000000 AS day,
+                     event_type, count(*)::BIGINT AS n
+              FROM events GROUP BY 1, 2),
+            win AS (
+              SELECT day, event_type, n,
+                     sum(n) OVER w AS sx,
+                     sum(n * n) OVER w AS sxx,
+                     count(n) OVER w AS k
+              FROM daily
+              WINDOW w AS (PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)),
+            scored AS (
+              SELECT day, event_type, n,
+                     sx * 1.0 / k AS mean,
+                     sqrt(greatest(sxx * 1.0 / k
+                                   - (sx * 1.0 / k) * (sx * 1.0 / k),
+                                   0.0)) AS std
+              FROM win WHERE k = 3)
+            SELECT day, event_type, n,
+                   round(mean, 4) AS trail_mean,
+                   round(CASE WHEN std > 0 THEN (n - mean) / std END, 4)
+                     AS z,
+                   CASE WHEN std > 0
+                        THEN abs((n - mean) / std) > 2.0
+                        ELSE n * 1.0 <> mean END AS is_anomaly
+            FROM scored
         """,
         "host_triangles": f"""
             WITH {_EDGES_CTES},

@@ -167,6 +167,7 @@ EXTRA4: tuple[str, ...] = (
     "event_funnel",
     "retention_cohorts",
     "host_triangles",
+    "event_anomalies",
     "image_resize",
     "frame_sample",
     "fetch_frontier",

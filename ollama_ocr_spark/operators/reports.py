@@ -340,3 +340,66 @@ def retention_cohorts(events: DataFrame, user: str = "user_id",
             ).alias("retention"),
         )
     )
+
+
+def event_anomalies(events: DataFrame, ts_us: str = "ts_us",
+                    type_col: str = "event_type",
+                    trailing: int = 3, z_cut: float = 2.0) -> DataFrame:
+    """Trailing-window anomaly screen over the daily event series: per
+    (epoch-day, event_type), a z-score of today's count against the
+    mean/std of the previous ``trailing`` days — the ops readout that
+    catches a collapsed crawler or a log-spamming host the day it
+    happens. Rows without a full trailing window are omitted (no
+    cold-start pseudo-anomalies).
+
+    Engine parity: the trailing sums (Σx, Σx²) are exact BIGINTs over a
+    ROWS frame; mean/var derive in doubles through one mirrored
+    expression tree (var = Σx²/k − mean², clamped at 0 before sqrt —
+    IEEE sqrt is correctly rounded on both engines); day arithmetic is
+    BIGINT floor-div of epoch micros. Output: (day, event_type, n,
+    trail_mean, z, is_anomaly), rounded 4dp for display AFTER the flag
+    compare.
+
+    Scale shape: one (day, type) partial agg over the stream, then
+    windows over the tiny daily-series table partitioned by type —
+    never over event rows.
+    """
+    from pyspark.sql import Window
+
+    k = trailing
+    day = F.expr(f"{ts_us} div 86400000000")
+    daily = (
+        events.select(day.alias("day"), F.col(type_col).alias("t"))
+        .groupBy("day", "t")
+        .agg(F.count("*").alias("n"))
+    )
+    w = (
+        Window.partitionBy("t").orderBy("day")
+        .rowsBetween(-k, -1)
+    )
+    sx = F.sum("n").over(w)
+    sxx = F.sum(F.col("n") * F.col("n")).over(w)
+    cnt = F.count("n").over(w)
+    scored = daily.select(
+        "day", F.col("t").alias("event_type"), "n",
+        sx.alias("__sx"), sxx.alias("__sxx"), cnt.alias("__k"),
+    ).filter(F.col("__k") == k)
+    mean = F.col("__sx") * F.lit(1.0) / F.col("__k")
+    var = F.greatest(
+        F.col("__sxx") * F.lit(1.0) / F.col("__k") - mean * mean,
+        F.lit(0.0),
+    )
+    std = F.sqrt(var)
+    z = F.when(std > 0, (F.col("n") - mean) / std)
+    # A zero-variance trailing window (perfectly flat series) must still
+    # flag a deviation — that IS the collapsed-crawler case — so the
+    # flag falls back to an exact inequality when z is undefined.
+    anomaly = F.when(std > 0, F.abs(z) > F.lit(z_cut)).otherwise(
+        F.col("n") * F.lit(1.0) != mean
+    )
+    return scored.select(
+        "day", "event_type", "n",
+        F.round(mean, 4).alias("trail_mean"),
+        F.round(z, 4).alias("z"),
+        anomaly.alias("is_anomaly"),
+    )

@@ -2332,3 +2332,26 @@ def test_graph_triangles_no_wedges_null(spark):
     r = graph_triangles(edges).collect()[0]
     assert r["n_triangles"] == 0 and r["n_wedges"] == 0
     assert r["global_clustering"] is None
+
+
+def test_event_anomalies_flags_spike(spark):
+    """A flat 10/day series with a 100-count day 4: the spike day flags
+    even though its trailing window [10,10,10] has ZERO variance (z is
+    NULL, the exact-inequality fallback fires — the collapsed-crawler
+    case); the flat day 3 does not flag; days 0-2 (no full window) are
+    omitted."""
+    from ollama_ocr_spark.operators.reports import event_anomalies
+
+    D = 86_400_000_000
+    rows = []
+    for d, cnt in enumerate([10, 10, 10, 10, 100, 10]):
+        rows += [("view", d * D + i) for i in range(cnt)]
+    df = spark.createDataFrame(rows, ["event_type", "ts_us"])
+    out = {r["day"]: r for r in event_anomalies(df).collect()}
+    assert set(out) == {3, 4, 5}
+    assert out[3]["z"] is None and out[3]["is_anomaly"] is False
+    assert out[4]["trail_mean"] == 10.0
+    assert out[4]["z"] is None and out[4]["is_anomaly"] is True
+    # day 5's window [10,10,100]: mean 40, std sqrt(1800), z<0 non-null
+    assert out[5]["z"] is not None and out[5]["z"] < 0
+    assert out[5]["is_anomaly"] is False
