@@ -2338,6 +2338,20 @@ def q_event_funnel(spark, sf_dir):
     return event_funnel(e)
 
 
+def q_bot_suspects(spark, sf_dir):
+    """Per-user inter-event gap regularity (lag window with event_id
+    tiebreak, exact BIGINT gap sums, mirrored cv tree): low
+    coefficient-of-variation users at volume are schedulers, not
+    people."""
+    from ollama_ocr_spark.operators.reports import bot_suspects
+
+    e = _events(spark, sf_dir).select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("ts_us"),
+    )
+    return bot_suspects(e)
+
+
 def q_event_anomalies(spark, sf_dir):
     """Daily per-type event-count z-scores against the trailing 3-day
     window (exact BIGINT Σx/Σx² in the frame, mirrored double mean/var
@@ -2492,6 +2506,7 @@ _QUERIES = {
         "retention_cohorts": q_retention_cohorts,
         "host_triangles": q_host_triangles,
         "event_anomalies": q_event_anomalies,
+        "bot_suspects": q_bot_suspects,
         "image_resize": q_image_resize,
         "frame_sample": q_frame_sample,
         "robots_rule_stats": q_robots_rule_stats,
@@ -3468,6 +3483,36 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 'dup_kgrams', a6, o6 FROM agg
               UNION ALL SELECT 'duplicate', a7, o7 FROM agg
             ) r
+        """,
+        "bot_suspects": """
+            WITH g AS (
+              SELECT user_id AS u,
+                     (epoch_us(ts)
+                      - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                ORDER BY epoch_us(ts),
+                                                         event_id))
+                     // 1000000 AS g
+              FROM events),
+            per AS (
+              SELECT u, count(*)::BIGINT AS n_events,
+                     count(g)::BIGINT AS k,
+                     sum(g)::BIGINT AS sg,
+                     sum(g * g)::BIGINT AS sgg
+              FROM g GROUP BY 1),
+            sc AS (
+              SELECT u, n_events, k,
+                     sg * 1.0 / k AS mean,
+                     sqrt(greatest(sgg * 1.0 / k
+                                   - (sg * 1.0 / k) * (sg * 1.0 / k),
+                                   0.0)) AS std
+              FROM per WHERE k >= 1)
+            SELECT u AS user_id, n_events, k AS n_gaps,
+                   round(mean, 2) AS mean_gap_s,
+                   round(CASE WHEN mean > 0 THEN std / mean END, 4) AS cv,
+                   CASE WHEN mean > 0
+                        THEN n_events >= 20 AND std / mean < 0.5
+                        ELSE n_events >= 20 END AS is_bot
+            FROM sc
         """,
         "event_anomalies": """
             WITH daily AS (

@@ -168,6 +168,7 @@ EXTRA4: tuple[str, ...] = (
     "retention_cohorts",
     "host_triangles",
     "event_anomalies",
+    "bot_suspects",
     "image_resize",
     "frame_sample",
     "fetch_frontier",

@@ -403,3 +403,70 @@ def event_anomalies(events: DataFrame, ts_us: str = "ts_us",
         F.round(z, 4).alias("z"),
         anomaly.alias("is_anomaly"),
     )
+
+
+def bot_suspects(events: DataFrame, user: str = "user_id",
+                 ts_us: str = "ts_us", order_tiebreak: str = "event_id",
+                 min_events: int = 20, cv_cut: float = 0.5) -> DataFrame:
+    """Behavioral bot screen from inter-event timing regularity: humans
+    produce bursty gaps (coefficient of variation ≈ 1 for Poisson
+    arrivals, higher with sessions), schedulers and replay scripts
+    produce near-constant gaps (cv → 0). Per user: event count, mean
+    gap, gap cv, and a flag (``n_events >= min_events`` AND
+    ``cv < cv_cut``) — the screen a crawler-facing site (or a quality
+    pipeline suspicious of machine-generated interaction logs) runs
+    before trusting engagement counts.
+
+    Engine parity + overflow: gaps come from ``lag`` over a
+    deterministic (ts, tiebreak) order and quantize to WHOLE SECONDS
+    (exact BIGINT floor-div) before Σg / Σg² — microsecond gaps squared
+    overflow a BIGINT at hour-scale gaps (Spark ANSI errors, DuckDB
+    silently widens to HUGEINT: a double divergence); second-scale Σg²
+    stays exact past a million hour-long gaps per user. The mean/var/cv
+    tree then mirrors :func:`event_anomalies` (clamped var, IEEE sqrt,
+    rounded display divisions). Users whose gaps are ALL sub-second
+    read mean 0 (cv undefined) and fall back to the volume test alone —
+    machine-rate by definition. Scale shape: one window pass
+    partitioned by user (the sessionize shuffle) and one per-user
+    partial agg — event payloads never joined.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user).orderBy(
+        F.col(ts_us).asc(), F.col(order_tiebreak).asc()
+    )
+    gaps = (
+        events.select(
+            F.col(user).alias("u"),
+            (F.col(ts_us) - F.lag(ts_us).over(w)).alias("__gus"),
+        )
+        .select("u", F.expr("__gus div 1000000").alias("g"))
+    )
+    per = (
+        gaps.groupBy("u")
+        .agg(
+            (F.count("*")).alias("n_events"),
+            F.count("g").alias("__k"),
+            F.sum("g").alias("__sg"),
+            F.sum(F.col("g") * F.col("g")).alias("__sgg"),
+        )
+        .filter(F.col("__k") >= 1)
+    )
+    mean = F.col("__sg") * F.lit(1.0) / F.col("__k")
+    var = F.greatest(
+        F.col("__sgg") * F.lit(1.0) / F.col("__k") - mean * mean,
+        F.lit(0.0),
+    )
+    cv = F.when(mean > 0, F.sqrt(var) / mean)
+    is_bot = F.when(
+        mean > 0,
+        (F.col("n_events") >= F.lit(min_events)) & (cv < F.lit(cv_cut)),
+    ).otherwise(F.col("n_events") >= F.lit(min_events))
+    return per.select(
+        F.col("u").alias(user),
+        "n_events",
+        F.col("__k").alias("n_gaps"),
+        F.round(mean, 2).alias("mean_gap_s"),
+        F.round(cv, 4).alias("cv"),
+        is_bot.alias("is_bot"),
+    )

@@ -2355,3 +2355,34 @@ def test_event_anomalies_flags_spike(spark):
     # day 5's window [10,10,100]: mean 40, std sqrt(1800), z<0 non-null
     assert out[5]["z"] is not None and out[5]["z"] < 0
     assert out[5]["is_anomaly"] is False
+
+
+def test_bot_suspects_regularity_screen(spark):
+    """Constant-gap volume users flag; irregular humans and low-volume
+    regulars don't; all-sub-second users hit the mean-0 fallback (pure
+    machine rate) and flag on volume alone."""
+    from ollama_ocr_spark.operators.reports import bot_suspects
+
+    S = 1_000_000
+    rows, eid = [], 0
+
+    def add(u, times):
+        nonlocal eid
+        for t in times:
+            rows.append((u, eid, t))
+            eid += 1
+
+    add("bot", [i * 5 * S for i in range(25)])            # exact 5s gaps
+    add("human", [0, 3*S, 40*S, 41*S, 300*S, 301*S, 302*S, 900*S,
+                  905*S, 2000*S, 2004*S, 2100*S, 3600*S, 3700*S,
+                  3705*S, 5000*S, 5100*S, 5105*S, 7000*S, 7500*S])
+    add("casual", [i * 5 * S for i in range(5)])          # regular, low n
+    add("subsec", [i * 1000 for i in range(25)])          # 1ms gaps
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts_us"])
+    out = {r["user_id"]: r for r in bot_suspects(df).collect()}
+    assert out["bot"]["cv"] == 0.0 and out["bot"]["is_bot"] is True
+    assert out["bot"]["mean_gap_s"] == 5.0
+    assert out["human"]["is_bot"] is False and out["human"]["cv"] > 0.5
+    assert out["casual"]["is_bot"] is False              # n < 20
+    assert out["subsec"]["cv"] is None                   # mean 0 fallback
+    assert out["subsec"]["is_bot"] is True
