@@ -2388,6 +2388,15 @@ def q_retention_cohorts(spark, sf_dir):
     return retention_cohorts(e)
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Exact-count 10% stratified sample by source (md5-ranked within
+    stratum, integer basis-point keep counts — never a double ceil):
+    every source keeps exactly ceil(n/10) docs, RNG-free."""
+    from ollama_ocr_spark.operators.maintenance import stratified_sample
+
+    return stratified_sample(_docs(spark, sf_dir), frac_bp=1000)
+
+
 def q_weighted_sample(spark, sf_dir):
     """Efraimidis-Spirakis deterministic weighted sample: top-100 docs by
     ln(u)/w priority with u from the portable md5_u32 hash and w = token
@@ -2507,6 +2516,7 @@ _QUERIES = {
         "host_triangles": q_host_triangles,
         "event_anomalies": q_event_anomalies,
         "bot_suspects": q_bot_suspects,
+        "stratified_sample": q_stratified_sample,
         "image_resize": q_image_resize,
         "frame_sample": q_frame_sample,
         "robots_rule_stats": q_robots_rule_stats,
@@ -3483,6 +3493,18 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 'dup_kgrams', a6, o6 FROM agg
               UNION ALL SELECT 'duplicate', a7, o7 FROM agg
             ) r
+        """,
+        "stratified_sample": """
+            WITH r AS (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5('strat|' || doc_id::VARCHAR), doc_id
+                     ) AS rn,
+                     count(*) OVER (PARTITION BY source) AS n
+              FROM documents)
+            SELECT doc_id, source, rn::INT AS sample_rank
+            FROM r WHERE rn <= (n * 1000 + 9999) // 10000
         """,
         "bot_suspects": """
             WITH g AS (

@@ -169,6 +169,7 @@ EXTRA4: tuple[str, ...] = (
     "host_triangles",
     "event_anomalies",
     "bot_suspects",
+    "stratified_sample",
     "image_resize",
     "frame_sample",
     "fetch_frontier",

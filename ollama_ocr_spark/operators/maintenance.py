@@ -782,6 +782,45 @@ def shard_plan(docs: DataFrame, n_shards: int = 16, key: str = "doc_id",
     )
 
 
+def stratified_sample(df: DataFrame, frac_bp: int = 1000,
+                      strata: str = "source",
+                      key: str = "doc_id") -> DataFrame:
+    """Exact-count deterministic stratified sample: within each stratum,
+    rows rank by ``md5('strat|' || key)`` and the first
+    ``ceil(n * frac_bp / 10000)`` survive — every stratum is represented
+    at the same rate to ONE-ROW granularity. :func:`deterministic_sample`
+    / ``quality_sample``'s per-row coin gives each stratum binomial
+    wobble (a small stratum can vanish entirely); this guarantees the
+    floor. The fraction is integer BASIS POINTS and the keep count is
+    exact BIGINT arithmetic ``(n * frac_bp + 9999) div 10000`` — never
+    ``ceil(frac * n)``, whose double product can land an ulp above an
+    integer and silently keep one extra row (0.1 * 500 is not 50 in
+    binary). RNG-free: identical rows on any engine, partitioning, or
+    run.
+
+    Output: sampled rows as (key, strata, sample_rank). Scale shape: one
+    window per stratum (rank by md5 within the stratum key — the same
+    shuffle a stratified write needs anyway); the per-stratum count
+    rides the same window spec.
+    """
+    w = Window.partitionBy(strata).orderBy(
+        F.md5(F.concat(F.lit("strat|"), F.col(key).cast("string"))),
+        F.col(key),
+    )
+    wn = Window.partitionBy(strata)
+    ranked = df.select(
+        F.col(key), F.col(strata),
+        F.row_number().over(w).alias("sample_rank"),
+        F.count("*").over(wn).alias("__n"),
+    )
+    keep_n = F.expr(f"(__n * {frac_bp} + 9999) div 10000")
+    return (
+        ranked.filter(F.col("sample_rank") <= keep_n)
+        .select(key, strata,
+                F.col("sample_rank").cast("int").alias("sample_rank"))
+    )
+
+
 def weighted_sample(df: DataFrame, k: int = 100, key: str = "doc_id",
                     weight_col: str = "n_tokens",
                     salt: str = "wrs|") -> DataFrame:

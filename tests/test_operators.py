@@ -2386,3 +2386,25 @@ def test_bot_suspects_regularity_screen(spark):
     assert out["casual"]["is_bot"] is False              # n < 20
     assert out["subsec"]["cv"] is None                   # mean 0 fallback
     assert out["subsec"]["is_bot"] is True
+
+
+def test_stratified_sample_exact_counts(spark):
+    """Every stratum keeps exactly ceil(n * frac / 10000) rows — a
+    3-row stratum survives a 10% sample with exactly one row (the
+    per-row-coin approach can drop it entirely), and re-running yields
+    the identical row set (RNG-free)."""
+    from ollama_ocr_spark.operators.maintenance import stratified_sample
+
+    rows = ([(i, "big") for i in range(40)]
+            + [(100 + i, "small") for i in range(3)])
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    s1 = stratified_sample(df, frac_bp=1000).collect()
+    s2 = stratified_sample(df, frac_bp=1000).collect()
+    by = {}
+    for r in s1:
+        by.setdefault(r["source"], []).append(r["doc_id"])
+    assert len(by["big"]) == 4          # ceil(40 * 0.1)
+    assert len(by["small"]) == 1        # floor would be 0
+    assert sorted(r["doc_id"] for r in s1) == sorted(
+        r["doc_id"] for r in s2)
+    assert all(r["sample_rank"] >= 1 for r in s1)
