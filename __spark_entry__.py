@@ -2352,6 +2352,20 @@ def q_bot_suspects(spark, sf_dir):
     return bot_suspects(e)
 
 
+def q_sessionized_funnel(spark, sf_dir):
+    """view → click → purchase funnel WITHIN one 24h-gap session (the
+    conversion a product team actually credits): gap-flag + running-sum
+    session ids, bit-packed (user<<20 | sid) key, and the shared
+    event_funnel chaining over that key — sessions reached per stage."""
+    from ollama_ocr_spark.operators.reports import sessionized_funnel
+
+    e = _events(spark, sf_dir).select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("ts_us"),
+    )
+    return sessionized_funnel(e).withColumnRenamed("n_users", "n_sessions")
+
+
 def q_event_anomalies(spark, sf_dir):
     """Daily per-type event-count z-scores against the trailing 3-day
     window (exact BIGINT Σx/Σx² in the frame, mirrored double mean/var
@@ -2517,6 +2531,7 @@ _QUERIES = {
         "event_anomalies": q_event_anomalies,
         "bot_suspects": q_bot_suspects,
         "stratified_sample": q_stratified_sample,
+        "sessionized_funnel": q_sessionized_funnel,
         "image_resize": q_image_resize,
         "frame_sample": q_frame_sample,
         "robots_rule_stats": q_robots_rule_stats,
@@ -3493,6 +3508,51 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 'dup_kgrams', a6, o6 FROM agg
               UNION ALL SELECT 'duplicate', a7, o7 FROM agg
             ) r
+        """,
+        "sessionized_funnel": """
+            WITH e AS (
+              SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+              FROM events),
+            lg AS (
+              SELECT *, lag(us) OVER (PARTITION BY user_id
+                                      ORDER BY us, event_id) AS pg
+              FROM e),
+            s AS (
+              SELECT event_type, us,
+                     (user_id << 20)
+                     | (sum(CASE WHEN pg IS NULL
+                                   OR us - pg > 86400000000
+                            THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) - 1) AS sk
+              FROM lg),
+            s0 AS (SELECT sk, min(us) AS mu FROM s
+                   WHERE event_type = 'view' GROUP BY 1),
+            s1 AS (SELECT s.sk, min(us) AS mu
+                   FROM s JOIN s0 ON s0.sk = s.sk
+                   WHERE s.event_type = 'click' AND s.us > s0.mu
+                   GROUP BY 1),
+            s2 AS (SELECT s.sk, min(us) AS mu
+                   FROM s JOIN s1 ON s1.sk = s.sk
+                   WHERE s.event_type = 'purchase' AND s.us > s1.mu
+                   GROUP BY 1),
+            c AS (SELECT (SELECT count(*) FROM s0) AS n0,
+                         (SELECT count(*) FROM s1) AS n1,
+                         (SELECT count(*) FROM s2) AS n2)
+            SELECT 1 AS stage, 'view' AS event_type,
+                   n0::BIGINT AS n_sessions,
+                   round(n0 * 1.0 / n0, 4) AS frac_of_entry,
+                   1.0 AS step_rate
+            FROM c
+            UNION ALL
+            SELECT 2, 'click', n1::BIGINT, round(n1 * 1.0 / n0, 4),
+                   round(n1 * 1.0 / n0, 4)
+            FROM c
+            UNION ALL
+            SELECT 3, 'purchase', n2::BIGINT, round(n2 * 1.0 / n0, 4),
+                   round(n2 * 1.0 / n1, 4)
+            FROM c
         """,
         "stratified_sample": """
             WITH r AS (

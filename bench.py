@@ -170,6 +170,7 @@ EXTRA4: tuple[str, ...] = (
     "event_anomalies",
     "bot_suspects",
     "stratified_sample",
+    "sessionized_funnel",
     "image_resize",
     "frame_sample",
     "fetch_frontier",

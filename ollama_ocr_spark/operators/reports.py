@@ -470,3 +470,60 @@ def bot_suspects(events: DataFrame, user: str = "user_id",
         F.round(cv, 4).alias("cv"),
         is_bot.alias("is_bot"),
     )
+
+
+def with_session_ids(events: DataFrame, user: str = "user_id",
+                     ts_us: str = "ts_us",
+                     order_tiebreak: str = "event_id",
+                     gap_s: int = 86400) -> DataFrame:
+    """Gap-based session assignment as a plain column: a session starts
+    at a user's first event and whenever the gap to the previous event
+    exceeds ``gap_s`` seconds — the lag-flag + running-sum idiom the
+    stateful sessionizer mirrors in streaming. Adds ``session_id``
+    (0-based per user) and ``session_key`` (user bit-packed with the
+    session id — ``user << 20 | sid``, valid for < 2^20 sessions/user —
+    so downstream per-session operators reuse their per-user form
+    unchanged, the CLAUDE.md bit-pack idiom). One window shuffle on the
+    user key; exact integer comparisons only.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user).orderBy(
+        F.col(ts_us).asc(), F.col(order_tiebreak).asc()
+    )
+    gap_us = gap_s * 1_000_000
+    new_flag = F.when(
+        F.lag(ts_us).over(w).isNull()
+        | ((F.col(ts_us) - F.lag(ts_us).over(w)) > gap_us),
+        1,
+    ).otherwise(0)
+    run = Window.partitionBy(user).orderBy(
+        F.col(ts_us).asc(), F.col(order_tiebreak).asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sid = (F.sum(new_flag).over(run) - F.lit(1)).alias("session_id")
+    return events.withColumn("session_id", sid).withColumn(
+        "session_key",
+        F.shiftleft(F.col(user), 20).bitwiseOR(F.col("session_id")),
+    )
+
+
+def sessionized_funnel(events: DataFrame,
+                       stages: tuple[str, ...] = ("view", "click",
+                                                  "purchase"),
+                       user: str = "user_id", ts_us: str = "ts_us",
+                       type_col: str = "event_type",
+                       gap_s: int = 86400) -> DataFrame:
+    """The funnel a product team actually reads: conversions within ONE
+    session (``gap_s`` inactivity boundary), not across a user's whole
+    history — a purchase three weeks after the view does not count.
+    Pure composition: :func:`with_session_ids` builds the bit-packed
+    (user, session) key and :func:`event_funnel` runs UNCHANGED over it,
+    so the ordered-chaining semantics (strictly-after, min-timestamp)
+    are shared, not re-implemented. Output: per stage, SESSIONS reached
+    + entry/step conversion.
+    """
+    sess = with_session_ids(events, user, ts_us, gap_s=gap_s)
+    return event_funnel(
+        sess, stages=stages, user="session_key",
+        ts_us=ts_us, type_col=type_col,
+    )

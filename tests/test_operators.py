@@ -2408,3 +2408,29 @@ def test_stratified_sample_exact_counts(spark):
     assert sorted(r["doc_id"] for r in s1) == sorted(
         r["doc_id"] for r in s2)
     assert all(r["sample_rank"] >= 1 for r in s1)
+
+
+def test_sessionized_funnel_resets_at_gap(spark):
+    """A view→click pair split by a gap larger than the session boundary
+    does NOT convert (the whole-history funnel would count it); the same
+    pair inside one session does. Session ids restart per user and the
+    bit-packed key keeps users separate."""
+    from ollama_ocr_spark.operators.reports import (sessionized_funnel,
+                                                    with_session_ids)
+
+    H = 3_600 * 1_000_000
+    rows = [
+        # user 1: view then click 2h later, same session (gap 24h)
+        (1, 0, "view", 0), (1, 1, "click", 2 * H),
+        # user 2: view, then click 48h later → NEW session, no convert
+        (2, 2, "view", 0), (2, 3, "click", 48 * H),
+    ]
+    df = spark.createDataFrame(
+        rows, ["user_id", "event_id", "event_type", "ts_us"])
+    sids = {(r["user_id"], r["event_id"]): r["session_id"]
+            for r in with_session_ids(df).collect()}
+    assert sids[(1, 0)] == sids[(1, 1)] == 0
+    assert sids[(2, 2)] == 0 and sids[(2, 3)] == 1
+    out = {r["stage"]: r for r in sessionized_funnel(df).collect()}
+    assert out[1]["n_users"] == 2       # two view-entered sessions
+    assert out[2]["n_users"] == 1       # only user 1's converts
