@@ -1,10 +1,14 @@
 """Benchmark driver: extraction throughput + headline queries + N→4N scaling.
 
-Prints ONE JSON line:
+The LAST stdout line is a compact (<1.5 KB) JSON object:
   {"metric": "...", "value": <headline suite secs>, "unit": "sec",
-   "queries": {...per-query secs...}, "sf": ...,
-   "extract": {...docs/sec per parallelism level...},
-   "scaling_efficiency": ...}
+   "queries": {...headline per-query secs...}, "sf": ...,
+   "extract_docs_per_sec": {...best docs/sec per parallelism level...},
+   "scaling_efficiency": ..., "scaling_per_trial": [...],
+   "scaling_median": ..., "extras_timed": N, "extras_skipped": N,
+   "bench_wall_secs": ...}
+Detail lines (full extras maps, runs arrays, scaling_note prose) print
+earlier — see "Budget discipline" below for the exact line protocol.
 
 Method:
 - The pages corpus (deterministic function of documents.parquet, replicated
@@ -28,14 +32,23 @@ Method:
   memory bandwidth, which is what N→4N executor scaling assumes.
 - Headline queries run once on the local[CPUS] session.
 
-Budget discipline (round-3 lesson: the driver's BENCH run timed out with
-41+ prime+best-of-2 extras — rc=124, no JSON at all): the CORE line
-(headline suite + extract levels + N→4N scaling, the round-comparable
-numbers) is printed and FLUSHED as soon as it exists; the EXTRA/EXTRA3/
-EXTRA4 suites then run under a wall-clock budget (single timed pass each,
-remaining names skipped once the budget is hit) and a FINAL superset line
-is printed last. A driver that takes the last JSON line gets everything;
-one that kills the process mid-extras still has the complete core line.
+Budget discipline (round-3 lesson: rc=124 with no JSON; round-4 lesson:
+rc=0 but the driver keeps only a 2000-char stdout TAIL, so a multi-KB
+final line is cut mid-object and parses null). stdout is therefore four
+JSON lines, in order:
+  1. DETAIL core line (headline suite + extract levels + scaling + the
+     full scaling_note prose) — flushed as soon as the core numbers exist;
+  2. COMPACT core line (<1 KB: same core numbers, no prose/runs arrays) —
+     so a driver that kills the process mid-extras still finds one
+     complete object inside its tail window;
+  3. DETAIL superset line (core + per-query extras maps + skip names);
+  4. COMPACT final line (<1 KB: core numbers + extras_timed/extras_skipped
+     counts) — the LAST line, guaranteed to fit whole inside a 2000-char
+     tail, which is what the driver actually parses.
+Extras run between lines 2 and 3 under a wall-clock budget (single timed
+pass each after an sf0.01 prime; remaining names skipped — and named on
+line 3 — once the budget is hit). Humans and tooling read lines 1/3;
+tail-limited drivers read line 4.
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_REPL (default 80),
@@ -109,7 +122,11 @@ HEADLINE = (
 
 # Round-2/3 operators, timed the same way but reported SEPARATELY
 # (queries_r2 / queries_r3) so the headline suite total stays comparable
-# across rounds.
+# across rounds. Since round 5 these are NOT in the default timed set:
+# every name here has driver-grade (BENCH_r02) or repeated self-measured
+# (BENCH.md) evidence, and the r4 driver run burned its extras budget
+# re-proving them while skipping 82 never-driver-timed names. Set
+# SPARK_GRAFT_BENCH_ALL_EXTRAS=1 to time them too (local validation runs).
 EXTRA = (
     "embedding_near_dupes_lsh",
     "curation_verdict",
@@ -152,10 +169,72 @@ EXTRA3 = (
     "oov_rate",
 )
 
-# Round-4 operators — timed FIRST among the extras (newest queries have the
-# least accumulated perf evidence, so budget-skips should fall on the old
-# suites whose numbers already exist in BENCH_r02/BENCH.md).
-EXTRA4: tuple[str, ...] = (
+# Round-5 operators — timed FIRST among the extras (zero perf evidence of
+# any kind until this round's runs).
+EXTRA5: tuple[str, ...] = ()
+
+# Round-4 operators the r4 DRIVER run never reached (its budget cut the
+# list after 28 names) — the default timed set, ordered expensive/scale-
+# relevant first so a budget cut on a slow box drops cheap sub-second
+# report queries whose self-measured numbers (BENCH.md) are already
+# boring, not the plans whose cost structure matters.
+# simhash_band_recall / minhash_band_recall stay untimed by design:
+# sample-scale evals (~20 s cold at sf0.1 on this template-clustered
+# corpus — one 8-bit simhash band holds 3058/5000 docs), driver-verified
+# via the sf0.01 oracle instead.
+EXTRA4_NEVER: tuple[str, ...] = (
+    "lsh_precision_eval",
+    "curate_corpus_incremental",
+    "chunk_ann_topk",
+    "family_split",
+    "retrieval_rerank",
+    "bm25_topk",
+    "host_trustrank",
+    "pretraining_export",
+    "dedup_representatives",
+    "nb_quality",
+    "ann_recall_eval",
+    "minhash_accuracy_eval",
+    "simhash_near_pairs",
+    "containment_pairs",
+    "lsh_bucket_histogram",
+    "split_leakage",
+    "remove_dup_spans",
+    "dedup_savings",
+    "contamination_by_source",
+    "bigram_stats",
+    "bigram_logprob",
+    "jaccard_histogram",
+    "dedup_lines",
+    "curation_funnel",
+    "robots_filter",
+    "robots_rule_stats",
+    "crawl_budget",
+    "host_template_entropy",
+    "host_degree_stats",
+    "length_histogram",
+    "compaction_plan",
+    "topic_mix",
+    "shard_plan",
+    "quality_sample",
+    "mix_manifest",
+    "data_budget_plan",
+    "tokenizer_fertility",
+    "dedup_cluster_sizes",
+    "url_aliases",
+    "fix_encoding",
+    "hapax_rate",
+    "packing_efficiency",
+    "encoding_health",
+    "zipf_slope",
+    "quality_deciles",
+    "vocab_coverage",
+)
+
+# Round-4 operators the r4 driver DID time (BENCH_r04 tail carries their
+# numbers) — evidenced, so opt-in only (SPARK_GRAFT_BENCH_ALL_EXTRAS=1),
+# like EXTRA/EXTRA3.
+EXTRA4_TIMED: tuple[str, ...] = (
     "selection_drift",
     "filter_attribution",
     "token_drift",
@@ -180,65 +259,10 @@ EXTRA4: tuple[str, ...] = (
     "winnow_near_pairs",
     "chunk_dedup",
     "crawl_priority",
-    # simhash_band_recall is deliberately NOT timed at sf0.1: the 8-band
-    # blocking of this template-clustered corpus yields ~7.9M candidate
-    # pairs (one 8-bit bucket holds 3058 of 5000 docs) — ~21 s even after
-    # the equi-join fix; it is a sample-scale eval, driver-verified via
-    # the sf0.01 oracle.
     "host_topic_labels",
     "wave_makespan",
     "quality_by_crawl_round",
     "containment_histogram",
-    # minhash_band_recall joins three banded candidate pipelines against
-    # the exact-intersection truth set (~19 s cold at sf0.1) — like
-    # simhash_band_recall it is a sample-scale eval, driver-verified via
-    # the sf0.01 oracle, not timed here.
-    "minhash_accuracy_eval",
-    "simhash_near_pairs",
-    "jaccard_histogram",
-    "host_template_entropy",
-    "host_degree_stats",
-    "bigram_stats",
-    "length_histogram",
-    "retrieval_rerank",
-    "bm25_topk",
-    "compaction_plan",
-    "host_trustrank",
-    "pretraining_export",
-    "containment_pairs",
-    "topic_mix",
-    "shard_plan",
-    "family_split",
-    "quality_sample",
-    "mix_manifest",
-    "data_budget_plan",
-    "tokenizer_fertility",
-    "dedup_cluster_sizes",
-    "url_aliases",
-    "fix_encoding",
-    "hapax_rate",
-    "packing_efficiency",
-    "lsh_precision_eval",
-    "curation_funnel",
-    "dedup_lines",
-    "encoding_health",
-    "zipf_slope",
-    "quality_deciles",
-    "dedup_representatives",
-    "bigram_logprob",
-    "crawl_budget",
-    "robots_filter",
-    "robots_rule_stats",
-    "nb_quality",
-    "ann_recall_eval",
-    "curate_corpus_incremental",
-    "chunk_ann_topk",
-    "contamination_by_source",
-    "vocab_coverage",
-    "dedup_savings",
-    "split_leakage",
-    "lsh_bucket_histogram",
-    "remove_dup_spans",
 )
 
 
@@ -339,6 +363,18 @@ def scaling_estimate(big_runs: list[float],
     composite = round(max(big_runs) / (4 * max(small_runs)), 3)
     ests = [max(valid)] + ([composite] if composite <= 1.0 else [])
     return max(ests), ratios
+
+
+def scaling_median(ratios: list[float]) -> float:
+    """Median of the plausible (<= 1.0) per-trial ratios — reported NEXT TO
+    the best-of headline so readers see the spread behind it (the best-of
+    procedure is one-sided by design: retries can only raise it, so the
+    median is the honest companion number). Falls back to the median of
+    all ratios when every window starved the small level."""
+    import statistics
+
+    valid = [r for r in ratios if r <= 1.0] or ratios
+    return round(statistics.median(valid), 3)
 
 
 def bench_level(cores: int, warm_rows: int = 20000) -> dict:
@@ -617,7 +653,9 @@ def main() -> None:
             },
         },
         **({"scaling_efficiency": scaling,
-            "scaling_per_trial": per_trial} if scaling is not None else {}),
+            "scaling_per_trial": per_trial,
+            "scaling_median": scaling_median(per_trial)}
+           if scaling is not None else {}),
         "scaling_note": (
             "pinned-CPU (sched_setaffinity) N vs 4N, JIT-warmed "
             f"best-of-2 passes x {len(per_trial) if scaling else TRIALS} "
@@ -638,18 +676,26 @@ def main() -> None:
         ),
         "bench_wall_secs": round(time.monotonic() - t_start, 1),
     }
-    # CORE line: complete and round-comparable on its own. Flushed NOW so a
-    # driver timeout during the extras below still leaves a parseable line
-    # (round 3 had rc=124 and NO perf evidence at all).
+    # DETAIL core line: complete and round-comparable on its own. Flushed
+    # NOW so a driver timeout during the extras below still leaves the full
+    # story (round 3 had rc=124 and NO perf evidence at all).
     print(json.dumps(out), flush=True)
+    # COMPACT core line: <1 KB, so a mid-extras kill leaves one COMPLETE
+    # object inside a 2000-char stdout tail (the detail line alone is
+    # multi-KB and would be cut at its head).
+    print(json.dumps(_compact(out)), flush=True)
 
     # -- pass 3: extras under the wall-clock budget -------------------------
     # Single timed pass per query after an sf0.01 prime (best-of-2 made the
-    # r3 driver run time out); queries are per-suite priority-ordered and
-    # the remainder is skipped — and named — once BUDGET is exceeded.
+    # r3 driver run time out); queries are per-suite priority-ordered
+    # (round-5 first, then the round-4 names the r4 driver never reached)
+    # and the remainder is skipped — and named — once BUDGET is exceeded.
+    # Already-driver-evidenced suites (EXTRA4_TIMED/EXTRA/EXTRA3) are
+    # opt-in via SPARK_GRAFT_BENCH_ALL_EXTRAS=1.
     qtimes_r2: dict[str, float] = {}
     qtimes_r3: dict[str, float] = {}
     qtimes_r4: dict[str, float] = {}
+    qtimes_r5: dict[str, float] = {}
     skipped: list[str] = []
     if not os.environ.get("SPARK_GRAFT_BENCH_SKIP_QUERIES"):
         spark = _session(CPUS)
@@ -661,13 +707,16 @@ def main() -> None:
         # ramp for the shared scan/shuffle/codegen infrastructure
         # (measured: bigram_logprob read 11.7 s as the first extra vs
         # 3.6 s warm — a 3.3x artifact of list position, not plan cost).
-        # Pinned to retrieval_rerank (not EXTRA4[0]) so list reordering
-        # can't silently swap the warmup to a cheap query that compiles
-        # little of the shared text/shuffle/Arrow infrastructure.
+        # Pinned to retrieval_rerank (not the list head) so list
+        # reordering can't silently swap the warmup to a cheap query that
+        # compiles little of the shared text/shuffle/Arrow infrastructure.
         qs["retrieval_rerank"](spark, SF_DIR).write.mode("overwrite").format(
             "noop").save()
-        for names, sink in ((EXTRA4, qtimes_r4), (EXTRA, qtimes_r2),
-                            (EXTRA3, qtimes_r3)):
+        suites = [(EXTRA5, qtimes_r5), (EXTRA4_NEVER, qtimes_r4)]
+        if os.environ.get("SPARK_GRAFT_BENCH_ALL_EXTRAS"):
+            suites += [(EXTRA4_TIMED, qtimes_r4), (EXTRA, qtimes_r2),
+                       (EXTRA3, qtimes_r3)]
+        for names, sink in suites:
             for name in names:
                 if time.monotonic() - t_start > BUDGET:
                     skipped.append(name)
@@ -683,11 +732,52 @@ def main() -> None:
     out["queries_r2"] = qtimes_r2
     out["queries_r3"] = qtimes_r3
     out["queries_r4"] = qtimes_r4
+    out["queries_r5"] = qtimes_r5
     if skipped:
         out["extras_skipped_on_budget"] = skipped
     out["bench_wall_secs"] = round(time.monotonic() - t_start, 1)
-    # FINAL line: superset of the core line (same core numbers + extras).
+    n_timed = sum(len(s) for s in (qtimes_r2, qtimes_r3, qtimes_r4,
+                                   qtimes_r5))
+    # DETAIL superset line (per-query extras maps + skip names) for humans
+    # and tooling...
     print(json.dumps(out), flush=True)
+    # ...then the COMPACT final line LAST: the driver keeps only a
+    # 2000-char stdout tail, and this is the one line guaranteed to sit
+    # complete inside it (BENCH_r03 rc=124 / BENCH_r04 parsed:null were
+    # both this contract being violated).
+    print(json.dumps(
+        _compact(out, extras_timed=n_timed, extras_skipped=len(skipped))
+    ), flush=True)
+
+
+def _compact(detail: dict, extras_timed: int | None = None,
+             extras_skipped: int | None = None) -> dict:
+    """Core numbers only, guaranteed to serialize < ~1.5 KB: the driver
+    retains a 2000-char stdout TAIL, so the LAST printed line must be a
+    complete JSON object well under that. Per-query extras maps, runs
+    arrays and the scaling_note prose live on the detail lines only."""
+    compact = {
+        "metric": detail["metric"],
+        "value": detail["value"],
+        "unit": "sec",
+        "sf": detail["sf"],
+        "queries": detail["queries"],
+        "extract_docs_per_sec": {
+            lvl: (v["docs_per_sec"] if "docs_per_sec" in v
+                  else v["best_docs_per_sec"])
+            for lvl, v in detail["extract"].items()
+        },
+        **{k: detail[k] for k in
+           ("scaling_efficiency", "scaling_per_trial", "scaling_median")
+           if k in detail},
+        "bench_wall_secs": detail["bench_wall_secs"],
+    }
+    if extras_timed is not None:
+        compact["extras_timed"] = extras_timed
+        compact["extras_skipped"] = extras_skipped
+    if len(json.dumps(compact)) > 1500:  # belt-and-braces: never exceed
+        compact.pop("queries")           # the tail window
+    return compact
 
 
 if __name__ == "__main__":

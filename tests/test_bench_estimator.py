@@ -12,7 +12,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from bench import scaling_estimate
+from bench import _compact, scaling_estimate, scaling_median
 
 
 def test_clean_window_pair():
@@ -65,6 +65,70 @@ def test_all_ratios_implausible_falls_back():
     eff, ratios = scaling_estimate([80000.0], [10000.0])
     assert ratios == [2.0]
     assert eff == 2.0
+
+
+def test_scaling_median_excludes_implausible():
+    # >1.0 ratios are starved-small artifacts — excluded from the median
+    # exactly as from the best-of estimate; median shows the spread the
+    # one-sided best-of headline hides.
+    assert scaling_median([1.074, 0.862, 0.70]) == 0.781
+    assert scaling_median([0.5, 0.9]) == 0.7
+    # fallback: nothing plausible -> median of what exists, not a crash
+    assert scaling_median([1.5, 2.0]) == 1.75
+
+
+def _detail_fixture():
+    return {
+        "metric": "m",
+        "value": 15.1,
+        "unit": "sec",
+        "sf": "/root/testdata/sf0.1",
+        "queries": {f"q{i}": 1.0 for i in range(15)},
+        "pages_rows": 476500,
+        "extract": {
+            "local[32]": {"docs": 476500, "secs": 4.0,
+                          "docs_per_sec": 119125.0},
+            "local[2]": {"best_docs_per_sec": 15682.0,
+                         "runs": [15682.0, 14000.0]},
+            "local[8]": {"best_docs_per_sec": 54000.0,
+                         "runs": [54000.0, 50000.0]},
+        },
+        "scaling_efficiency": 0.862,
+        "scaling_per_trial": [1.074, 0.862],
+        "scaling_median": 0.862,
+        "scaling_note": "x" * 1000,
+        "bench_wall_secs": 600.0,
+    }
+
+
+def test_compact_line_fits_driver_tail():
+    # The driver retains a 2000-char stdout TAIL; BENCH_r04 parsed null
+    # because the final line exceeded it. The compact line must stay a
+    # complete object well inside that window.
+    import json
+
+    line = json.dumps(_compact(_detail_fixture(), extras_timed=46,
+                               extras_skipped=0))
+    assert len(line) < 1500
+    obj = json.loads(line)
+    assert obj["value"] == 15.1
+    assert obj["extract_docs_per_sec"]["local[32]"] == 119125.0
+    assert obj["extract_docs_per_sec"]["local[2]"] == 15682.0
+    assert obj["scaling_efficiency"] == 0.862
+    assert obj["scaling_median"] == 0.862
+    assert obj["extras_timed"] == 46 and obj["extras_skipped"] == 0
+    assert "scaling_note" not in obj and "pages_rows" not in obj
+
+
+def test_compact_drops_queries_rather_than_overflow():
+    d = _detail_fixture()
+    d["queries"] = {f"very_long_query_name_number_{i:04d}": 1.234
+                    for i in range(200)}
+    c = _compact(d)
+    import json
+
+    assert "queries" not in c
+    assert len(json.dumps(c)) < 1500
 
 
 def test_monotone_load_decay_order_bias_symmetry():
