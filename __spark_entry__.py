@@ -2512,11 +2512,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _QUERIES = {
-        # Least-evidenced queries lead: the driver's CORRECTNESS gate
-        # samples the first 50 entries in dict order (round-3 VERDICT
-        # item 2 — rotating coverage). Round-4 additions first (zero
-        # evidence from ANY driver or judge round), then the round-3
-        # queries that have only judge-run (softer) evidence so far.
+        # Never-driver-sampled queries lead: the driver's CORRECTNESS
+        # gate samples the FIRST 50 entries in dict order (the rotation
+        # the round-3/round-4 verdicts asked for). These 51 names have
+        # only judge-run check_oracle evidence so far (r4 judge: all
+        # green); training_batches sits at position 51 (one must miss
+        # the 50-window — it is a composite of pieces verified on their
+        # own). Round-5 additions follow, then the driver-evidenced set.
+        "vocab_coverage": q_vocab_coverage,
+        "dedup_savings": q_dedup_savings,
+        "split_leakage": q_split_leakage,
+        "lsh_bucket_histogram": q_lsh_bucket_histogram,
+        "remove_dup_spans": q_remove_dup_spans,
+        "ann_recall_eval": q_ann_recall_eval,
+        "nb_quality": q_nb_quality,
+        "robots_filter": q_robots_filter,
+        "crawl_budget": q_crawl_budget,
+        "bigram_logprob": q_bigram_logprob,
+        "zipf_slope": q_zipf_slope,
+        "quality_deciles": q_quality_deciles,
+        "dedup_representatives": q_dedup_representatives,
+        "lsh_precision_eval": q_lsh_precision_eval,
+        "curation_funnel": q_curation_funnel,
+        "dedup_lines": q_dedup_lines,
+        "encoding_health": q_encoding_health,
+        "fix_encoding": q_fix_encoding,
+        "hapax_rate": q_hapax_rate,
+        "packing_efficiency": q_packing_efficiency,
+        "url_aliases": q_url_aliases,
+        "dedup_cluster_sizes": q_dedup_cluster_sizes,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "data_budget_plan": q_data_budget_plan,
+        "quality_sample": q_quality_sample,
+        "mix_manifest": q_mix_manifest,
+        "oov_rate": q_oov_rate,
+        "url_filter": q_url_filter,
+        "domain_quality": q_domain_quality,
+        "lang_segments": q_lang_segments,
+        "embedding_near_dupes_lsh": q_embedding_near_dupes_lsh,
+        "semantic_dedup": q_semantic_dedup,
+        "host_link_graph": q_host_link_graph,
+        "host_pagerank": q_host_pagerank,
+        "crawl_diff": q_crawl_diff,
+        "unigram_logprob": q_unigram_logprob,
+        "ngram_span_coverage": q_ngram_span_coverage,
+        "anchor_text_stats": q_anchor_text_stats,
+        "phrase_search": q_phrase_search,
+        "and_search": q_and_search,
+        "recrawl_schedule": q_recrawl_schedule,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "dsir_importance": q_dsir_importance,
+        "group_holdout_split": q_group_holdout_split,
+        "temperature_mix": q_temperature_mix,
+        "zorder_key": q_zorder_key,
+        "shingle_novelty": q_shingle_novelty,
+        "chunk_documents": q_chunk_documents,
+        "cross_corpus_dedup": q_cross_corpus_dedup,
+        "training_batches": q_training_batches,
+        # --- round-5 additions (insert new queries HERE) ---
+        # --- driver-sampled in r1-r4 (green in CORRECTNESS_r0*) ---
         "selection_drift": q_selection_drift,
         "filter_attribution": q_filter_attribution,
         "token_drift": q_token_drift,
@@ -2567,68 +2622,15 @@ _QUERIES = {
         "curate_corpus_incremental": q_curate_corpus_incremental,
         "chunk_ann_topk": q_chunk_ann_topk,
         "contamination_by_source": q_contamination_by_source,
-        "vocab_coverage": q_vocab_coverage,
-        "dedup_savings": q_dedup_savings,
-        "split_leakage": q_split_leakage,
-        "lsh_bucket_histogram": q_lsh_bucket_histogram,
-        "remove_dup_spans": q_remove_dup_spans,
-        "ann_recall_eval": q_ann_recall_eval,
-        "nb_quality": q_nb_quality,
-        "robots_filter": q_robots_filter,
-        "crawl_budget": q_crawl_budget,
-        "bigram_logprob": q_bigram_logprob,
-        "zipf_slope": q_zipf_slope,
-        "quality_deciles": q_quality_deciles,
-        "dedup_representatives": q_dedup_representatives,
-        "lsh_precision_eval": q_lsh_precision_eval,
-        "curation_funnel": q_curation_funnel,
-        "dedup_lines": q_dedup_lines,
-        "encoding_health": q_encoding_health,
-        "fix_encoding": q_fix_encoding,
-        "hapax_rate": q_hapax_rate,
-        "packing_efficiency": q_packing_efficiency,
-        "url_aliases": q_url_aliases,
-        "dedup_cluster_sizes": q_dedup_cluster_sizes,
-        "tokenizer_fertility": q_tokenizer_fertility,
-        "data_budget_plan": q_data_budget_plan,
-        "quality_sample": q_quality_sample,
-        "mix_manifest": q_mix_manifest,
-        # --- round-3 queries, judge-verified but never driver-sampled ---
-        "oov_rate": q_oov_rate,
         "quality_scores": q_quality_scores,
         "repetition_stats": q_repetition_stats,
         "url_normalize": q_url_normalize,
-        "url_filter": q_url_filter,
-        "domain_quality": q_domain_quality,
         "langid_confusion": q_langid_confusion,
-        "lang_segments": q_lang_segments,
         "fingerprints": q_fingerprints,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dupes": q_embedding_near_dupes,
-        "embedding_near_dupes_lsh": q_embedding_near_dupes_lsh,
-        "semantic_dedup": q_semantic_dedup,
-        "host_link_graph": q_host_link_graph,
-        "host_pagerank": q_host_pagerank,
-        "crawl_diff": q_crawl_diff,
-        "unigram_logprob": q_unigram_logprob,
-        "ngram_span_coverage": q_ngram_span_coverage,
-        "anchor_text_stats": q_anchor_text_stats,
-        "phrase_search": q_phrase_search,
-        "and_search": q_and_search,
-        "recrawl_schedule": q_recrawl_schedule,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "bpe_pair_counts": q_bpe_pair_counts,
-        "dsir_importance": q_dsir_importance,
-        "group_holdout_split": q_group_holdout_split,
-        "temperature_mix": q_temperature_mix,
-        "zorder_key": q_zorder_key,
-        "shingle_novelty": q_shingle_novelty,
-        "chunk_documents": q_chunk_documents,
-        "cross_corpus_dedup": q_cross_corpus_dedup,
-        "training_batches": q_training_batches,
-        # --- previously driver-sampled (green in r2 and/or r3) ---
         "vocab_topk": q_vocab_topk,
         "golden_compare": q_golden_compare,
         "tpch_shipping_revenue": q_tpch_shipping_revenue,
