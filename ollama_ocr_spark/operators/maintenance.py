@@ -1076,12 +1076,19 @@ def selection_drift(df: DataFrame, group_col: str = "source",
         ).alias("n_recrawl"),
     )
     w = Window.partitionBy()
+    # An empty slice (sum(n_recrawl)=0) must read as NULL shares, not an
+    # ANSI DIVIDE_BY_ZERO — DuckDB's x/0 is NULL, so the oracle already
+    # behaves this way; n_full cannot sum to 0 while group rows exist.
     shares = per.select(
         group_col, "n_full", "n_recrawl",
         F.round(F.col("n_full") * F.lit(1.0) / F.sum("n_full").over(w), 8)
         .alias("share_full"),
-        F.round(
-            F.col("n_recrawl") * F.lit(1.0) / F.sum("n_recrawl").over(w), 8
+        F.when(
+            F.sum("n_recrawl").over(w) > 0,
+            F.round(
+                F.col("n_recrawl") * F.lit(1.0)
+                / F.sum("n_recrawl").over(w), 8
+            ),
         ).alias("share_recrawl"),
     )
     deltas = shares.withColumn(

@@ -294,6 +294,9 @@ def sample_frames_stage(videos: DataFrame, step_ticks: int = 300,
     same expand-then-process shape applied to timed media, with the
     expansion planned engine-side instead of inside the decoder call.
     """
+    if step_ticks <= 0:  # interpolated into SQL below: 0 divides, <0
+        raise ValueError(  # builds a descending (wrong-frame) sequence
+            f"step_ticks must be positive, got {step_ticks}")
     grab = kernel or MEDIA_KERNELS["frame_pixels"]
     timing = video_frame_timing_stage(videos).filter(
         F.col("timescale").isNotNull() & (F.col("timescale") > 0)

@@ -275,11 +275,20 @@ def event_funnel(events: DataFrame,
         row = c if row is None else row.crossJoin(F.broadcast(c))
     structs = []
     for i, st in enumerate(stages):
-        frac = F.round(F.col(f"__n{i}") * F.lit(1.0) / F.col("__n0"), 4)
+        # ANSI sessions throw DIVIDE_BY_ZERO; the guard yields NULL on an
+        # empty denominator instead — DuckDB's own x/0 result, so the
+        # oracle mirror needs no CASE on its side.
+        frac = F.when(
+            F.col("__n0") > 0,
+            F.round(F.col(f"__n{i}") * F.lit(1.0) / F.col("__n0"), 4),
+        )
         step = (
             F.lit(1.0) if i == 0
-            else F.round(
-                F.col(f"__n{i}") * F.lit(1.0) / F.col(f"__n{i - 1}"), 4
+            else F.when(
+                F.col(f"__n{i - 1}") > 0,
+                F.round(
+                    F.col(f"__n{i}") * F.lit(1.0) / F.col(f"__n{i - 1}"), 4
+                ),
             )
         )
         structs.append(
@@ -501,9 +510,23 @@ def with_session_ids(events: DataFrame, user: str = "user_id",
         F.col(ts_us).asc(), F.col(order_tiebreak).asc()
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sid = (F.sum(new_flag).over(run) - F.lit(1)).alias("session_id")
+    # Pack-overflow fence: a user with >= 2^20 sessions or a user id
+    # >= 2^43 would silently collide session keys (and shiftleft would
+    # wrap the id bits) — fail loudly instead, the same caution the other
+    # bit-pack sites (id<<22) get from their caps. Zero-cost when no row
+    # trips it; raise_error keeps the check engine-side, no extra pass.
+    packed = F.when(
+        (F.col("session_id") >= F.lit(1 << 20))
+        | (F.col(user) >= F.lit(1 << 43)) | (F.col(user) < 0),
+        F.raise_error(F.lit(
+            "with_session_ids: session_id >= 2^20 or user id outside "
+            "[0, 2^43) overflows the user<<20|sid bit-pack"
+        )).cast("bigint"),
+    ).otherwise(
+        F.shiftleft(F.col(user), 20).bitwiseOR(F.col("session_id"))
+    )
     return events.withColumn("session_id", sid).withColumn(
-        "session_key",
-        F.shiftleft(F.col(user), 20).bitwiseOR(F.col("session_id")),
+        "session_key", packed,
     )
 
 

@@ -710,12 +710,17 @@ def token_drift(df: DataFrame, key: str = "doc_id", col: str = "text",
     tot = per.agg(F.sum("n_full").alias("__tf"),
                   F.sum("n_recrawl").alias("__tr"))
     top = per.orderBy(F.desc("n_full"), F.asc("token")).limit(k)
+    # Empty-slice guard: sum(n_recrawl)=0 yields NULL shares (DuckDB's own
+    # x/0 result, so the oracle agrees) instead of an ANSI DIVIDE_BY_ZERO;
+    # __tf > 0 whenever any token row exists.
     shares = top.crossJoin(F.broadcast(tot)).select(
         "token", "n_full", "n_recrawl",
         F.round(F.col("n_full") * F.lit(1.0) / F.col("__tf"), 8)
         .alias("share_full"),
-        F.round(F.col("n_recrawl") * F.lit(1.0) / F.col("__tr"), 8)
-        .alias("share_recrawl"),
+        F.when(
+            F.col("__tr") > 0,
+            F.round(F.col("n_recrawl") * F.lit(1.0) / F.col("__tr"), 8),
+        ).alias("share_recrawl"),
     )
     deltas = shares.withColumn(
         "abs_delta",

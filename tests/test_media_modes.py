@@ -270,6 +270,20 @@ def test_resize_kernel_swap_seam(spark):
     assert bytes(restored["resized"]) == bytes(before["resized"])
 
 
+def test_sample_frames_stage_rejects_nonpositive_step(spark):
+    """step_ticks is interpolated into engine SQL: 0 divides, a negative
+    value plans a descending sequence with wrong frames — both must be
+    refused at plan-build time."""
+    import pytest
+
+    from ollama_ocr_spark.operators.media import sample_frames_stage
+
+    df = spark.createDataFrame([("u", b"x")], ["url", "html"])
+    for bad in (0, -300):
+        with pytest.raises(ValueError, match="step_ticks"):
+            sample_frames_stage(df, step_ticks=bad)
+
+
 def test_sample_frames_stage_plan(spark):
     from ollama_ocr_spark.operators.media import sample_frames_stage
 

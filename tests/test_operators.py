@@ -2280,6 +2280,55 @@ def test_event_funnel_order_and_simultaneity(spark):
         "view", "click", "purchase"]
 
 
+def test_event_funnel_empty_entry_stage(spark):
+    """ANSI sessions throw on x/0 — an empty entry stage must yield NULL
+    fractions (DuckDB's own /0 result), not a DIVIDE_BY_ZERO crash; the
+    stage-1 step_rate stays the literal 1.0 on both engines."""
+    from ollama_ocr_spark.operators.reports import event_funnel
+
+    rows = [("a", "click", 1), ("a", "purchase", 2)]  # nobody views
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts_us"])
+    out = {r["stage"]: r for r in event_funnel(df).collect()}
+    assert [out[s]["n_users"] for s in (1, 2, 3)] == [0, 0, 0]
+    assert all(out[s]["frac_of_entry"] is None for s in (1, 2, 3))
+    assert out[1]["step_rate"] == 1.0
+    assert out[2]["step_rate"] is None and out[3]["step_rate"] is None
+
+
+def test_with_session_ids_overflow_raises(spark):
+    """The user<<20|sid bit-pack silently collides keys past its caps —
+    the fence must fail loudly instead (user id >= 2^43 here)."""
+    import pytest
+
+    from ollama_ocr_spark.operators.reports import with_session_ids
+
+    df = spark.createDataFrame(
+        [(1 << 43, 100, 1), (1 << 43, 200, 2)],
+        ["user_id", "ts_us", "event_id"])
+    with pytest.raises(Exception, match="bit-pack"):
+        with_session_ids(df).collect()
+
+
+def test_drift_reports_empty_slice_null_not_crash(spark):
+    """selection_drift/token_drift with an empty recrawl slice: NULL
+    shares and NULL TVD (mirroring DuckDB /0), never DIVIDE_BY_ZERO."""
+    from ollama_ocr_spark.operators.maintenance import selection_drift
+    from ollama_ocr_spark.operators.textstats import token_drift
+
+    docs = spark.createDataFrame(
+        [(1, "s0", "alpha beta"), (3, "s1", "beta gamma")],
+        ["doc_id", "source", "text"],
+    )  # all doc_ids odd -> doc_id % 2 == 0 selects nothing
+    sel = selection_drift(docs, recrawl_mod=2).collect()
+    assert all(r["share_recrawl"] is None and r["tvd"] is None
+               for r in sel)
+    assert {r["source"]: r["share_full"] for r in sel} == {
+        "s0": 0.5, "s1": 0.5}
+    tok = token_drift(docs, recrawl_mod=2).collect()
+    assert tok and all(r["share_recrawl"] is None and r["head_tvd"] is None
+                       for r in tok)
+
+
 def test_retention_cohorts_triangle(spark):
     """Cohorting uses the FIRST active day; later-day activity counts at
     its integer offset; multiple same-day events count a user once."""
