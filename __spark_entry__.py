@@ -2494,6 +2494,67 @@ def q_token_drift(spark, sf_dir):
     return token_drift(_docs(spark, sf_dir))
 
 
+def q_host_communities(spark, sf_dir):
+    """Mirror/link-farm triage the triangle census can't localize:
+    semi-synchronous weighted LPA (4 rounds, md5-u32 parity update
+    schedule, max-weight/min-label votes) over the cross-host outlink
+    graph, rolled into a per-community report — size, doc quality
+    (the domain_quality gates), and intra-community link mass. Oracle =
+    the same rounds unrolled as chained CTEs with a QUALIFY argmax
+    (the host_pagerank idiom)."""
+    from ollama_ocr_spark.operators.linkgraph import (host_communities,
+                                                      outlink_edges)
+    from ollama_ocr_spark.operators.maintenance import doc_id_expr, host_expr
+    from ollama_ocr_spark.operators.textstats import domain_quality
+
+    pages = _latest_pages(spark, sf_dir)
+    # edges are consumed by every LPA round AND the intra-mass join;
+    # checkpoint so the html-regex scan runs once (the dedup_components
+    # materialize-the-edge-plan rule)
+    edges = outlink_edges(pages).localCheckpoint(eager=True)
+    labels = host_communities(edges, iterations=4)
+
+    hosts = pages.select(host_expr().alias("host"),
+                         doc_id_expr().alias("doc_id"))
+    joined = hosts.join(_docs(spark, sf_dir).select("doc_id", "text"),
+                        "doc_id")
+    hq = domain_quality(joined).select("host", "n_docs", "n_ok")
+
+    ce = edges.filter(F.col("src_host") != F.col("dst_host"))
+    la = labels.select(F.col("host").alias("src_host"),
+                       F.col("community").alias("__ca"))
+    lb = labels.select(F.col("host").alias("dst_host"),
+                       F.col("community").alias("__cb"))
+    intra = (
+        ce.join(F.broadcast(la), "src_host")
+        .join(F.broadcast(lb), "dst_host")
+        .filter(F.col("__ca") == F.col("__cb"))
+        .select(F.col("__ca").alias("community"), "n_links")
+        .groupBy("community")
+        .agg(F.sum("n_links").alias("intra_mass"))
+    )
+    rep = (
+        labels.join(hq, "host", "left")
+        .groupBy("community")
+        .agg(
+            F.count("*").alias("n_hosts"),
+            F.sum(F.coalesce(F.col("n_docs"), F.lit(0))).alias("n_docs"),
+            F.sum(F.coalesce(F.col("n_ok"), F.lit(0))).alias("n_ok"),
+        )
+    )
+    return (
+        rep.join(intra, "community", "left")
+        .select(
+            "community", "n_hosts", "n_docs", "n_ok",
+            F.when(
+                F.col("n_docs") > 0,
+                F.round(F.col("n_ok") * F.lit(1.0) / F.col("n_docs"), 4),
+            ).alias("ok_rate"),
+            F.coalesce(F.col("intra_mass"), F.lit(0)).alias("intra_mass"),
+        )
+    )
+
+
 def _utc_wrapped(fn):
     """Every query assumes UTC session semantics (timestamp↔epoch parity
     with the DuckDB oracle); the driver's session timezone is unknown."""
@@ -2571,6 +2632,7 @@ _QUERIES = {
         "cross_corpus_dedup": q_cross_corpus_dedup,
         "training_batches": q_training_batches,
         # --- round-5 additions (insert new queries HERE) ---
+        "host_communities": q_host_communities,
         # --- driver-sampled in r1-r4 (green in CORRECTNESS_r0*) ---
         "selection_drift": q_selection_drift,
         "filter_attribution": q_filter_attribution,
@@ -3077,6 +3139,67 @@ wf AS (
 r0 AS (SELECT host, (SELECT 1.0::DOUBLE / n FROM nn) AS rank FROM hosts),
 {",".join(steps)}
 SELECT host, round(rank, 6) AS rank FROM r{iterations}
+"""
+
+
+def _communities_oracle(iterations: int = 4) -> str:
+    """DuckDB twin of linkgraph.host_communities + the per-community
+    quality/size report: semi-synchronous weighted LPA with the md5-u32
+    parity schedule, iterations unrolled as chained CTEs (the
+    host_pagerank idiom); the argmax vote is a QUALIFY row_number over
+    (vw DESC, nl ASC) — exactly the Spark min(struct(-vw, nl)) order.
+    Composes _EDGES_CTES (graph) and _DOMQ_CTES (per-host quality)."""
+    steps = []
+    prev = "l0"
+    for i in range(1, iterations + 1):
+        par = (i - 1) % 2
+        steps.append(f"""
+v{i} AS (
+  SELECT s.a, l.community AS nl, sum(s.w)::BIGINT AS vw
+  FROM sym s JOIN {prev} l ON s.b = l.host
+  GROUP BY 1, 2),
+b{i} AS (
+  SELECT a, nl FROM v{i}
+  QUALIFY row_number() OVER (PARTITION BY a ORDER BY vw DESC, nl ASC) = 1),
+l{i} AS (
+  SELECT l.host,
+         CASE WHEN l.par = {par} AND b.nl IS NOT NULL THEN b.nl
+              ELSE l.community END AS community,
+         l.par
+  FROM {prev} l LEFT JOIN b{i} b ON b.a = l.host)""")
+        prev = f"l{i}"
+    return f"""
+WITH {_EDGES_CTES},
+{_DOMQ_CTES},
+ce2 AS (SELECT * FROM edges WHERE src_host <> dst_host),
+sym AS (
+  SELECT a, b, sum(w)::BIGINT AS w FROM (
+    SELECT src_host AS a, dst_host AS b, n_links AS w FROM ce2
+    UNION ALL
+    SELECT dst_host AS a, src_host AS b, n_links AS w FROM ce2) u
+  GROUP BY 1, 2),
+l0 AS (
+  SELECT host, host AS community, {_md5_u32_sql('host')} % 2 AS par
+  FROM (SELECT DISTINCT a AS host FROM sym) h),
+{",".join(steps)},
+labs AS (SELECT host, community FROM l{iterations}),
+intra AS (
+  SELECT la.community, sum(e.n_links)::BIGINT AS intra_mass
+  FROM ce2 e JOIN labs la ON e.src_host = la.host
+             JOIN labs lb ON e.dst_host = lb.host
+  WHERE la.community = lb.community
+  GROUP BY 1),
+rep AS (
+  SELECT la.community, count(*)::BIGINT AS n_hosts,
+         sum(coalesce(g.n_docs, 0))::BIGINT AS n_docs,
+         sum(coalesce(g.n_ok, 0))::BIGINT AS n_ok
+  FROM labs la LEFT JOIN dqg g ON g.host = la.host
+  GROUP BY 1)
+SELECT r.community, r.n_hosts, r.n_docs, r.n_ok,
+       CASE WHEN r.n_docs > 0
+            THEN round(r.n_ok * 1.0 / r.n_docs, 4) END AS ok_rate,
+       coalesce(i.intra_mass, 0)::BIGINT AS intra_mass
+FROM rep r LEFT JOIN intra i ON i.community = r.community
 """
 
 
@@ -5999,6 +6122,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT src_host, dst_host, n_links FROM edges
         """,
         "host_pagerank": _pagerank_oracle(iterations=3),
+        "host_communities": _communities_oracle(iterations=4),
         # crawl_diff: arithmetic prediction of the digest compare —
         # doc_id % 5 == 0 urls are re-crawled (corpus.capture_rows);
         # among them k=5 carries changed content, k=0 is byte-identical.

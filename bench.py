@@ -171,7 +171,9 @@ EXTRA3 = (
 
 # Round-5 operators — timed FIRST among the extras (zero perf evidence of
 # any kind until this round's runs).
-EXTRA5: tuple[str, ...] = ()
+EXTRA5: tuple[str, ...] = (
+    "host_communities",
+)
 
 # Round-4 operators the r4 DRIVER run never reached (its budget cut the
 # list after 28 names) — the default timed set, ordered expensive/scale-

@@ -213,6 +213,91 @@ def host_trustrank(edges: DataFrame, seeds: list[str],
     return trust.select("host", F.round(F.col("rank"), 6).alias("trust"))
 
 
+def host_communities(edges: DataFrame, iterations: int = 4,
+                     src: str = "src_host", dst: str = "dst_host",
+                     weight: str = "n_links") -> DataFrame:
+    """Weighted label propagation (Raghavan et al. 2007) over the host
+    link graph → (host, community) — the mirror/link-farm localizer the
+    triangle census (:func:`graph_triangles`) motivates but cannot
+    deliver: a farm's hosts vote each other into ONE community id that a
+    per-community quality report can then condemn as a unit.
+
+    Two determinism fixes make distributed LPA reproducible (classic LPA
+    is async with random visit order):
+    - FIXED iteration count — no convergence test, so the oracle can
+      unroll the exact rounds (the host_pagerank idiom);
+    - SEMI-SYNCHRONOUS parity schedule — only hosts whose portable hash
+      parity (``md5_u32(host) % 2``) matches the round number update in
+      that round. Fully synchronous LPA two-colors dense graphs and
+      oscillates between two labelings forever (measured on this corpus:
+      the 2-community split keeps swapping members every round); the
+      parity schedule is the standard RNG-free oscillation breaker.
+
+    A host adopts the label with the largest BIGINT sum of incident
+    symmetric edge weight (both directions summed; self-links dropped —
+    a self-vote freezes every host into a singleton on chrome-heavy
+    corpora where self-link mass dominates). Ties break to the
+    lexicographically smallest label; both rules are engine-exact.
+
+    Scale shape: every round is one edges⋈labels shuffle join + one
+    (host, label) partial agg + one argmax over the HOST table — the
+    corpus is never touched, lineage is localCheckpoint-truncated per
+    round (the dedup_components shape). Edge-less hosts never enter the
+    vote and are absent from the output (they are their own singleton
+    communities by definition); callers joining a host dimension should
+    coalesce(community, host).
+    """
+    from ollama_ocr_spark.operators.maintenance import md5_u32_expr
+
+    ce = edges.filter(F.col(src) != F.col(dst)).select(
+        F.col(src).alias("a"), F.col(dst).alias("b"),
+        F.col(weight).alias("w"),
+    )
+    sym = (
+        ce.union(ce.select(F.col("b").alias("a"), F.col("a").alias("b"),
+                           "w"))
+        .groupBy("a", "b").agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("a").alias("host")).distinct()
+        .select(
+            "host",
+            F.col("host").alias("community"),
+            (md5_u32_expr("host") % 2).alias("__par"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for r in range(iterations):
+        votes = (
+            sym.join(
+                labels.select(F.col("host").alias("b"),
+                              F.col("community").alias("nl")), "b")
+            .groupBy("a", "nl").agg(F.sum("w").alias("vw"))
+        )
+        # argmax by (weight desc, label asc) == min of (-weight, label)
+        best = (
+            votes.groupBy("a")
+            .agg(F.min(F.struct((-F.col("vw")).alias("nw"),
+                                F.col("nl").alias("l"))).alias("__b"))
+            .select(F.col("a").alias("host"), F.col("__b.l").alias("__new"))
+        )
+        labels = (
+            labels.join(best, "host", "left")
+            .select(
+                "host",
+                F.when(
+                    (F.col("__par") == F.lit(r % 2))
+                    & F.col("__new").isNotNull(),
+                    F.col("__new"),
+                ).otherwise(F.col("community")).alias("community"),
+                "__par",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("host", "community")
+
+
 def anchor_text_stats(pages: DataFrame) -> DataFrame:
     """(dst_host, anchor, n_links): inbound anchor-text counts per target
     host — the classic target-description signal (inbound anchor text

@@ -304,3 +304,41 @@ def test_host_topic_labels_chrome_filter_and_rank(spark):
     assert a1["share"] == 0.6  # 6 / (6+3+1) topical total, k-cut after
     assert rows[("b.com", 1)]["share"] == 1.0
     assert ("a.com", 3) not in rows  # k=2 cut
+
+
+def test_host_communities_two_clusters(spark):
+    """Two dense triangles bridged by one weak edge: LPA must put each
+    triangle in one community and not merge across the w=1 bridge; a
+    huge self-loop must be ignored (self-votes freeze hosts into
+    singletons); an edge-less host never appears in the output."""
+    from ollama_ocr_spark.operators.linkgraph import host_communities
+
+    w = 10
+    edges = spark.createDataFrame(
+        [("a.com", "b.com", w), ("b.com", "c.com", w), ("a.com", "c.com", w),
+         ("x.com", "y.com", w), ("y.com", "z.com", w), ("x.com", "z.com", w),
+         ("c.com", "x.com", 1),            # weak bridge
+         ("a.com", "a.com", 10_000)],      # self-loop: must be dropped
+        ["src_host", "dst_host", "n_links"],
+    )
+    out = {r["host"]: r["community"]
+           for r in host_communities(edges, iterations=4).collect()}
+    assert set(out) == {"a.com", "b.com", "c.com", "x.com", "y.com", "z.com"}
+    left = {out["a.com"], out["b.com"], out["c.com"]}
+    right = {out["x.com"], out["y.com"], out["z.com"]}
+    assert len(left) == 1 and len(right) == 1 and left != right
+
+
+def test_host_communities_deterministic(spark):
+    """Same input -> identical labeling across independent runs (the
+    parity schedule and argmax tiebreak leave no nondeterminism)."""
+    from ollama_ocr_spark.operators.linkgraph import host_communities
+
+    edges = spark.createDataFrame(
+        [("h%d.com" % i, "h%d.com" % ((i * 3 + 1) % 7), 1 + i % 4)
+         for i in range(14)],
+        ["src_host", "dst_host", "n_links"],
+    )
+    r1 = sorted(map(tuple, host_communities(edges).collect()))
+    r2 = sorted(map(tuple, host_communities(edges).collect()))
+    assert r1 == r2
