@@ -2325,6 +2325,35 @@ def q_normalize_text(spark, sf_dir):
     )
 
 
+def q_normalize_text_nfkc(spark, sf_dir):
+    """NFKC + full casefold hygiene gate — where compatibility characters
+    actually change bytes: doc_id%5 appends ligature '\\ufb01le',
+    vulgar-fraction '\\u00bd', fullwidth+dotted-I '\\uff21\\u0130',
+    'Stra\\u00dfe', or nothing. DuckDB has no NFKC/casefold, so the
+    oracle is a hand-derived UAX#15 + case-folding expectation table
+    over those suffixes (ﬁ→fi, ½→1\\u20442, Ａ→a, İ→i\\u0307, ß→ss; the
+    corpus body is NFKC/casefold-invariant lowercase ASCII) — the
+    comparison checks the distributed Arrow kernel reproduces the
+    published mappings end-to-end. Source literals use explicit \\u
+    escapes so tooling can't silently normalize them."""
+    from ollama_ocr_spark.operators.textstats import normalize_text_stage
+
+    _ensure_shipped(spark)
+    did = F.col("doc_id")
+    mixed = F.concat(
+        F.col("text"),
+        F.when(did % 5 == 0, F.lit(" \ufb01le"))
+        .when(did % 5 == 1, F.lit(" \u00bd"))
+        .when(did % 5 == 2, F.lit(" \uff21\u0130"))
+        .when(did % 5 == 3, F.lit(" Stra\u00dfe"))
+        .otherwise(F.lit("")),
+    )
+    return normalize_text_stage(
+        _docs(spark, sf_dir).select("doc_id", mixed.alias("text")),
+        form="NFKC", casefold=True,
+    )
+
+
 def q_event_funnel(spark, sf_dir):
     """view → click → purchase funnel with strictly-after min-timestamp
     chaining over exact epoch-micro times; per stage, users reached +
@@ -2633,6 +2662,7 @@ _QUERIES = {
         "training_batches": q_training_batches,
         # --- round-5 additions (insert new queries HERE) ---
         "host_communities": q_host_communities,
+        "normalize_text_nfkc": q_normalize_text_nfkc,
         # --- driver-sampled in r1-r4 (green in CORRECTNESS_r0*) ---
         "selection_drift": q_selection_drift,
         "filter_attribution": q_filter_attribution,
@@ -3887,6 +3917,36 @@ def oracle_sql() -> dict[str, str]:
                    (nfc_normalize(t) <> t) AS changed,
                    length(t)::INT AS chars_in,
                    length(nfc_normalize(t))::INT AS chars_out
+            FROM base
+        """,
+        # DuckDB has no NFKC/casefold: the expected column is a
+        # hand-derived UAX#15 + case-folding table over the fixture
+        # suffixes (ﬁ=chr(64257)→'fi', ½=chr(189)→'1'||chr(8260)||'2',
+        # Ａ=chr(65313)→'a', İ=chr(304)→'i'||chr(775), ß=chr(223)→'ss');
+        # the ASCII lowercase body passes through unchanged, so the
+        # comparison verifies the Spark Arrow kernel reproduces the
+        # published mappings end-to-end.
+        "normalize_text_nfkc": """
+            WITH base AS (
+              SELECT doc_id,
+                     text || CASE
+                       WHEN doc_id % 5 = 0 THEN ' ' || chr(64257) || 'le'
+                       WHEN doc_id % 5 = 1 THEN ' ' || chr(189)
+                       WHEN doc_id % 5 = 2 THEN ' ' || chr(65313) || chr(304)
+                       WHEN doc_id % 5 = 3 THEN ' Stra' || chr(223) || 'e'
+                       ELSE '' END AS t,
+                     text || CASE
+                       WHEN doc_id % 5 = 0 THEN ' file'
+                       WHEN doc_id % 5 = 1 THEN ' 1' || chr(8260) || '2'
+                       WHEN doc_id % 5 = 2 THEN ' ai' || chr(775)
+                       WHEN doc_id % 5 = 3 THEN ' strasse'
+                       ELSE '' END AS expected
+              FROM documents)
+            SELECT doc_id,
+                   expected AS norm_text,
+                   (expected <> t) AS changed,
+                   length(t)::INT AS chars_in,
+                   length(expected)::INT AS chars_out
             FROM base
         """,
         "shard_manifest": f"""

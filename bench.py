@@ -173,6 +173,7 @@ EXTRA3 = (
 # any kind until this round's runs).
 EXTRA5: tuple[str, ...] = (
     "host_communities",
+    "normalize_text_nfkc",
 )
 
 # Round-4 operators the r4 DRIVER run never reached (its budget cut the

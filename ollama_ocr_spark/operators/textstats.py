@@ -1043,7 +1043,8 @@ def with_pii_scrub(df: DataFrame, col: str = "text") -> DataFrame:
 
 
 def normalize_text_stage(df: DataFrame, key: str = "doc_id",
-                         col: str = "text") -> DataFrame:
+                         col: str = "text", form: str = "NFC",
+                         casefold: bool = False) -> DataFrame:
     """Unicode hygiene gate — NFC-normalize text BEFORE any hashing or
     dedup stage: the same visible string in composed vs decomposed form
     ('café' as 4 vs 5 code points) md5-hashes differently, so exact dedup,
@@ -1059,17 +1060,34 @@ def normalize_text_stage(df: DataFrame, key: str = "doc_id",
     mirrors with ``nfc_normalize()``, which agrees
     codepoint-for-codepoint with Python's NFC — the oracle comparison is
     the cross-implementation conformance check. Text is assumed non-null
-    (the corpus contract); a production variant adds NFKC/casefold the
-    same way.
+    (the corpus contract).
+
+    ``form`` selects the UAX#15 normalization form ("NFC"/"NFKC"/"NFD"/
+    "NFKD"); ``casefold=True`` additionally applies full Unicode case
+    folding (ß→ss, İ→i+U+0307 — more than lower()) and re-normalizes,
+    i.e. form(casefold(form(t))) — the NFKC+casefold composition a
+    dedup/tokenizer pipeline wants so 'ﬁle', 'FILE' and 'file' hash
+    identically. DuckDB has no NFKC/casefold, so that variant's oracle
+    is a hand-derived UAX#15 + case-folding expectation table over
+    fixture suffixes (the body corpus is NFKC/casefold-invariant ASCII).
     """
     import pandas as pd
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form!r}")
 
     def kernel(batches):
         import unicodedata
 
+        def one(t: str) -> str:
+            n = unicodedata.normalize(form, t)
+            if casefold:
+                n = unicodedata.normalize(form, n.casefold())
+            return n
+
         for pdf in batches:
             texts = list(pdf[col])
-            norm = [unicodedata.normalize("NFC", t) for t in texts]
+            norm = [one(t) for t in texts]
             yield pd.DataFrame(
                 {
                     key: pdf[key],

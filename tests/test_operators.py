@@ -2220,6 +2220,41 @@ def test_normalize_text_nfc_kernel(spark):
     assert out[3]["chars_in"] == out[3]["chars_out"]
 
 
+def test_normalize_text_nfkc_casefold_kernel(spark):
+    """NFKC folds compatibility characters (ligature, fullwidth,
+    vulgar fraction); casefold goes beyond lower() (ß→ss, İ→i+U+0307);
+    the composition matches NFKC(casefold(NFKC(t))) exactly; unknown
+    forms are refused."""
+    import unicodedata
+
+    import pytest
+
+    from ollama_ocr_spark.operators.textstats import normalize_text_stage
+
+    rows = [
+        (1, "\ufb01le \uff21\u0130"),   # ligature + fullwidth + dotted I
+        (2, "Stra\u00dfe \u00bd"),      # sharp s + vulgar fraction
+        (3, "plain ascii"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r
+           for r in normalize_text_stage(
+               df, form="NFKC", casefold=True).collect()}
+
+    def ref(t):
+        n = unicodedata.normalize("NFKC", t)
+        return unicodedata.normalize("NFKC", n.casefold())
+
+    assert out[1]["norm_text"] == ref(rows[0][1]) == "file ai\u0307"
+    assert out[1]["changed"]
+    assert out[2]["norm_text"] == ref(rows[1][1]) == "strasse 1\u20442"
+    assert out[2]["changed"]
+    assert out[2]["chars_out"] == len("strasse 1\u20442")
+    assert out[3]["norm_text"] == "plain ascii" and not out[3]["changed"]
+    with pytest.raises(ValueError, match="normalization form"):
+        normalize_text_stage(df, form="NFKC_CF")
+
+
 def test_bbit_minhash_eval_identical_pair_exact(spark):
     """An identical-doc pair reads zero error under BOTH estimators: the
     full estimate is 8/8 = 1, and the b-bit correction maps a perfect
