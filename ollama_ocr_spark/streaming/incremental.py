@@ -271,6 +271,58 @@ def incremental_frontier(
     )
 
 
+def incremental_pii_gate(
+    spark: SparkSession,
+    docs_dir: str,
+    scrubbed_tbl: IceTable,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming PII gate: documents arrive as a parquet stream
+    (``doc_id``, ``text``) and each micro-batch runs the EXACT batch
+    scrubber (``textstats.with_pii_scrub`` — the same native-regexp
+    expressions the batch export and the ``pii_stats`` report use) in
+    ``foreachBatch``, appending (doc_id, scrubbed, n_emails, n_ipv4,
+    n_phones, pii_free) rows exactly-once (doc_id anti-join against the
+    accumulated table, so a re-delivered document is never re-scrubbed
+    or double-exported). Downstream consumers read only ``scrubbed``;
+    the pii_free=false slice IS the quarantine review queue.
+
+    Batch-equivalence (pytest-checked, the incremental_minhash pattern):
+    after draining any split of the documents, the accumulated rows
+    equal ``with_pii_scrub`` over the full set.
+    """
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    from ..operators.textstats import with_pii_scrub
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ])
+    stream = spark.readStream.schema(schema).parquet(docs_dir)
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        out = with_pii_scrub(batch_df).select(
+            "doc_id", "scrubbed", "n_emails", "n_ipv4", "n_phones",
+            "pii_free",
+        )
+        existing = scrubbed_tbl.read(spark)
+        if existing is not None:
+            out = out.join(
+                existing.select("doc_id"), ["doc_id"], "left_anti"
+            )
+        scrubbed_tbl.append(out)
+
+    (
+        stream.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def session_window_agg(events: DataFrame, gap: str = "30 minutes",
                        watermark: str = "2 hours") -> DataFrame:
     """Gap sessionization via Spark's built-in ``session_window`` — the

@@ -322,3 +322,45 @@ def test_incremental_frontier_matches_batch(spark, tmp_path):
     assert by_url["https://b.com/x/p.html"] == "blocked_host"
     assert by_url["https://a.com/x/p2.jpg"] == "filtered:binary_ext"
     assert by_url["https://a.com/x/p1.html"] == "fetch"
+
+
+def test_incremental_pii_gate_matches_batch(spark, tmp_path):
+    """Draining documents in two micro-batch runs must accumulate exactly
+    with_pii_scrub over the full set, one row per doc_id (a re-delivered
+    document is never re-scrubbed/double-exported); the pii_free=false
+    slice carries the redacted text."""
+    from ollama_ocr_spark.operators.textstats import with_pii_scrub
+    from ollama_ocr_spark.streaming.incremental import incremental_pii_gate
+
+    docs_dir = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckpt")
+    out = IceTable(str(tmp_path / "scrubbed"))
+    d1 = [(1, "mail me at bob@example.com now"),
+          (2, "clean text only")]
+    # second batch re-delivers doc 1 and adds a multi-hit doc
+    d2 = [(1, "mail me at bob@example.com now"),
+          (3, "ip 10.0.0.1 and +1 555 123 4567")]
+    spark.createDataFrame(d1, ["doc_id", "text"]).write.mode(
+        "append").parquet(docs_dir)
+    incremental_pii_gate(spark, docs_dir, out, ckpt)
+    spark.createDataFrame(d2, ["doc_id", "text"]).write.mode(
+        "append").parquet(docs_dir)
+    incremental_pii_gate(spark, docs_dir, out, ckpt)
+
+    rows = out.read(spark).collect()
+    got = {(r["doc_id"], r["scrubbed"], r["n_emails"], r["n_ipv4"],
+            r["n_phones"], r["pii_free"]) for r in rows}
+    assert len(rows) == len(got) == 3, "re-delivered doc re-exported"
+
+    batch = with_pii_scrub(
+        spark.createDataFrame(d1 + d2, ["doc_id", "text"]).dropDuplicates(
+            ["doc_id"])
+    ).select("doc_id", "scrubbed", "n_emails", "n_ipv4", "n_phones",
+             "pii_free")
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[1]["scrubbed"] == "mail me at [EMAIL] now"
+    assert not by_id[1]["pii_free"] and by_id[1]["n_emails"] == 1
+    assert by_id[2]["pii_free"] and by_id[2]["scrubbed"] == "clean text only"
+    assert by_id[3]["scrubbed"] == "ip [IP] and [PHONE]"
