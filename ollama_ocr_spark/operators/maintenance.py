@@ -784,7 +784,8 @@ def shard_plan(docs: DataFrame, n_shards: int = 16, key: str = "doc_id",
 
 def stratified_sample(df: DataFrame, frac_bp: int = 1000,
                       strata: str = "source",
-                      key: str = "doc_id") -> DataFrame:
+                      key: str = "doc_id",
+                      bucket_hex: int = 2) -> DataFrame:
     """Exact-count deterministic stratified sample: within each stratum,
     rows rank by ``md5('strat|' || key)`` and the first
     ``ceil(n * frac_bp / 10000)`` survive — every stratum is represented
@@ -798,20 +799,46 @@ def stratified_sample(df: DataFrame, frac_bp: int = 1000,
     binary). RNG-free: identical rows on any engine, partitioning, or
     run.
 
-    Output: sampled rows as (key, strata, sample_rank). Scale shape: one
-    window per stratum (rank by md5 within the stratum key — the same
-    shuffle a stratified write needs anyway); the per-stratum count
-    rides the same window spec.
+    Output: sampled rows as (key, strata, sample_rank). Scale shape:
+    TWO-PASS exact rank with no per-stratum single-task sort. The naive
+    form (one window partitioned by stratum) serializes a giant stratum
+    into one task; instead rows bucket by the first ``bucket_hex`` hex
+    digits of their md5 — an ORDER-PRESERVING prefix, so sorting by hash
+    within a bucket and offsetting by the lower buckets' counts
+    reproduces the global per-stratum md5 rank EXACTLY:
+
+    1. per-(stratum, bucket) counts → a ≤ |strata|·16^bucket_hex row
+       table whose prefix sums (window over the tiny table only) give
+       each bucket's rank offset and each stratum's total;
+    2. broadcast-join offsets back; rank within (stratum, bucket) — the
+       window partition is now stratum/16^bucket_hex, so a giant
+       stratum fans out across the cluster. Raise ``bucket_hex`` to 3
+       (4096 buckets) when strata reach billions of rows.
+
+    md5 is uniform, so buckets are balanced; equal hashes land in the
+    same bucket, so the ``key`` tiebreak is preserved. Identical output
+    (ranks included) to the one-window form — the oracle mirrors the
+    single-window SQL.
     """
-    w = Window.partitionBy(strata).orderBy(
-        F.md5(F.concat(F.lit("strat|"), F.col(key).cast("string"))),
-        F.col(key),
+    h = F.md5(F.concat(F.lit("strat|"), F.col(key).cast("string")))
+    hashed = df.select(F.col(key), F.col(strata), h.alias("__h")) \
+        .withColumn("__b", F.substring("__h", 1, bucket_hex))
+    bc = hashed.groupBy(strata, "__b").agg(F.count("*").alias("__bn"))
+    wb = (
+        Window.partitionBy(strata).orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    wn = Window.partitionBy(strata)
-    ranked = df.select(
+    wt = Window.partitionBy(strata)
+    pre = bc.select(
+        strata, "__b",
+        F.coalesce(F.sum("__bn").over(wb), F.lit(0)).alias("__pre"),
+        F.sum("__bn").over(wt).alias("__n"),
+    )
+    w = Window.partitionBy(strata, "__b").orderBy("__h", F.col(key))
+    ranked = hashed.join(F.broadcast(pre), [strata, "__b"]).select(
         F.col(key), F.col(strata),
-        F.row_number().over(w).alias("sample_rank"),
-        F.count("*").over(wn).alias("__n"),
+        (F.col("__pre") + F.row_number().over(w)).alias("sample_rank"),
+        "__n",
     )
     keep_n = F.expr(f"(__n * {frac_bp} + 9999) div 10000")
     return (

@@ -2494,6 +2494,40 @@ def test_stratified_sample_exact_counts(spark):
     assert all(r["sample_rank"] >= 1 for r in s1)
 
 
+def test_stratified_sample_bucketed_rank_exact(spark):
+    """The two-pass bucketed rank (prefix-sum offsets + within-bucket
+    row_number) must equal the naive one-window per-stratum md5 rank
+    EXACTLY — same keepers, same sample_rank values — including at
+    bucket_hex=1 where every stratum genuinely splits across buckets."""
+    from pyspark.sql import Window, functions as F
+
+    from ollama_ocr_spark.operators.maintenance import stratified_sample
+
+    rows = ([(i, "big") for i in range(200)]
+            + [(1000 + i, "small") for i in range(7)])
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("strat|"), F.col("doc_id").cast("string"))),
+        F.col("doc_id"),
+    )
+    wn = Window.partitionBy("source")
+    naive = (
+        df.select(
+            "doc_id", "source",
+            F.row_number().over(w).alias("sample_rank"),
+            F.count("*").over(wn).alias("__n"),
+        )
+        .filter(F.col("sample_rank") <= F.expr("(__n * 2500 + 9999) div 10000"))
+        .select("doc_id", "source", F.col("sample_rank").cast("int")
+                .alias("sample_rank"))
+    )
+    for bh in (1, 2):
+        got = sorted(map(tuple, stratified_sample(
+            df, frac_bp=2500, bucket_hex=bh).collect()))
+        assert got == sorted(map(tuple, naive.collect()))
+
+
 def test_sessionized_funnel_resets_at_gap(spark):
     """A view→click pair split by a gap larger than the session boundary
     does NOT convert (the whole-history funnel would count it); the same
