@@ -1923,6 +1923,18 @@ def q_wave_makespan(spark, sf_dir):
     return wave_makespan(_latest_pages(spark, sf_dir))
 
 
+def q_wave_makespan_mix(spark, sf_dir):
+    """Fetch simulator with a latency MIXTURE: hosts draw cdn/origin/
+    tarpit classes (salted md5 buckets, class-conditional integer
+    latency + salted jitter — RNG-free) and each wave's duration is
+    attributed to its slowest host's class. Per (burst, class): waves
+    owned, owned ms, total makespan, share — the 'which population owns
+    the wall-clock' planning readout."""
+    from ollama_ocr_spark.operators.maintenance import wave_makespan_mixture
+
+    return wave_makespan_mixture(_latest_pages(spark, sf_dir))
+
+
 def q_host_topic_labels(spark, sf_dir):
     """Top-3 weak-supervision topic anchors per host after the ubiquity
     chrome filter (anchor pointing at >50% of hosts = nav boilerplate).
@@ -2663,6 +2675,7 @@ _QUERIES = {
         # --- round-5 additions (insert new queries HERE) ---
         "host_communities": q_host_communities,
         "normalize_text_nfkc": q_normalize_text_nfkc,
+        "wave_makespan_mix": q_wave_makespan_mix,
         # --- driver-sampled in r1-r4 (green in CORRECTNESS_r0*) ---
         "selection_drift": q_selection_drift,
         "filter_attribution": q_filter_attribution,
@@ -2953,6 +2966,62 @@ r{b} AS (
                      ({_md5_u32_sql('host')} % 200 + 50) AS lat
               FROM (SELECT {_HOST_CASE} AS host FROM documents)
               GROUP BY host
+            ),
+            {",".join(parts)}
+            {" UNION ALL ".join(rows)}
+"""
+
+
+def _wave_makespan_mix_oracle(burst_sizes=(8, 16, 32)) -> str:
+    """DuckDB twin of maintenance.wave_makespan_mixture: salted md5_u32
+    class buckets + jitter, wave grids via unnest(range(...)), wave
+    ownership via QUALIFY argmax (dur DESC, host ASC — the Spark
+    struct-min order), per-class rollup against the burst's total."""
+    parts, rows = [], []
+    for b in burst_sizes:
+        parts.append(f"""
+mwv{b} AS (
+  SELECT unnest(range((n + {b} - 1) // {b})) AS w, host, n, lat, cls
+  FROM hcm),
+mdw{b} AS (
+  SELECT w, least({b}, n - w * {b}) * lat AS dur, host, cls
+  FROM mwv{b}),
+mow{b} AS (
+  SELECT w, dur AS wdur, cls FROM mdw{b}
+  QUALIFY row_number() OVER (PARTITION BY w ORDER BY dur DESC, host ASC)
+          = 1),
+mpc{b} AS (
+  SELECT cls, count(*)::BIGINT AS n_waves_owned,
+         sum(wdur)::BIGINT AS owned_ms
+  FROM mow{b} GROUP BY 1),
+mtt{b} AS (SELECT sum(wdur)::BIGINT AS makespan_ms FROM mow{b}),
+mr{b} AS (
+  SELECT {b} AS burst, cls AS lat_class, n_waves_owned, owned_ms,
+         makespan_ms,
+         round(owned_ms * 1.0 / makespan_ms, 4) AS share
+  FROM mpc{b} CROSS JOIN mtt{b})""")
+        rows.append(f"SELECT * FROM mr{b}")
+    return f"""
+            WITH hcg AS (
+              SELECT host, count(*)::BIGINT AS n
+              FROM (SELECT {_HOST_CASE} AS host FROM documents)
+              GROUP BY host
+            ),
+            hcn AS (
+              SELECT host, n,
+                     {_md5_u32_sql("'lcls|' || host")} % 10 AS bkt,
+                     {_md5_u32_sql("'ljit|' || host")} AS jit
+              FROM hcg
+            ),
+            hcm AS (
+              SELECT host, n,
+                     CASE WHEN bkt < 6 THEN 'cdn'
+                          WHEN bkt < 9 THEN 'origin'
+                          ELSE 'tarpit' END AS cls,
+                     CASE WHEN bkt < 6 THEN 30 + jit % 40
+                          WHEN bkt < 9 THEN 120 + jit % 160
+                          ELSE 1500 + jit % 1000 END AS lat
+              FROM hcn
             ),
             {",".join(parts)}
             {" UNION ALL ".join(rows)}
@@ -4886,6 +4955,7 @@ def oracle_sql() -> dict[str, str]:
             FROM r GROUP BY round
         """,
         "wave_makespan": _wave_makespan_oracle(),
+        "wave_makespan_mix": _wave_makespan_mix_oracle(),
         "simhash_band_recall": _simhash_band_recall_oracle(),
         "crawl_priority": f"""
             WITH {_EDGES_CTES},

@@ -174,6 +174,7 @@ EXTRA3 = (
 EXTRA5: tuple[str, ...] = (
     "host_communities",
     "normalize_text_nfkc",
+    "wave_makespan_mix",
 )
 
 # Round-4 operators the r4 DRIVER run never reached (its budget cut the

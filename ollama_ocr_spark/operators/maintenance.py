@@ -1373,6 +1373,91 @@ def wave_makespan(urls: DataFrame, burst_sizes: tuple[int, ...] = (8, 16, 32),
     return out
 
 
+def wave_makespan_mixture(urls: DataFrame,
+                          burst_sizes: tuple[int, ...] = (8, 16, 32),
+                          url_col: str = "url") -> DataFrame:
+    """:func:`wave_makespan` with a LATENCY MIXTURE and straggler
+    attribution — the readout that says which host POPULATION owns the
+    wall-clock, not just how long the crawl round takes. Hosts draw a
+    deterministic latency class from a salted portable hash
+    (``md5_u32('lcls|'+host) % 10``: <6 → 'cdn' 30+[0,40)ms, <9 →
+    'origin' 120+[0,160)ms, else 'tarpit' 1500+[0,1000)ms; the jitter is
+    a second salted hash — independent decisions stay independent), so
+    the simulation is RNG-free and engine-exact like the uniform
+    original.
+
+    Each wave is OWNED by its slowest host (ties impossible — one row
+    per host per wave; equal durations break to the smaller host name).
+    Output per (burst, lat_class): waves owned, owned milliseconds, the
+    burst's total makespan, and the class's share of it — at burst 32 a
+    single tarpit class owning ~all the makespan says 'shrink bursts
+    for the tail, not the fleet'.
+
+    Scale shape: identical to wave_makespan (host-table explodes, never
+    urls); the argmax per wave is one struct-min over the wave group.
+    """
+    counts = (
+        urls.select(host_expr(url_col).alias("host"))
+        .groupBy("host")
+        .agg(F.count("*").alias("n"))
+    )
+    bucket = md5_u32_expr("host", salt="lcls|") % 10
+    jit = md5_u32_expr("host", salt="ljit|")
+    hc = counts.select(
+        "host", "n",
+        F.when(bucket < 6, F.lit("cdn"))
+        .when(bucket < 9, F.lit("origin"))
+        .otherwise(F.lit("tarpit")).alias("lat_class"),
+        F.when(bucket < 6, F.lit(30) + jit % 40)
+        .when(bucket < 9, F.lit(120) + jit % 160)
+        .otherwise(F.lit(1500) + jit % 1000).alias("lat"),
+    )
+    outs = []
+    for b in burst_sizes:
+        nwaves = F.expr(f"int((n + {b} - 1) div {b})")
+        waves = hc.select(
+            "host", "n", "lat_class", "lat",
+            F.explode(F.sequence(F.lit(0), nwaves - 1)).alias("w"),
+        )
+        dur = F.least(F.lit(b).cast("bigint"),
+                      F.col("n") - F.col("w") * b) * F.col("lat")
+        # wave owner = argmax by (dur desc, host asc) == struct-min of
+        # (-dur, host); host is unique within a wave so the class rides
+        # along unambiguously
+        per_wave = (
+            waves.select("w", dur.alias("dur"), "host", "lat_class")
+            .groupBy("w")
+            .agg(F.min(F.struct(
+                (-F.col("dur")).alias("nd"),
+                F.col("host").alias("h"),
+                F.col("lat_class").alias("c"),
+            )).alias("__top"))
+        )
+        owned = per_wave.select(
+            (-F.col("__top.nd")).alias("wdur"),
+            F.col("__top.c").alias("lat_class"),
+        )
+        per_class = owned.groupBy("lat_class").agg(
+            F.count("*").alias("n_waves_owned"),
+            F.sum("wdur").alias("owned_ms"),
+        )
+        tot = owned.agg(F.sum("wdur").alias("makespan_ms"))
+        outs.append(
+            per_class.crossJoin(F.broadcast(tot)).select(
+                F.lit(b).alias("burst"), "lat_class",
+                "n_waves_owned", "owned_ms", "makespan_ms",
+                F.round(
+                    F.col("owned_ms") * F.lit(1.0) / F.col("makespan_ms"),
+                    4,
+                ).alias("share"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def robots_rule_stats(urls: DataFrame, rules: DataFrame,
                       url_col: str = "url") -> DataFrame:
     """Disallow-rule utilization audit: per (host, rule), how many urls

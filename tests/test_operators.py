@@ -2552,3 +2552,49 @@ def test_sessionized_funnel_resets_at_gap(spark):
     out = {r["stage"]: r for r in sessionized_funnel(df).collect()}
     assert out[1]["n_users"] == 2       # two view-entered sessions
     assert out[2]["n_users"] == 1       # only user 1's converts
+
+
+def test_wave_makespan_mixture_matches_reference(spark):
+    """The mixture simulator must match a pure-Python reference exactly:
+    same salted-md5 class/latency draws, same wave grid, each wave owned
+    by its slowest host (ties to the smaller host name), per-class
+    rollup against the burst total."""
+    import hashlib
+    from collections import defaultdict
+
+    from ollama_ocr_spark.operators.maintenance import wave_makespan_mixture
+
+    def u32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    hosts = {f"h{i}.example.com": 3 + (i * 7) % 40 for i in range(12)}
+    urls = [(f"https://{h}/p{j}.html",)
+            for h, n in hosts.items() for j in range(n)]
+    df = spark.createDataFrame(urls, ["url"])
+    got = {(r["burst"], r["lat_class"]): r
+           for r in wave_makespan_mixture(df, burst_sizes=(4, 16)).collect()}
+
+    for b in (4, 16):
+        owned = defaultdict(lambda: [0, 0])
+        waves = defaultdict(list)
+        for h, n in hosts.items():
+            bkt = u32("lcls|" + h) % 10
+            jit = u32("ljit|" + h)
+            cls = "cdn" if bkt < 6 else ("origin" if bkt < 9 else "tarpit")
+            lat = (30 + jit % 40 if bkt < 6 else
+                   120 + jit % 160 if bkt < 9 else 1500 + jit % 1000)
+            for w in range((n + b - 1) // b):
+                waves[w].append((min(b, n - w * b) * lat, h, cls))
+        makespan = 0
+        for w, ds in waves.items():
+            dur, _, cls = sorted(ds, key=lambda t: (-t[0], t[1]))[0]
+            owned[cls][0] += 1
+            owned[cls][1] += dur
+            makespan += dur
+        for cls, (nw, ms) in owned.items():
+            r = got[(b, cls)]
+            assert (r["n_waves_owned"], r["owned_ms"],
+                    r["makespan_ms"]) == (nw, ms, makespan)
+            assert r["share"] == round(ms * 1.0 / makespan, 4) or \
+                abs(r["share"] - ms / makespan) < 5e-5
+        assert {c for (bb, c) in got if bb == b} == set(owned)
