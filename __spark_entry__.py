@@ -1935,6 +1935,49 @@ def q_wave_makespan_mix(spark, sf_dir):
     return wave_makespan_mixture(_latest_pages(spark, sf_dir))
 
 
+def q_community_quarantine(spark, sf_dir):
+    """Evidence-pooled quality verdicts over LPA communities — the loop
+    host_communities exists to close. Deterministic fixtures exercise
+    every branch: a 5-host spam clique (heavy mutual links, 8 docs/host
+    all failing quality — LPA splits it 3/2, both pools ≥ 15 docs →
+    quarantined on COMMUNITY basis), the real host graph (pooled ~0.9
+    ok-rate EXONERATES the six thin-evidence hosts the per-host rule
+    would have blocked), a 5-doc/1-ok edge-less loner (host-basis
+    quarantine via the singleton fallback), and a 3-doc host (below the
+    host evidence floor → clear)."""
+    from ollama_ocr_spark.operators.linkgraph import (community_quarantine,
+                                                      host_communities,
+                                                      outlink_edges)
+    from ollama_ocr_spark.operators.maintenance import doc_id_expr, host_expr
+    from ollama_ocr_spark.operators.textstats import domain_quality
+
+    pages = _latest_pages(spark, sf_dir)
+    spam = [f"spam{i}.junk" for i in range(5)]
+    spam_edges = spark.createDataFrame(
+        [(a, b, 25) for a in spam for b in spam if a != b],
+        "src_host string, dst_host string, n_links bigint",
+    )
+    edges = (
+        outlink_edges(pages).unionByName(spam_edges)
+        .localCheckpoint(eager=True)
+    )
+    labels = host_communities(edges, iterations=4)
+
+    hosts = pages.select(host_expr().alias("host"),
+                         doc_id_expr().alias("doc_id"))
+    joined = hosts.join(_docs(spark, sf_dir).select("doc_id", "text"),
+                        "doc_id")
+    hq = domain_quality(joined).select("host", "n_docs", "n_ok")
+    extra = spark.createDataFrame(
+        [(h, 8, 0) for h in spam]
+        + [("lone.junk", 5, 1), ("tiny.shop", 3, 3)],
+        "host string, n_docs bigint, n_ok bigint",
+    )
+    return community_quarantine(
+        labels, hq.unionByName(extra), min_comm_docs=15,
+    )
+
+
 def q_host_topic_labels(spark, sf_dir):
     """Top-3 weak-supervision topic anchors per host after the ubiquity
     chrome filter (anchor pointing at >50% of hosts = nav boilerplate).
@@ -2676,6 +2719,7 @@ _QUERIES = {
         "host_communities": q_host_communities,
         "normalize_text_nfkc": q_normalize_text_nfkc,
         "wave_makespan_mix": q_wave_makespan_mix,
+        "community_quarantine": q_community_quarantine,
         # --- driver-sampled in r1-r4 (green in CORRECTNESS_r0*) ---
         "selection_drift": q_selection_drift,
         "filter_attribution": q_filter_attribution,
@@ -3241,13 +3285,14 @@ SELECT host, round(rank, 6) AS rank FROM r{iterations}
 """
 
 
-def _communities_oracle(iterations: int = 4) -> str:
-    """DuckDB twin of linkgraph.host_communities + the per-community
-    quality/size report: semi-synchronous weighted LPA with the md5-u32
-    parity schedule, iterations unrolled as chained CTEs (the
-    host_pagerank idiom); the argmax vote is a QUALIFY row_number over
-    (vw DESC, nl ASC) — exactly the Spark min(struct(-vw, nl)) order.
-    Composes _EDGES_CTES (graph) and _DOMQ_CTES (per-host quality)."""
+def _communities_ctes(iterations: int = 4, src: str = "edges") -> str:
+    """Semi-synchronous weighted LPA CTE chain over ``src`` (mirrors
+    linkgraph.host_communities: md5-u32 parity schedule, iterations
+    unrolled — the host_pagerank idiom; the argmax vote is a QUALIFY
+    row_number over (vw DESC, nl ASC) — exactly the Spark
+    min(struct(-vw, nl)) order). Requires _EDGES_CTES (or an augmented
+    edge CTE named ``src``) before it; ends at ``labs(host, community)``.
+    Shared by host_communities and community_quarantine."""
     steps = []
     prev = "l0"
     for i in range(1, iterations + 1):
@@ -3267,10 +3312,7 @@ l{i} AS (
          l.par
   FROM {prev} l LEFT JOIN b{i} b ON b.a = l.host)""")
         prev = f"l{i}"
-    return f"""
-WITH {_EDGES_CTES},
-{_DOMQ_CTES},
-ce2 AS (SELECT * FROM edges WHERE src_host <> dst_host),
+    return f"""ce2 AS (SELECT * FROM {src} WHERE src_host <> dst_host),
 sym AS (
   SELECT a, b, sum(w)::BIGINT AS w FROM (
     SELECT src_host AS a, dst_host AS b, n_links AS w FROM ce2
@@ -3281,7 +3323,16 @@ l0 AS (
   SELECT host, host AS community, {_md5_u32_sql('host')} % 2 AS par
   FROM (SELECT DISTINCT a AS host FROM sym) h),
 {",".join(steps)},
-labs AS (SELECT host, community FROM l{iterations}),
+labs AS (SELECT host, community FROM l{iterations})"""
+
+
+def _communities_oracle(iterations: int = 4) -> str:
+    """host_communities report: _communities_ctes labels + the
+    per-community quality/size/intra-mass rollup."""
+    return f"""
+WITH {_EDGES_CTES},
+{_DOMQ_CTES},
+{_communities_ctes(iterations)},
 intra AS (
   SELECT la.community, sum(e.n_links)::BIGINT AS intra_mass
   FROM ce2 e JOIN labs la ON e.src_host = la.host
@@ -6253,6 +6304,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         "host_pagerank": _pagerank_oracle(iterations=3),
         "host_communities": _communities_oracle(iterations=4),
+        "community_quarantine": f"""
+WITH {_EDGES_CTES},
+{_DOMQ_CTES},
+sph AS (SELECT 'spam' || i || '.junk' AS h
+        FROM (SELECT unnest(range(5)) AS i)),
+spe AS (SELECT a.h AS src_host, b.h AS dst_host, 25::BIGINT AS n_links
+        FROM sph a, sph b WHERE a.h <> b.h),
+edges_aug AS (SELECT * FROM edges UNION ALL SELECT * FROM spe),
+{_communities_ctes(4, src="edges_aug")},
+hq AS (SELECT host, n_docs, n_ok FROM dqg
+       UNION ALL SELECT h, 8::BIGINT, 0::BIGINT FROM sph
+       UNION ALL SELECT 'lone.junk', 5::BIGINT, 1::BIGINT
+       UNION ALL SELECT 'tiny.shop', 3::BIGINT, 3::BIGINT),
+jq AS (SELECT hq.host, coalesce(l.community, hq.host) AS community,
+              n_docs, n_ok
+       FROM hq LEFT JOIN labs l ON l.host = hq.host),
+cm AS (SELECT community, sum(n_docs)::BIGINT AS comm_n_docs,
+              sum(n_ok)::BIGINT AS comm_n_ok
+       FROM jq GROUP BY 1)
+SELECT j.host, j.community, j.n_docs, j.n_ok,
+       round(j.n_ok * 1.0 / j.n_docs, 4) AS host_rate,
+       c.comm_n_docs, c.comm_n_ok,
+       round(c.comm_n_ok * 1.0 / c.comm_n_docs, 4) AS comm_rate,
+       CASE WHEN c.comm_n_docs >= 15 THEN 'community'
+            ELSE 'host' END AS verdict_basis,
+       CASE WHEN c.comm_n_docs >= 15
+            THEN c.comm_n_ok * 1.0 / c.comm_n_docs < 0.85
+            ELSE j.n_docs >= 5 AND j.n_ok * 1.0 / j.n_docs < 0.85
+            END AS quarantined
+FROM jq j JOIN cm c USING (community)
+        """,
         # crawl_diff: arithmetic prediction of the digest compare —
         # doc_id % 5 == 0 urls are re-crawled (corpus.capture_rows);
         # among them k=5 carries changed content, k=0 is byte-identical.

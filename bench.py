@@ -175,6 +175,7 @@ EXTRA5: tuple[str, ...] = (
     "host_communities",
     "normalize_text_nfkc",
     "wave_makespan_mix",
+    "community_quarantine",
 )
 
 # Round-4 operators the r4 DRIVER run never reached (its budget cut the

@@ -298,6 +298,62 @@ def host_communities(edges: DataFrame, iterations: int = 4,
     return labels.select("host", "community")
 
 
+def community_quarantine(labels: DataFrame, host_quality: DataFrame,
+                         min_comm_docs: int = 20,
+                         max_rate: float = 0.85,
+                         min_host_docs: int = 5) -> DataFrame:
+    """Evidence-pooled quality verdicts — what :func:`host_communities`
+    labels are FOR: a host is judged on its COMMUNITY's pooled document
+    quality when the community carries enough evidence
+    (``min_comm_docs``), and only falls back to its own thin per-host
+    rate (the ``domain_quality`` rule) when it doesn't. Pooling cuts
+    both ways: a link farm whose individual hosts are each too small to
+    condemn gets quarantined as a unit, and an honest tail host whose
+    5-doc sample happened to look bad is EXONERATED by its community's
+    record — the thin-evidence false-block the per-host rule can't
+    avoid.
+
+    Inputs: ``labels (host, community)`` (edge-less hosts may be absent
+    — they fall back to their own host as a singleton community, per the
+    host_communities contract) and ``host_quality (host, n_docs,
+    n_ok)``. Verdicts compare RAW ratios (engine-exact rationals, the
+    domain_quality idiom); displayed rates are 4dp-rounded.
+
+    Output: (host, community, n_docs, n_ok, host_rate, comm_n_docs,
+    comm_n_ok, comm_rate, verdict_basis, quarantined). Scale shape: one
+    host-table left join + one community rollup + one host-table join
+    back — nothing corpus-sized moves.
+    """
+    j = host_quality.join(labels, "host", "left").withColumn(
+        "community", F.coalesce(F.col("community"), F.col("host"))
+    )
+    comm = j.groupBy("community").agg(
+        F.sum("n_docs").alias("comm_n_docs"),
+        F.sum("n_ok").alias("comm_n_ok"),
+    )
+    out = j.join(comm, "community")
+    host_bad = (
+        (F.col("n_docs") >= min_host_docs)
+        & (F.col("n_ok") * F.lit(1.0) / F.col("n_docs") < max_rate)
+    )
+    comm_bad = (
+        F.col("comm_n_ok") * F.lit(1.0) / F.col("comm_n_docs") < max_rate
+    )
+    pooled = F.col("comm_n_docs") >= min_comm_docs
+    return out.select(
+        "host", "community", "n_docs", "n_ok",
+        F.round(F.col("n_ok") * F.lit(1.0) / F.col("n_docs"), 4)
+        .alias("host_rate"),
+        "comm_n_docs", "comm_n_ok",
+        F.round(
+            F.col("comm_n_ok") * F.lit(1.0) / F.col("comm_n_docs"), 4
+        ).alias("comm_rate"),
+        F.when(pooled, F.lit("community")).otherwise(F.lit("host"))
+        .alias("verdict_basis"),
+        F.when(pooled, comm_bad).otherwise(host_bad).alias("quarantined"),
+    )
+
+
 def anchor_text_stats(pages: DataFrame) -> DataFrame:
     """(dst_host, anchor, n_links): inbound anchor-text counts per target
     host — the classic target-description signal (inbound anchor text

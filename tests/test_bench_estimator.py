@@ -138,3 +138,24 @@ def test_monotone_load_decay_order_bias_symmetry():
     eff_ab, _ = scaling_estimate([40000.0, 60000.0], [12000.0, 17000.0])
     eff_ba, _ = scaling_estimate([60000.0, 40000.0], [17000.0, 12000.0])
     assert eff_ab == eff_ba == 0.882
+
+
+def test_bench_name_lists_resolve_in_queries():
+    """Every name bench.py would time must exist in queries() — a query
+    rename otherwise KeyErrors mid-bench AFTER the core line, silently
+    truncating the extras evidence."""
+    import __spark_entry__ as entry
+    from bench import (EXTRA, EXTRA3, EXTRA4_NEVER, EXTRA4_TIMED, EXTRA5,
+                       HEADLINE)
+
+    qs = set(entry._QUERIES)
+    for names in (HEADLINE, EXTRA, EXTRA3, EXTRA4_NEVER, EXTRA4_TIMED,
+                  EXTRA5):
+        missing = [n for n in names if n not in qs]
+        assert not missing, missing
+    # the extras-phase warmup query is pinned by name too
+    assert "retrieval_rerank" in qs
+    # no name is timed twice across suites
+    all_names = list(EXTRA) + list(EXTRA3) + list(EXTRA4_NEVER) \
+        + list(EXTRA4_TIMED) + list(EXTRA5)
+    assert len(all_names) == len(set(all_names))

@@ -342,3 +342,37 @@ def test_host_communities_deterministic(spark):
     r1 = sorted(map(tuple, host_communities(edges).collect()))
     r2 = sorted(map(tuple, host_communities(edges).collect()))
     assert r1 == r2
+
+
+def test_community_quarantine_pooling_both_ways(spark):
+    """Pooled evidence overrides thin per-host verdicts in BOTH
+    directions: a good host inside a bad community is quarantined with
+    it; an edge-less host (absent from labels) falls back to itself and
+    the host rule; below the host evidence floor nothing fires."""
+    from ollama_ocr_spark.operators.linkgraph import community_quarantine
+
+    labels = spark.createDataFrame(
+        [("a.com", "X"), ("b.com", "X"), ("s1.junk", "S"), ("s2.junk", "S")],
+        ["host", "community"],
+    )
+    quality = spark.createDataFrame(
+        [("a.com", 10, 9),     # individually fine...
+         ("b.com", 12, 3),     # ...but the pool is rotten
+         ("s1.junk", 4, 0), ("s2.junk", 4, 0),
+         ("lone.junk", 5, 1),  # no edges -> singleton, host basis
+         ("tiny.shop", 3, 3)], # under the host evidence floor
+        ["host", "n_docs", "n_ok"],
+    )
+    out = {r["host"]: r for r in community_quarantine(
+        labels, quality, min_comm_docs=8).collect()}
+    assert out["a.com"]["verdict_basis"] == "community"
+    assert out["a.com"]["quarantined"]          # guilt by association
+    assert out["a.com"]["comm_n_docs"] == 22
+    assert out["b.com"]["quarantined"]
+    assert out["s1.junk"]["quarantined"] and out["s2.junk"]["quarantined"]
+    assert out["lone.junk"]["community"] == "lone.junk"
+    assert out["lone.junk"]["verdict_basis"] == "host"
+    assert out["lone.junk"]["quarantined"]
+    assert out["tiny.shop"]["verdict_basis"] == "host"
+    assert not out["tiny.shop"]["quarantined"]
+    assert out["a.com"]["comm_rate"] == round(12 / 22.0, 4)
