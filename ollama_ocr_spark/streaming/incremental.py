@@ -323,6 +323,74 @@ def incremental_pii_gate(
     )
 
 
+def incremental_chunk_dedup(
+    spark: SparkSession,
+    docs_dir: str,
+    chunks_tbl: IceTable,
+    checkpoint_dir: str,
+    size: int = 32,
+    stride: int = 24,
+) -> None:
+    """Streaming chunk store — the nightly-delta story at CHUNK level
+    (``curate_corpus_incremental``'s companion): documents arrive as a
+    parquet stream (``doc_id``, ``text``); each micro-batch runs the
+    EXACT batch chunker (``textstats.chunk_documents``) and appends ONE
+    row per never-seen chunk digest, so a downstream embed/index stage
+    pays only for NOVEL text. Within a batch the keeper is
+    ``dedup_chunks``' rule (min bit-packed ``doc*2^22+chunk`` position);
+    across batches first-arrival wins — the digest anti-join against the
+    accumulated store never lets a later copy replace a stored keeper.
+
+    Output rows: (digest, doc_id, chunk_id, n_words, chunk). Scale
+    shape: the anti-join carries digests only; chunk text ships once,
+    on first sight. Batch-equivalence (pytest): after draining any
+    split, the stored digest SET equals the batch chunker's distinct
+    digests over the full corpus, one row each.
+    """
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    from ..operators.textstats import chunk_documents
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ])
+    stream = spark.readStream.schema(schema).parquet(docs_dir)
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        chunks = chunk_documents(batch_df, size=size, stride=stride)
+        pack = (
+            F.col("doc_id").cast("bigint") * F.lit(1 << 22).cast("bigint")
+            + F.col("chunk_id").cast("bigint")
+        )
+        d = chunks.select(
+            F.md5(F.col("chunk")).alias("digest"),
+            "doc_id", "chunk_id", "n_words", "chunk", pack.alias("__p"),
+        )
+        # in-batch keeper: min packed position per digest (dedup_chunks)
+        w_min = d.groupBy("digest").agg(F.min("__p").alias("__keep"))
+        out = (
+            d.join(w_min, "digest")
+            .filter(F.col("__p") == F.col("__keep"))
+            .select("digest", "doc_id", "chunk_id", "n_words", "chunk")
+        )
+        existing = chunks_tbl.read(spark)
+        if existing is not None:
+            out = out.join(
+                existing.select("digest"), ["digest"], "left_anti"
+            )
+        chunks_tbl.append(out)
+
+    (
+        stream.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def session_window_agg(events: DataFrame, gap: str = "30 minutes",
                        watermark: str = "2 hours") -> DataFrame:
     """Gap sessionization via Spark's built-in ``session_window`` — the

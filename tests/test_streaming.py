@@ -364,3 +364,43 @@ def test_incremental_pii_gate_matches_batch(spark, tmp_path):
     assert not by_id[1]["pii_free"] and by_id[1]["n_emails"] == 1
     assert by_id[2]["pii_free"] and by_id[2]["scrubbed"] == "clean text only"
     assert by_id[3]["scrubbed"] == "ip [IP] and [PHONE]"
+
+
+def test_incremental_chunk_dedup_matches_batch(spark, tmp_path):
+    """Draining documents in two micro-batch runs must store exactly the
+    batch chunker's distinct digests over the full corpus, one row per
+    digest; in-batch keeper follows dedup_chunks' min-packed-position
+    rule, and a later duplicate never replaces a stored keeper."""
+    from pyspark.sql import functions as F
+
+    from ollama_ocr_spark.operators.textstats import chunk_documents
+    from ollama_ocr_spark.streaming.incremental import incremental_chunk_dedup
+
+    base = " ".join(f"w{i}" for i in range(40))        # 40 words -> 2 chunks
+    other = " ".join(f"x{i}" for i in range(32))       # 1 chunk
+    docs_dir = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckpt")
+    store = IceTable(str(tmp_path / "chunks"))
+    d1 = [(5, base), (2, base)]        # duplicate docs in ONE batch
+    d2 = [(9, base), (3, other)]       # later duplicate + novel text
+    spark.createDataFrame(d1, ["doc_id", "text"]).write.mode(
+        "append").parquet(docs_dir)
+    incremental_chunk_dedup(spark, docs_dir, store, ckpt)
+    spark.createDataFrame(d2, ["doc_id", "text"]).write.mode(
+        "append").parquet(docs_dir)
+    incremental_chunk_dedup(spark, docs_dir, store, ckpt)
+
+    rows = store.read(spark).collect()
+    assert len(rows) == len({r["digest"] for r in rows}), "digest stored twice"
+    # batch twin: distinct digests over the full corpus
+    full = chunk_documents(
+        spark.createDataFrame(d1 + d2, ["doc_id", "text"]),
+        size=32, stride=24,
+    ).select(F.md5("chunk").alias("digest")).distinct()
+    assert {r["digest"] for r in rows} == {r["digest"]
+                                           for r in full.collect()}
+    # in-batch keeper: doc 2 (min packed position) beat doc 5; the batch-2
+    # duplicate (doc 9) never replaced it
+    owners = {r["doc_id"] for r in rows}
+    assert 2 in owners and 5 not in owners and 9 not in owners
+    assert 3 in owners                      # novel text stored once
