@@ -1923,6 +1923,18 @@ def q_wave_makespan(spark, sf_dir):
     return wave_makespan(_latest_pages(spark, sf_dir))
 
 
+def q_bpe_learn(spark, sf_dir):
+    """Deterministic BPE merge learning, 6 rounds over the word-type
+    frequency table: exact BIGINT pair counts, (count desc, lhs, rhs)
+    argmax, greedy left-to-right non-overlapping merge application via
+    an array fold. Oracle = the same rounds unrolled with DuckDB
+    list_reduce (single-element-list fold, identical greedy
+    semantics)."""
+    from ollama_ocr_spark.operators.textstats import bpe_learn
+
+    return bpe_learn(_docs(spark, sf_dir), k=6)
+
+
 def q_wave_makespan_mix(spark, sf_dir):
     """Fetch simulator with a latency MIXTURE: hosts draw cdn/origin/
     tarpit classes (salted md5 buckets, class-conditional integer
@@ -2720,6 +2732,7 @@ _QUERIES = {
         "normalize_text_nfkc": q_normalize_text_nfkc,
         "wave_makespan_mix": q_wave_makespan_mix,
         "community_quarantine": q_community_quarantine,
+        "bpe_learn": q_bpe_learn,
         # --- driver-sampled in r1-r4 (green in CORRECTNESS_r0*) ---
         "selection_drift": q_selection_drift,
         "filter_attribution": q_filter_attribution,
@@ -3011,6 +3024,49 @@ r{b} AS (
               FROM (SELECT {_HOST_CASE} AS host FROM documents)
               GROUP BY host
             ),
+            {",".join(parts)}
+            {" UNION ALL ".join(rows)}
+"""
+
+
+def _bpe_learn_oracle(k: int = 6) -> str:
+    """DuckDB twin of textstats.bpe_learn: k rounds unrolled; each round
+    is pair-count agg → (cnt DESC, a, b) argmax → list_reduce merge
+    application over single-element lists (same greedy left-to-right
+    non-overlap as the Spark empty-acc fold — the reduce's init state
+    equals the fold's state after one step). Out-of-range list slice is
+    NULL in DuckDB, hence the coalesce when the kept prefix is empty."""
+    parts = []
+    rows = []
+    for i in range(1, k + 1):
+        prev = f"s{i - 1}"
+        parts.append(f"""
+p{i} AS (SELECT pr.a AS a, pr.b AS b, sum(freq)::BIGINT AS cnt FROM (
+          SELECT freq, unnest(list_transform(range(1, len(s)),
+                       j -> {{'a': s[j], 'b': s[j + 1]}})) AS pr
+          FROM {prev} WHERE len(s) >= 2) u
+        GROUP BY 1, 2),
+b{i} AS (SELECT a, b, cnt FROM p{i}
+         ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+s{i} AS (SELECT freq,
+           list_reduce(list_transform(s, x -> [x]),
+             (acc, x) -> CASE WHEN acc[-1] = b{i}.a AND x[1] = b{i}.b
+                         THEN coalesce(acc[1:len(acc) - 1], [])
+                              || [b{i}.a || b{i}.b]
+                         ELSE acc || x END) AS s
+         FROM {prev} CROSS JOIN b{i})""")
+        rows.append(f"SELECT {i} AS merge_rank, a AS lhs, b AS rhs, "
+                    f"cnt AS pair_count FROM b{i}")
+    return f"""
+            WITH wt AS (
+              SELECT word, count(*)::BIGINT AS freq
+              FROM (SELECT unnest(string_split(text, ' ')) AS word
+                    FROM documents)
+              WHERE length(word) >= 1 GROUP BY 1),
+            s0 AS (SELECT freq,
+                     list_transform(range(1, length(word) + 1),
+                                    j -> substr(word, j, 1)) AS s
+                   FROM wt),
             {",".join(parts)}
             {" UNION ALL ".join(rows)}
 """
@@ -5007,6 +5063,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "wave_makespan": _wave_makespan_oracle(),
         "wave_makespan_mix": _wave_makespan_mix_oracle(),
+        "bpe_learn": _bpe_learn_oracle(k=6),
         "simhash_band_recall": _simhash_band_recall_oracle(),
         "crawl_priority": f"""
             WITH {_EDGES_CTES},

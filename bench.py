@@ -176,6 +176,11 @@ EXTRA5: tuple[str, ...] = (
     "normalize_text_nfkc",
     "wave_makespan_mix",
     "community_quarantine",
+    # bpe_learn at sf0.1 is ~5 s warm, nearly all of it the 6 rounds'
+    # fixed scheduling (agg + argmax + checkpoint per round over a
+    # 31-word-type table) — the corpus contributes ONE pass; at real
+    # scale the rounds cost |vocabulary|, not |corpus|.
+    "bpe_learn",
 )
 
 # Round-4 operators the r4 DRIVER run never reached (its budget cut the

@@ -1297,6 +1297,92 @@ def tfidf_top_terms(df: DataFrame, k: int = 3, key: str = "doc_id",
     )
 
 
+def bpe_learn(df: DataFrame, k: int = 6, col: str = "text") -> DataFrame:
+    """Deterministic BPE merge LEARNING (Sennrich et al. 2016) — the full
+    iterative trainer whose single counting round :func:`bpe_pair_counts`
+    exposes: k rounds of (count adjacent symbol pairs over the word-TYPE
+    frequency table → merge the most frequent pair everywhere), returning
+    the learned merge table (merge_rank, lhs, rhs, pair_count) — the
+    artifact a BPE tokenizer ships.
+
+    Determinism contract: pair counts are exact BIGINT sums over word
+    frequencies; the argmax tie-breaks on (count desc, lhs asc, rhs asc);
+    the merge applies GREEDY LEFT-TO-RIGHT NON-OVERLAPPING via an array
+    fold — ``acc`` ends with lhs and x = rhs → replace the tail with
+    lhs||rhs, else append. The fold can never re-merge a just-created
+    symbol in the same round (lhs||rhs = lhs needs an empty rhs), so
+    'aaaa' under (a,a) yields [aa, aa] exactly like the reference
+    implementation. The DuckDB oracle mirrors with ``list_reduce`` over
+    single-element lists (same init state as the empty-acc fold after
+    one step) and unrolled rounds.
+
+    Scale shape: the textbook BPE trick — after ONE corpus pass
+    collapses text to the distinct-word frequency table, every round
+    touches only |vocabulary| rows (array-accumulator folds fall out of
+    codegen, but over word types that is thousands of short arrays, not
+    the corpus — the round-3 HOF-accumulator gotcha does not bite).
+    Rounds are localCheckpoint-truncated like every iterative operator
+    here. Zero-length words are filtered on both engines (DuckDB's
+    list_reduce errors on an empty list). If the pair supply runs out
+    before k rounds (no word has >= 2 symbols left), later rounds yield
+    no row and the merge table simply stops early — identically on both
+    engines (empty argmax → empty cross join), pytest-pinned.
+    """
+    wt = (
+        df.select(F.explode(F.split(F.col(col), " ")).alias("word"))
+        .filter(F.length("word") >= 1)
+        .groupBy("word").agg(F.count("*").alias("freq"))
+    )
+    cur = wt.select(
+        "freq",
+        F.expr("transform(sequence(1, length(word)), "
+               "i -> substring(word, i, 1))").alias("s"),
+    ).localCheckpoint(eager=True)
+    merges = []
+    for r in range(1, k + 1):
+        pairs = (
+            cur.filter(F.size("s") >= 2)
+            .select(
+                "freq",
+                F.explode(F.expr(
+                    "transform(sequence(1, size(s) - 1), "
+                    "i -> struct(element_at(s, i) AS a, "
+                    "element_at(s, i + 1) AS b))")).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = (
+            pairs.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b")).limit(1)
+            .select(F.col("a").alias("__a"), F.col("b").alias("__b"),
+                    F.col("cnt"))
+            .localCheckpoint(eager=True)
+        )
+        merges.append(best.select(
+            F.lit(r).alias("merge_rank"),
+            F.col("__a").alias("lhs"), F.col("__b").alias("rhs"),
+            F.col("cnt").alias("pair_count"),
+        ))
+        cur = (
+            cur.crossJoin(F.broadcast(best))
+            .select(
+                "freq",
+                F.expr(
+                    "aggregate(s, cast(array() as array<string>), "
+                    "(acc, x) -> if(size(acc) > 0 "
+                    "AND element_at(acc, -1) = __a AND x = __b, "
+                    "concat(slice(acc, 1, size(acc) - 1), "
+                    "array(concat(__a, __b))), "
+                    "concat(acc, array(x))))").alias("s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
+
+
 def bpe_pair_counts(df: DataFrame, col: str = "text",
                     k: int = 200) -> DataFrame:
     """Tokenizer-training prep: adjacent-symbol pair frequencies — the

@@ -2598,3 +2598,24 @@ def test_wave_makespan_mixture_matches_reference(spark):
             assert r["share"] == round(ms * 1.0 / makespan, 4) or \
                 abs(r["share"] - ms / makespan) < 5e-5
         assert {c for (bb, c) in got if bb == b} == set(owned)
+
+
+def test_bpe_learn_greedy_merges_and_exhaustion(spark):
+    """Hand-checkable corpus: 'aaaa' x3 + 'ab' x1. Round 1 merges (a,a)
+    with count 9 (three overlapping pairs per word, greedy non-overlap
+    applies [aa, aa]); round 2 merges (aa,aa) count 3; round 3 (a,b)
+    count 1; the pair supply is then exhausted and the merge table just
+    stops — k larger than the supply yields fewer rows, identically on
+    both engines."""
+    from ollama_ocr_spark.operators.textstats import bpe_learn
+
+    df = spark.createDataFrame(
+        [(1, "aaaa aaaa"), (2, "aaaa ab")], ["doc_id", "text"])
+    rows = {r["merge_rank"]: r for r in bpe_learn(df, k=5).collect()}
+    assert len(rows) == 3                      # supply exhausted at 3
+    assert (rows[1]["lhs"], rows[1]["rhs"], rows[1]["pair_count"]) \
+        == ("a", "a", 9)
+    assert (rows[2]["lhs"], rows[2]["rhs"], rows[2]["pair_count"]) \
+        == ("aa", "aa", 3)
+    assert (rows[3]["lhs"], rows[3]["rhs"], rows[3]["pair_count"]) \
+        == ("a", "b", 1)
