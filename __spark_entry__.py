@@ -1923,6 +1923,31 @@ def q_wave_makespan(spark, sf_dir):
     return wave_makespan(_latest_pages(spark, sf_dir))
 
 
+def q_community_budget(spark, sf_dir):
+    """Quarantine-gated fetch-budget reallocation across LPA communities
+    — the action community_quarantine's verdict feeds: quarantined
+    communities (the spam clique's two halves) are zeroed and their
+    share flows pro-rata to clean communities; all-integer div
+    allocation (the crawl_budget idiom). Spam/loner hosts get
+    deterministic synthetic url counts so the gate has mass to take
+    away; real hosts own one url per document."""
+    from ollama_ocr_spark.operators.linkgraph import community_budget
+
+    quar = q_community_quarantine(spark, sf_dir)
+    pages = _latest_pages(spark, sf_dir)
+    from ollama_ocr_spark.operators.maintenance import host_expr
+
+    real = pages.select(host_expr().alias("host")).groupBy("host").agg(
+        F.count("*").alias("n_urls"))
+    extra = spark.createDataFrame(
+        [(f"spam{i}.junk", 30 + i) for i in range(5)]
+        + [("lone.junk", 12), ("tiny.shop", 3)],
+        "host string, n_urls bigint",
+    )
+    return community_budget(quar, real.unionByName(extra),
+                            total_budget=10000)
+
+
 def q_bpe_learn(spark, sf_dir):
     """Deterministic BPE merge learning, 6 rounds over the word-type
     frequency table: exact BIGINT pair counts, (count desc, lhs, rhs)
@@ -2733,6 +2758,7 @@ _QUERIES = {
         "wave_makespan_mix": q_wave_makespan_mix,
         "community_quarantine": q_community_quarantine,
         "bpe_learn": q_bpe_learn,
+        "community_budget": q_community_budget,
         # --- driver-sampled in r1-r4 (green in CORRECTNESS_r0*) ---
         "selection_drift": q_selection_drift,
         "filter_attribution": q_filter_attribution,
@@ -3407,6 +3433,46 @@ SELECT r.community, r.n_hosts, r.n_docs, r.n_ok,
        coalesce(i.intra_mass, 0)::BIGINT AS intra_mass
 FROM rep r LEFT JOIN intra i ON i.community = r.community
 """
+
+
+# community_quarantine fixture + verdict chain (requires _EDGES_CTES and
+# _DOMQ_CTES before it): the 5-host spam clique, augmented edges, LPA
+# labels, pooled quality, and the verdict view ``cqv(host, community,
+# n_docs, n_ok, host_rate, comm_n_docs, comm_n_ok, comm_rate,
+# verdict_basis, quarantined)``. Shared by community_quarantine and
+# community_budget (compose, don't re-paste).
+def _build_quar_ctes() -> str:
+    return f"""sph AS (SELECT 'spam' || i || '.junk' AS h
+        FROM (SELECT unnest(range(5)) AS i)),
+spe AS (SELECT a.h AS src_host, b.h AS dst_host, 25::BIGINT AS n_links
+        FROM sph a, sph b WHERE a.h <> b.h),
+edges_aug AS (SELECT * FROM edges UNION ALL SELECT * FROM spe),
+{_communities_ctes(4, src="edges_aug")},
+hq AS (SELECT host, n_docs, n_ok FROM dqg
+       UNION ALL SELECT h, 8::BIGINT, 0::BIGINT FROM sph
+       UNION ALL SELECT 'lone.junk', 5::BIGINT, 1::BIGINT
+       UNION ALL SELECT 'tiny.shop', 3::BIGINT, 3::BIGINT),
+jq AS (SELECT hq.host, coalesce(l.community, hq.host) AS community,
+              n_docs, n_ok
+       FROM hq LEFT JOIN labs l ON l.host = hq.host),
+cm AS (SELECT community, sum(n_docs)::BIGINT AS comm_n_docs,
+              sum(n_ok)::BIGINT AS comm_n_ok
+       FROM jq GROUP BY 1),
+cqv AS (
+  SELECT j.host, j.community, j.n_docs, j.n_ok,
+         round(j.n_ok * 1.0 / j.n_docs, 4) AS host_rate,
+         c.comm_n_docs, c.comm_n_ok,
+         round(c.comm_n_ok * 1.0 / c.comm_n_docs, 4) AS comm_rate,
+         CASE WHEN c.comm_n_docs >= 15 THEN 'community'
+              ELSE 'host' END AS verdict_basis,
+         CASE WHEN c.comm_n_docs >= 15
+              THEN c.comm_n_ok * 1.0 / c.comm_n_docs < 0.85
+              ELSE j.n_docs >= 5 AND j.n_ok * 1.0 / j.n_docs < 0.85
+              END AS quarantined
+  FROM jq j JOIN cm c USING (community))"""
+
+
+_QUAR_CTES = _build_quar_ctes()
 
 
 def _trustrank_ctes(iterations: int = 3) -> str:
@@ -6364,33 +6430,34 @@ def oracle_sql() -> dict[str, str]:
         "community_quarantine": f"""
 WITH {_EDGES_CTES},
 {_DOMQ_CTES},
-sph AS (SELECT 'spam' || i || '.junk' AS h
-        FROM (SELECT unnest(range(5)) AS i)),
-spe AS (SELECT a.h AS src_host, b.h AS dst_host, 25::BIGINT AS n_links
-        FROM sph a, sph b WHERE a.h <> b.h),
-edges_aug AS (SELECT * FROM edges UNION ALL SELECT * FROM spe),
-{_communities_ctes(4, src="edges_aug")},
-hq AS (SELECT host, n_docs, n_ok FROM dqg
-       UNION ALL SELECT h, 8::BIGINT, 0::BIGINT FROM sph
-       UNION ALL SELECT 'lone.junk', 5::BIGINT, 1::BIGINT
-       UNION ALL SELECT 'tiny.shop', 3::BIGINT, 3::BIGINT),
-jq AS (SELECT hq.host, coalesce(l.community, hq.host) AS community,
-              n_docs, n_ok
-       FROM hq LEFT JOIN labs l ON l.host = hq.host),
-cm AS (SELECT community, sum(n_docs)::BIGINT AS comm_n_docs,
-              sum(n_ok)::BIGINT AS comm_n_ok
-       FROM jq GROUP BY 1)
-SELECT j.host, j.community, j.n_docs, j.n_ok,
-       round(j.n_ok * 1.0 / j.n_docs, 4) AS host_rate,
-       c.comm_n_docs, c.comm_n_ok,
-       round(c.comm_n_ok * 1.0 / c.comm_n_docs, 4) AS comm_rate,
-       CASE WHEN c.comm_n_docs >= 15 THEN 'community'
-            ELSE 'host' END AS verdict_basis,
-       CASE WHEN c.comm_n_docs >= 15
-            THEN c.comm_n_ok * 1.0 / c.comm_n_docs < 0.85
-            ELSE j.n_docs >= 5 AND j.n_ok * 1.0 / j.n_docs < 0.85
-            END AS quarantined
-FROM jq j JOIN cm c USING (community)
+{_QUAR_CTES}
+SELECT host, community, n_docs, n_ok, host_rate, comm_n_docs, comm_n_ok,
+       comm_rate, verdict_basis, quarantined
+FROM cqv
+        """,
+        "community_budget": f"""
+WITH {_EDGES_CTES},
+{_DOMQ_CTES},
+{_QUAR_CTES},
+hu AS (SELECT host, n_docs AS n_urls FROM dqg
+       UNION ALL SELECT h, 30 + CAST(substr(h, 5, 1) AS BIGINT) FROM sph
+       UNION ALL SELECT 'lone.junk', 12::BIGINT
+       UNION ALL SELECT 'tiny.shop', 3::BIGINT),
+cb AS (SELECT q.community,
+              count(*)::BIGINT AS n_hosts,
+              sum(coalesce(hu.n_urls, 0))::BIGINT AS n_urls,
+              bool_or(q.quarantined) AS quarantined
+       FROM cqv q LEFT JOIN hu ON hu.host = q.host
+       GROUP BY 1),
+cw AS (SELECT community, n_hosts, n_urls, quarantined,
+              CASE WHEN quarantined THEN 0::BIGINT
+                   ELSE n_urls END AS weight
+       FROM cb),
+tw AS (SELECT sum(weight)::BIGINT AS t FROM cw)
+SELECT community, n_hosts, n_urls, quarantined, weight,
+       CASE WHEN tw.t > 0 THEN (10000 * weight) // tw.t
+            ELSE 0 END::BIGINT AS budget
+FROM cw CROSS JOIN tw
         """,
         # crawl_diff: arithmetic prediction of the digest compare —
         # doc_id % 5 == 0 urls are re-crawled (corpus.capture_rows);

@@ -354,6 +354,49 @@ def community_quarantine(labels: DataFrame, host_quality: DataFrame,
     )
 
 
+def community_budget(quarantine: DataFrame, host_urls: DataFrame,
+                     total_budget: int = 10000) -> DataFrame:
+    """Fetch-budget reallocation across communities under the
+    :func:`community_quarantine` gate — the action the verdict feeds: a
+    quarantined community's weight is ZEROED and its share flows
+    pro-rata to clean communities, so crawler capacity stops subsidizing
+    link farms the moment the verdict lands. Weight = community url
+    count (clean) or 0 (quarantined); ``budget = (total * weight) div
+    Σweight`` — all-integer (the crawl_budget idiom), bit-identical on
+    any engine.
+
+    Inputs: quarantine = community_quarantine output (host, community,
+    quarantined — identical within a pooled community by construction);
+    host_urls (host, n_urls) — hosts absent from it own 0 urls. Output:
+    (community, n_hosts, n_urls, quarantined, weight, budget). Scale
+    shape: host-table joins + a |communities| rollup; the 1-row grand
+    total broadcasts.
+    """
+    j = (
+        quarantine.select("host", "community", "quarantined")
+        .join(host_urls, "host", "left")
+        .withColumn("n_urls", F.coalesce(F.col("n_urls"), F.lit(0)))
+    )
+    per = j.groupBy("community").agg(
+        F.count("*").alias("n_hosts"),
+        F.sum("n_urls").cast("bigint").alias("n_urls"),
+        (F.max(F.col("quarantined").cast("int")) == 1).alias("quarantined"),
+    )
+    weighted = per.withColumn(
+        "weight",
+        F.when(F.col("quarantined"), F.lit(0).cast("bigint"))
+        .otherwise(F.col("n_urls")),
+    )
+    tot = weighted.agg(F.sum("weight").alias("__tw"))
+    return weighted.crossJoin(F.broadcast(tot)).select(
+        "community", "n_hosts", "n_urls", "quarantined", "weight",
+        F.when(
+            F.col("__tw") > 0,
+            F.expr(f"({total_budget} * weight) div __tw"),
+        ).otherwise(F.lit(0).cast("bigint")).alias("budget"),
+    )
+
+
 def anchor_text_stats(pages: DataFrame) -> DataFrame:
     """(dst_host, anchor, n_links): inbound anchor-text counts per target
     host — the classic target-description signal (inbound anchor text

@@ -376,3 +376,31 @@ def test_community_quarantine_pooling_both_ways(spark):
     assert out["tiny.shop"]["verdict_basis"] == "host"
     assert not out["tiny.shop"]["quarantined"]
     assert out["a.com"]["comm_rate"] == round(12 / 22.0, 4)
+
+
+def test_community_budget_zeroes_quarantined(spark):
+    """Quarantined communities get zero budget and their mass flows
+    pro-rata to clean communities (integer div); hosts missing from the
+    url table count as zero urls; an all-quarantined input allocates
+    nothing rather than dividing by zero."""
+    from ollama_ocr_spark.operators.linkgraph import community_budget
+
+    quar = spark.createDataFrame(
+        [("a.com", "X", False), ("b.com", "X", False),
+         ("s1.junk", "S", True), ("s2.junk", "S", True)],
+        ["host", "community", "quarantined"],
+    )
+    urls = spark.createDataFrame(
+        [("a.com", 60), ("s1.junk", 500), ("s2.junk", 500)],
+        ["host", "n_urls"],
+    )  # b.com absent -> 0 urls
+    out = {r["community"]: r
+           for r in community_budget(quar, urls, total_budget=1000).collect()}
+    assert out["S"]["quarantined"] and out["S"]["weight"] == 0
+    assert out["S"]["budget"] == 0 and out["S"]["n_urls"] == 1000
+    assert out["X"]["n_hosts"] == 2 and out["X"]["n_urls"] == 60
+    assert out["X"]["budget"] == 1000        # all mass reflows to X
+
+    allq = quar.withColumn("quarantined", quar.quarantined | True)
+    out2 = community_budget(allq, urls, total_budget=1000).collect()
+    assert all(r["budget"] == 0 for r in out2)
