@@ -1960,6 +1960,25 @@ def q_bpe_learn(spark, sf_dir):
     return bpe_learn(_docs(spark, sf_dir), k=6)
 
 
+def q_snapshot_gc_report(spark, sf_dir):
+    """Snapshot-GC audit over the icetbl lifecycle: three single-file
+    appends (doc_id % 3 slices), compact-to-one, expire(keep_last=1)
+    which must reclaim exactly the 3 pre-compaction files. n_rows is
+    read back THROUGH the snapshot layer, so the oracle comparison
+    verifies commit atomicity + time-travel bookkeeping end-to-end; the
+    oracle predicts every row arithmetically from documents."""
+    import shutil
+    import tempfile
+
+    from ollama_ocr_spark.sources.icetbl import snapshot_lifecycle_report
+
+    root = tempfile.mkdtemp(prefix="icetbl_gc_")
+    try:
+        return snapshot_lifecycle_report(spark, _docs(spark, sf_dir), root)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_wave_makespan_mix(spark, sf_dir):
     """Fetch simulator with a latency MIXTURE: hosts draw cdn/origin/
     tarpit classes (salted md5 buckets, class-conditional integer
@@ -2759,6 +2778,7 @@ _QUERIES = {
         "community_quarantine": q_community_quarantine,
         "bpe_learn": q_bpe_learn,
         "community_budget": q_community_budget,
+        "snapshot_gc_report": q_snapshot_gc_report,
         # --- driver-sampled in r1-r4 (green in CORRECTNESS_r0*) ---
         "selection_drift": q_selection_drift,
         "filter_attribution": q_filter_attribution,
@@ -6458,6 +6478,28 @@ SELECT community, n_hosts, n_urls, quarantined, weight,
        CASE WHEN tw.t > 0 THEN (10000 * weight) // tw.t
             ELSE 0 END::BIGINT AS budget
 FROM cw CROSS JOIN tw
+        """,
+        # snapshot_gc_report: the icetbl lifecycle is fully determined by
+        # the doc_id % 3 slice sizes — single-file appends (repartition(1))
+        # make file counts exact literals, compaction rewrites to 1 file,
+        # and expire(keep_last=1) reclaims exactly the 3 pre-compaction
+        # files (the rewritten file is the only live reference).
+        "snapshot_gc_report": """
+WITH n AS (SELECT count(*) FILTER (WHERE doc_id % 3 = 0) AS na,
+                  count(*) FILTER (WHERE doc_id % 3 = 1) AS nb,
+                  count(*) AS nt
+           FROM documents)
+SELECT s.step::BIGINT AS step, s.phase, s.snapshot_id::BIGINT AS snapshot_id,
+       s.n_files::BIGINT AS n_files,
+       (CASE s.rk WHEN 0 THEN n.na WHEN 1 THEN n.na + n.nb
+                  ELSE n.nt END)::BIGINT AS n_rows,
+       s.reclaimed_files::BIGINT AS reclaimed_files
+FROM n, (VALUES (1, 'append', 1, 1, 0, 0),
+                (2, 'append', 2, 2, 1, 0),
+                (3, 'append', 3, 3, 2, 0),
+                (4, 'compact', 4, 1, 3, 0),
+                (5, 'expire', 4, 1, 3, 3))
+       AS s(step, phase, snapshot_id, n_files, rk, reclaimed_files)
         """,
         # crawl_diff: arithmetic prediction of the digest compare —
         # doc_id % 5 == 0 urls are re-crawled (corpus.capture_rows);

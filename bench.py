@@ -181,6 +181,10 @@ EXTRA5: tuple[str, ...] = (
     # 31-word-type table) — the corpus contributes ONE pass; at real
     # scale the rounds cost |vocabulary|, not |corpus|.
     "bpe_learn",
+    "community_budget",
+    # snapshot_gc_report times the icetbl lifecycle itself (3 distributed
+    # appends + compact + expire over a doc_id-only projection).
+    "snapshot_gc_report",
 )
 
 # Round-4 operators the r4 DRIVER run never reached (its budget cut the

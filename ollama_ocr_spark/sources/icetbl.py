@@ -33,6 +33,7 @@ import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.errors.exceptions.captured import AnalysisException
 
 
@@ -199,6 +200,58 @@ class IceTable:
                     deleted.append(f)
             os.remove(self._snapshot_path(sid))
         return sorted(set(deleted))
+
+
+def snapshot_lifecycle_report(spark: SparkSession, docs: DataFrame,
+                              root: str) -> DataFrame:
+    """Snapshot-GC audit over the full :class:`IceTable` lifecycle — the
+    maintenance report an Iceberg operator reads before/after running
+    ``rewrite_data_files`` + ``expire_snapshots`` (the reference's
+    append-per-run output dir has no snapshot story at all; this is the
+    table-format side of resumability, SURVEY.md §2 N5).
+
+    Drives a deterministic scenario against a fresh table at ``root``:
+    three single-file appends (``doc_id % 3`` slices of ``docs``,
+    repartitioned to 1 so file counts are exact), one compaction to a
+    single rewritten file, then ``expire_snapshots(keep_last=1)`` which
+    must reclaim exactly the three pre-compaction data files (the
+    rewritten file is the only live reference). Emits one row per
+    lifecycle step::
+
+        (step, phase, snapshot_id, n_files, n_rows, reclaimed_files)
+
+    ``n_rows`` is read back THROUGH the snapshot layer (``tbl.read``), so
+    the row verifies commit atomicity + read path, not just bookkeeping.
+    The result is a collected 5-row table (bounded: 5 counts + 5 scalar
+    rows — driver-side by design, like shard_manifest's verification
+    row). Scale shape: each append/compact is a distributed write; the
+    audit itself touches only the snapshot log.
+    """
+    tbl = IceTable(root)
+    slim = docs.select("doc_id")
+    rows: list[tuple] = []
+    step = 0
+    for k in range(3):
+        sid = tbl.append(slim.filter(F.col("doc_id") % 3 == k).repartition(1))
+        snap = tbl.snapshot(sid)
+        step += 1
+        rows.append((step, "append", sid, len(snap.files),
+                     tbl.read(spark).count(), 0))
+    sid = tbl.compact(spark, target_files=1)
+    snap = tbl.snapshot(sid)
+    step += 1
+    rows.append((step, "compact", sid, len(snap.files),
+                 tbl.read(spark).count(), 0))
+    deleted = tbl.expire_snapshots(keep_last=1)
+    snap = tbl.snapshot()
+    step += 1
+    rows.append((step, "expire", snap.snapshot_id, len(snap.files),
+                 tbl.read(spark).count(), len(deleted)))
+    return spark.createDataFrame(
+        rows,
+        "step bigint, phase string, snapshot_id bigint, n_files bigint, "
+        "n_rows bigint, reclaimed_files bigint",
+    )
 
 
 class CatalogTable:

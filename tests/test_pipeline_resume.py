@@ -218,3 +218,27 @@ def test_pipeline_resume_no_duplicates(spark, documents_smoke, tmp_path):
     total = metrics.agg(F.sum("doc_count")).collect()[0][0]
     assert total == documents_smoke.count()
     assert metrics.filter(F.col("checksum").isNull()).count() == 0
+
+
+def test_snapshot_lifecycle_report_rows(spark, tmp_path):
+    """The GC-audit report emits one row per lifecycle step with exact
+    file accounting: single-file appends, compact-to-one, and expire
+    reclaiming precisely the three pre-compaction files; n_rows is read
+    back through the snapshot layer at every step."""
+    import glob
+
+    from ollama_ocr_spark.sources.icetbl import snapshot_lifecycle_report
+
+    docs = spark.range(30).withColumnRenamed("id", "doc_id")
+    root = str(tmp_path / "gc")
+    out = {r["step"]: r
+           for r in snapshot_lifecycle_report(spark, docs, root).collect()}
+    assert [out[s]["phase"] for s in (1, 2, 3, 4, 5)] == [
+        "append", "append", "append", "compact", "expire"]
+    assert [out[s]["n_files"] for s in (1, 2, 3, 4, 5)] == [1, 2, 3, 1, 1]
+    assert out[1]["n_rows"] == 10 and out[2]["n_rows"] == 20
+    assert out[3]["n_rows"] == out[4]["n_rows"] == out[5]["n_rows"] == 30
+    assert out[5]["reclaimed_files"] == 3 and out[5]["snapshot_id"] == 4
+    # disk state matches the live snapshot exactly after GC
+    on_disk = glob.glob(root + "/data/*.parquet")
+    assert len(on_disk) == 1
