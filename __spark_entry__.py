@@ -1979,6 +1979,62 @@ def q_snapshot_gc_report(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined vs fixed-stride chunking under an INSERTION edit:
+    every doc_id%11==0 doc gets a copy with three words prepended
+    (doc_id+5000000), both corpora are chunked by cdc_chunk_documents
+    (gear window 8, 2^4 boundary mask) AND chunk_documents (32/24), and
+    per planted pair we count distinct chunk digests shared between
+    original and edited copy. CDC re-synchronizes after the first
+    boundary (shared_rate near 1); the fixed grid misaligns every
+    window (near 0) — the measured case for content-defined chunking in
+    a dedup pipeline. Reference analog: none (corpus-prep surface)."""
+    from ollama_ocr_spark.operators.dedup import ensure_parallelism
+    from ollama_ocr_spark.operators.textstats import (cdc_chunk_documents,
+                                                      chunk_documents)
+
+    docs = (_docs(spark, sf_dir).select("doc_id", "text")
+            .filter(F.col("doc_id") % 11 == 0))
+    copies = docs.select(
+        (F.col("doc_id") + 5000000).alias("doc_id"),
+        F.concat(F.lit("xq zr wv "), F.col("text")).alias("text"),
+    )
+    # Heavy per-row HOF work (hash transform + O(n*w) gear filter) runs
+    # BEFORE the first shuffle — the ensure_parallelism-pays shape.
+    both = ensure_parallelism(docs.unionByName(copies))
+
+    def pair_stats(chunks, pfx):
+        dd = chunks.select("doc_id", F.md5("chunk").alias("d")).distinct()
+        orig = dd.filter(F.col("doc_id") < 5000000)
+        copy = dd.filter(F.col("doc_id") >= 5000000).select(
+            (F.col("doc_id") - 5000000).alias("doc_id"), "d"
+        )
+        n = orig.groupBy("doc_id").agg(F.count("*").alias(f"{pfx}_chunks"))
+        s = orig.join(copy, ["doc_id", "d"]).groupBy("doc_id").agg(
+            F.count("*").alias(f"{pfx}_shared")
+        )
+        return n.join(s, "doc_id", "left").select(
+            "doc_id",
+            f"{pfx}_chunks",
+            F.coalesce(F.col(f"{pfx}_shared"), F.lit(0).cast("bigint"))
+            .alias(f"{pfx}_shared"),
+        )
+
+    c = pair_stats(cdc_chunk_documents(both), "cdc")
+    x = pair_stats(chunk_documents(both, size=32, stride=24), "fixed")
+    return c.join(x, "doc_id").select(
+        F.col("doc_id").alias("orig_id"),
+        "cdc_chunks",
+        "cdc_shared",
+        F.round(F.col("cdc_shared") / F.col("cdc_chunks"), 4)
+        .alias("cdc_rate"),
+        "fixed_chunks",
+        "fixed_shared",
+        F.round(F.col("fixed_shared") / F.col("fixed_chunks"), 4)
+        .alias("fixed_rate"),
+    )
+
+
 def q_wave_makespan_mix(spark, sf_dir):
     """Fetch simulator with a latency MIXTURE: hosts draw cdn/origin/
     tarpit classes (salted md5 buckets, class-conditional integer
@@ -2722,6 +2778,7 @@ _QUERIES = {
         # band plus training_batches (a composite of pieces verified on
         # their own), all judge-green in r4 and swept every sitting.
         # --- round-5 additions (insert new queries HERE) ---
+        "cdc_chunks": q_cdc_chunks,
         "host_communities": q_host_communities,
         "normalize_text_nfkc": q_normalize_text_nfkc,
         "wave_makespan_mix": q_wave_makespan_mix,
@@ -6480,6 +6537,72 @@ SELECT community, n_hosts, n_urls, quarantined, weight,
        CASE WHEN tw.t > 0 THEN (10000 * weight) // tw.t
             ELSE 0 END::BIGINT AS budget
 FROM cw CROSS JOIN tw
+        """,
+        # cdc_chunks: the gear value at position i is the closed form
+        # sum(u[t] * 2^(L-t)) over the last L = least(8, i) md5-u32 token
+        # hashes — integer-identical to the engine's acc*2+u fold; the
+        # fixed-stride twin reuses _chunk_ctes. Shared-digest counts are
+        # DISTINCT-set intersections per planted (orig, +5000000) pair.
+        "cdc_chunks": f"""
+WITH marked AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 11 = 0
+),
+alldocs AS (
+  SELECT doc_id, text FROM marked
+  UNION ALL
+  SELECT doc_id + 5000000 AS doc_id, 'xq zr wv ' || text AS text
+  FROM marked
+),
+cdw AS (SELECT doc_id, string_split(text, ' ') AS w FROM alldocs),
+cdh AS (
+  SELECT doc_id, w,
+         list_transform(w, x -> {_md5_u32_sql('x')}) AS u
+  FROM cdw),
+cdb AS (
+  SELECT doc_id, w,
+         list_filter(range(1, len(w) + 1), i ->
+           i = len(w) OR
+           list_sum(list_transform(range(1, least(8, i) + 1), t ->
+             u[i - least(8, i) + t]
+             * power(2, least(8, i) - t)::BIGINT)) % 16 = 0
+         ) AS b
+  FROM cdh),
+cdk AS (SELECT doc_id, w, b, unnest(range(1, len(b) + 1)) AS k FROM cdb),
+cdcch AS (
+  SELECT doc_id,
+         md5(coalesce(array_to_string(
+           w[(CASE WHEN k = 1 THEN 0 ELSE b[k - 1] END) + 1 : b[k]],
+           ' '), '')) AS d
+  FROM cdk),
+cdcd AS (SELECT DISTINCT doc_id, d FROM cdcch),
+{_chunk_ctes('alldocs')},
+fixd AS (SELECT DISTINCT doc_id, md5(chunk) AS d FROM chunks),
+pools AS (
+  SELECT 'cdc' AS kind, doc_id, d FROM cdcd
+  UNION ALL
+  SELECT 'fixed' AS kind, doc_id, d FROM fixd
+),
+orig AS (SELECT kind, doc_id, d FROM pools WHERE doc_id < 5000000),
+cpy AS (SELECT kind, doc_id - 5000000 AS doc_id, d FROM pools
+        WHERE doc_id >= 5000000),
+nch AS (SELECT kind, doc_id, count(*)::BIGINT AS n_chunks
+        FROM orig GROUP BY 1, 2),
+nsh AS (SELECT o.kind, o.doc_id, count(*)::BIGINT AS n_shared
+        FROM orig o
+        JOIN cpy c ON o.kind = c.kind AND o.doc_id = c.doc_id
+                  AND o.d = c.d
+        GROUP BY 1, 2),
+m AS (SELECT nch.kind, nch.doc_id, nch.n_chunks,
+             coalesce(nsh.n_shared, 0)::BIGINT AS n_shared
+      FROM nch LEFT JOIN nsh
+        ON nch.kind = nsh.kind AND nch.doc_id = nsh.doc_id)
+SELECT c.doc_id AS orig_id,
+       c.n_chunks AS cdc_chunks, c.n_shared AS cdc_shared,
+       round(c.n_shared / c.n_chunks, 4) AS cdc_rate,
+       f.n_chunks AS fixed_chunks, f.n_shared AS fixed_shared,
+       round(f.n_shared / f.n_chunks, 4) AS fixed_rate
+FROM m c JOIN m f ON c.doc_id = f.doc_id
+WHERE c.kind = 'cdc' AND f.kind = 'fixed'
         """,
         # snapshot_gc_report: the icetbl lifecycle is fully determined by
         # the doc_id % 3 slice sizes — single-file appends (repartition(1))

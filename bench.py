@@ -185,6 +185,9 @@ EXTRA5: tuple[str, ...] = (
     # snapshot_gc_report times the icetbl lifecycle itself (3 distributed
     # appends + compact + expire over a doc_id-only projection).
     "snapshot_gc_report",
+    # cdc_chunks runs BOTH chunkers (gear-window CDC + fixed 32/24) over
+    # the doc_id%11 slice plus its planted insertion copies.
+    "cdc_chunks",
 )
 
 # Round-4 operators the r4 DRIVER run never reached (its budget cut the

@@ -1617,6 +1617,97 @@ def chunk_documents(df: DataFrame, key: str = "doc_id", col: str = "text",
     )
 
 
+def cdc_chunk_documents(df: DataFrame, key: str = "doc_id",
+                        col: str = "text", window: int = 8,
+                        mask_bits: int = 4) -> DataFrame:
+    """Content-defined chunking (FastCDC/rolling-hash family, word
+    granularity): a position ends a chunk when a windowed gear value over
+    the last ``window`` token hashes lands on a ``2**mask_bits`` boundary
+    (expected chunk length ≈ 2**mask_bits tokens). Because boundaries
+    depend only on local CONTENT, an insertion near the top of a document
+    shifts every downstream position but re-synchronizes at the first
+    unaffected boundary — the exact failure mode of fixed-stride
+    :func:`chunk_documents`, where one prepended word misaligns every
+    window. This is the dedup-friendly chunking large corpus pipelines
+    use before chunk-level exact dedup (:func:`~ollama_ocr_spark.
+    operators.dedup.dedup_chunks` composes unchanged: output shape is
+    identical to :func:`chunk_documents`).
+
+    Engine-portable arithmetic: per-token hash is the md5-u32 idiom
+    (first 32 md5 bits as bigint); the gear value at position ``i`` is
+    the shift-accumulate fold ``acc*2 + u`` over the last
+    ``least(window, i)`` hashes — integer-exact and equal to
+    ``sum(u[t] * 2^(L-t))``, the closed form the DuckDB oracle computes
+    (no fold primitive needed there). Values stay < 2^(32+window), well
+    inside bigint.
+
+    Scale shape: one pass of native array HOFs per document (hash
+    transform, boundary filter, slice transform — all whole-stage
+    codegen, O(n·window) element ops), then one posexplode; chunks never
+    leave the row until the explode and no shuffle happens here at all.
+    Both computed arrays are ``_let``-bound (HOF free-variable trap).
+
+    Output: (key, chunk_id, n_words, chunk).
+    """
+    from ollama_ocr_spark.operators.dedup import _let
+
+    if window <= 0:
+        raise ValueError(f"window must be positive, got {window}")
+    if mask_bits <= 0 or mask_bits > 20:
+        raise ValueError(f"mask_bits must be in 1..20, got {mask_bits}")
+    mask = 1 << mask_bits
+
+    def word_hash(w):
+        return F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("bigint")
+
+    def chunks_of(ws):
+        n = F.size(ws)
+
+        def with_hashes(us):
+            def gear(i):
+                ln = F.least(F.lit(window), i)
+                return F.aggregate(
+                    F.slice(us, i - ln + 1, ln),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, u: acc * 2 + u,
+                )
+
+            bounds = F.filter(
+                F.sequence(F.lit(1), n),
+                lambda i: (i == n) | (gear(i) % mask == 0),
+            )
+
+            def slices(bs):
+                def prev(k):
+                    return F.when(k == 1, F.lit(0)).otherwise(
+                        F.element_at(bs, (k - 1).cast("int"))
+                    )
+
+                return F.transform(
+                    F.sequence(F.lit(1), F.size(bs)),
+                    lambda k: F.slice(
+                        ws,
+                        prev(k) + 1,
+                        F.element_at(bs, k.cast("int")) - prev(k),
+                    ),
+                )
+
+            return _let(bounds, slices)
+
+        return _let(F.transform(ws, word_hash), with_hashes)
+
+    chunks = _let(_words(col), chunks_of)
+    out = df.select(
+        F.col(key), F.posexplode(chunks).alias("chunk_id", "__w")
+    )
+    return out.select(
+        key,
+        "chunk_id",
+        F.size("__w").alias("n_words"),
+        F.array_join("__w", " ").alias("chunk"),
+    )
+
+
 def domain_quality(df: DataFrame, host_col: str = "host",
                    col: str = "text", min_docs: int = 5,
                    min_ok_rate: float = 0.5) -> DataFrame:

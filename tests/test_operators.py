@@ -1240,6 +1240,89 @@ def test_chunk_documents_windows(spark):
     assert by_doc[2][0]["n_words"] == 2
 
 
+def test_cdc_chunk_documents_properties(spark):
+    """Content-defined chunking invariants: (a) chunks partition the
+    exact word sequence (reassembly is byte-identical), (b) boundaries
+    match a pure-Python reimplementation of the gear rule (the
+    acc*2+u fold over a window-8 md5-u32 slice), (c) a 3-word prepend
+    shifts positions but re-synchronizes — all chunk digests except the
+    edited head region survive, where fixed-stride chunking shares
+    none."""
+    import hashlib
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ollama_ocr_spark.operators.textstats import (cdc_chunk_documents,
+                                                      chunk_documents)
+
+    rng = random.Random(11)
+    vocab = [f"tok{i}" for i in range(40)]
+    rows = [(d, " ".join(rng.choice(vocab) for _ in range(90 + 17 * d)))
+            for d in range(4)]
+    rows.append((4, "single"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = cdc_chunk_documents(df).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+
+    def py_u32(word):
+        return int(hashlib.md5(word.encode()).hexdigest()[:8], 16)
+
+    def py_chunks(text, window=8, mask=16):
+        ws = text.split(" ")
+        us = [py_u32(w) for w in ws]
+        bounds = []
+        for i in range(1, len(ws) + 1):
+            acc = 0
+            for u in us[max(0, i - window):i]:
+                acc = acc * 2 + u
+            if acc % mask == 0 or i == len(ws):
+                bounds.append(i)
+        out, prev = [], 0
+        for b in bounds:
+            out.append(" ".join(ws[prev:b]))
+            prev = b
+        return out
+
+    for doc_id, text in rows:
+        chunks = sorted(by_doc[doc_id], key=lambda r: r["chunk_id"])
+        assert [r["chunk"] for r in chunks] == py_chunks(text)
+        assert " ".join(r["chunk"] for r in chunks) == text
+        assert all(r["n_words"] == len(r["chunk"].split(" "))
+                   for r in chunks)
+
+    # resync under a prepend edit: CDC shares every digest after the
+    # first boundary; the fixed 32/24 grid of doc 0 (90 words, 4 chunks)
+    # shares none.
+    base = df.filter("doc_id = 0")
+    edited = base.select(
+        (F.col("doc_id") + 100).alias("doc_id"),
+        F.concat(F.lit("aa bb cc "), "text").alias("text"),
+    )
+    both = base.unionByName(edited)
+
+    def digest_sets(chunks_df):
+        out = {}
+        for r in chunks_df.select("doc_id", "chunk").collect():
+            out.setdefault(r["doc_id"], set()).add(r["chunk"])
+        return out
+
+    cdc = digest_sets(cdc_chunk_documents(both))
+    assert len(cdc[0] & cdc[100]) >= len(cdc[0]) - 2
+    fixed = digest_sets(chunk_documents(both, size=32, stride=24))
+    assert not (fixed[0] & fixed[100])
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        cdc_chunk_documents(df, window=0)
+    with pytest.raises(ValueError):
+        cdc_chunk_documents(df, mask_bits=0)
+
+
 def test_cross_corpus_near_dupes(spark):
     from ollama_ocr_spark.operators.dedup import cross_corpus_near_dupes
 
