@@ -2035,6 +2035,17 @@ def q_cdc_chunks(spark, sf_dir):
     )
 
 
+def q_host_reciprocity(spark, sf_dir):
+    """Per-host edge reciprocity over the cross-host outlink graph —
+    mutual = distinct out-neighbors that link back, rate guarded NULL
+    for outlink-less hosts (ANSI divide-guard idiom). The third graph
+    axis next to host_degree_stats and host_triangles."""
+    from ollama_ocr_spark.operators.linkgraph import (host_reciprocity,
+                                                      outlink_edges)
+
+    return host_reciprocity(outlink_edges(_latest_pages(spark, sf_dir)))
+
+
 def q_wave_makespan_mix(spark, sf_dir):
     """Fetch simulator with a latency MIXTURE: hosts draw cdn/origin/
     tarpit classes (salted md5 buckets, class-conditional integer
@@ -2779,6 +2790,7 @@ _QUERIES = {
         # their own), all judge-green in r4 and swept every sitting.
         # --- round-5 additions (insert new queries HERE) ---
         "cdc_chunks": q_cdc_chunks,
+        "host_reciprocity": q_host_reciprocity,
         "host_communities": q_host_communities,
         "normalize_text_nfkc": q_normalize_text_nfkc,
         "wave_makespan_mix": q_wave_makespan_mix,
@@ -6537,6 +6549,33 @@ SELECT community, n_hosts, n_urls, quarantined, weight,
        CASE WHEN tw.t > 0 THEN (10000 * weight) // tw.t
             ELSE 0 END::BIGINT AS budget
 FROM cw CROSS JOIN tw
+        """,
+        # host_reciprocity: distinct directed pairs (edges is already
+        # grouped by (src,dst)), reversed-pair self-join for mutual,
+        # full-outer degree join; rate NULL when out_deg = 0 (the CASE
+        # mirrors Spark's F.when divide guard).
+        "host_reciprocity": f"""
+WITH {_EDGES_CTES},
+de AS (SELECT src_host, dst_host FROM edges
+       WHERE src_host <> dst_host),
+od AS (SELECT src_host AS host, count(*)::BIGINT AS out_deg
+       FROM de GROUP BY 1),
+idg AS (SELECT dst_host AS host, count(*)::BIGINT AS in_deg
+        FROM de GROUP BY 1),
+deg AS (SELECT coalesce(od.host, idg.host) AS host,
+               coalesce(od.out_deg, 0)::BIGINT AS out_deg,
+               coalesce(idg.in_deg, 0)::BIGINT AS in_deg
+        FROM od FULL OUTER JOIN idg ON od.host = idg.host),
+mu AS (SELECT a.src_host AS host, count(*)::BIGINT AS mutual
+       FROM de a JOIN de b
+         ON a.src_host = b.dst_host AND a.dst_host = b.src_host
+       GROUP BY 1)
+SELECT deg.host, deg.out_deg, deg.in_deg,
+       coalesce(mu.mutual, 0)::BIGINT AS mutual,
+       CASE WHEN deg.out_deg > 0
+            THEN round(coalesce(mu.mutual, 0)::BIGINT / deg.out_deg, 4)
+       END AS recip_rate
+FROM deg LEFT JOIN mu ON deg.host = mu.host
         """,
         # cdc_chunks: the gear value at position i is the closed form
         # sum(u[t] * 2^(L-t)) over the last L = least(8, i) md5-u32 token

@@ -188,6 +188,7 @@ EXTRA5: tuple[str, ...] = (
     # cdc_chunks runs BOTH chunkers (gear-window CDC + fixed 32/24) over
     # the doc_id%11 slice plus its planted insertion copies.
     "cdc_chunks",
+    "host_reciprocity",
 )
 
 # Round-4 operators the r4 DRIVER run never reached (its budget cut the

@@ -486,6 +486,59 @@ def host_degree_stats(edges: DataFrame, drop_self: bool = True) -> DataFrame:
     )
 
 
+def host_reciprocity(edges: DataFrame) -> DataFrame:
+    """Per-host edge reciprocity over the directed host graph: how many
+    of a host's distinct out-neighbors link back. Organic communities
+    reciprocate heavily; scraper/mirror hosts have near-zero reciprocity
+    (they link out to sources that never acknowledge them), and link
+    farms show reciprocity ~1 with low trustrank — the third axis next
+    to :func:`host_degree_stats` (volume) and :func:`graph_triangles`
+    (closure). Reference analog: none (crawl-analytics surface).
+
+    Output: (host, out_deg, in_deg, mutual, recip_rate) where mutual =
+    |{n : host→n AND n→host}| and recip_rate = mutual/out_deg rounded
+    4dp (NULL for hosts with no outlinks, matching the oracle's CASE —
+    the ANSI divide-guard idiom). Self-loops are excluded, matching the
+    PageRank/TrustRank edge set.
+
+    Scale shape: one reversed-pair self-join plus the degree aggregate,
+    all on the host-level edge list (tiny vs the corpus); the join key
+    is the (src, dst) pair so hub skew spreads across its neighbor set
+    rather than concentrating on one key.
+    """
+    deg = host_degree_stats(edges).select("host", "out_deg", "in_deg")
+    e = (
+        edges.filter(F.col("src_host") != F.col("dst_host"))
+        .select("src_host", "dst_host")
+        .distinct()
+    )
+    rev = e.select(
+        F.col("dst_host").alias("src_host"),
+        F.col("src_host").alias("dst_host"),
+    )
+    mut = (
+        e.join(rev, ["src_host", "dst_host"])
+        .groupBy(F.col("src_host").alias("host"))
+        .agg(F.count("*").alias("mutual"))
+    )
+    # coalesce under a FRESH name first: aliasing a rebuilt column back
+    # to its input name makes sibling expressions resolve against a mix
+    # of old/new (the Spark 4 select-item resolution trap).
+    j = deg.join(mut, "host", "left").withColumn(
+        "__mutual", F.coalesce(F.col("mutual"), F.lit(0).cast("bigint"))
+    )
+    return j.select(
+        "host",
+        "out_deg",
+        "in_deg",
+        F.col("__mutual").alias("mutual"),
+        F.when(
+            F.col("out_deg") > 0,
+            F.round(F.col("__mutual") / F.col("out_deg"), 4),
+        ).alias("recip_rate"),
+    )
+
+
 def host_topic_labels(anchors: DataFrame, k: int = 3,
                       max_host_pct: int = 50) -> DataFrame:
     """Weak-supervision topic labels per host from inbound anchor text

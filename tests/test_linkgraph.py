@@ -237,6 +237,25 @@ def test_host_degree_stats_tiny_graph(spark):
     assert (c["out_deg"], c["out_links"], c["in_deg"], c["in_links"]) == (0, 0, 2, 8)
 
 
+def test_host_reciprocity_tiny_graph(spark):
+    """Hand graph: a↔b mutual, a→c unreciprocated, c outlink-less (rate
+    NULL via the divide guard), self-loop excluded."""
+    from ollama_ocr_spark.operators.linkgraph import host_reciprocity
+
+    edges = spark.createDataFrame(
+        [("a", "a", 99),   # self-loop: dropped
+         ("a", "b", 2), ("b", "a", 1), ("a", "c", 3)],
+        ["src_host", "dst_host", "n_links"],
+    )
+    rows = {r["host"]: r for r in host_reciprocity(edges).collect()}
+    assert set(rows) == {"a", "b", "c"}
+    a, b, c = rows["a"], rows["b"], rows["c"]
+    assert (a["out_deg"], a["in_deg"], a["mutual"], a["recip_rate"]) == (2, 1, 1, 0.5)
+    assert (b["out_deg"], b["in_deg"], b["mutual"], b["recip_rate"]) == (1, 1, 1, 1.0)
+    assert (c["out_deg"], c["in_deg"], c["mutual"]) == (0, 1, 0)
+    assert c["recip_rate"] is None
+
+
 def test_bigram_stats_counts_and_pmi(spark):
     """Bigram counts span token runs; PMI separates an always-together
     pair from an independent-ish one; one-token docs contribute nothing."""
