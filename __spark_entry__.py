@@ -2046,6 +2046,21 @@ def q_host_reciprocity(spark, sf_dir):
     return host_reciprocity(outlink_edges(_latest_pages(spark, sf_dir)))
 
 
+def q_token_gini(spark, sf_dir):
+    """Token-mass inequality across hosts: Gini + top-decile share, all
+    integer sums until the two mirrored final divisions — the one-row
+    audit feeding data_budget_plan/temperature_mix decisions."""
+    from ollama_ocr_spark.operators.maintenance import doc_id_expr, host_expr
+    from ollama_ocr_spark.operators.textstats import token_mass_gini
+
+    pages = _latest_pages(spark, sf_dir).select(
+        host_expr().alias("host"), doc_id_expr().alias("doc_id")
+    )
+    docs = pages.join(_docs(spark, sf_dir).select("doc_id", "text"),
+                      "doc_id")
+    return token_mass_gini(docs)
+
+
 def q_wave_makespan_mix(spark, sf_dir):
     """Fetch simulator with a latency MIXTURE: hosts draw cdn/origin/
     tarpit classes (salted md5 buckets, class-conditional integer
@@ -2791,6 +2806,7 @@ _QUERIES = {
         # --- round-5 additions (insert new queries HERE) ---
         "cdc_chunks": q_cdc_chunks,
         "host_reciprocity": q_host_reciprocity,
+        "token_gini": q_token_gini,
         "host_communities": q_host_communities,
         "normalize_text_nfkc": q_normalize_text_nfkc,
         "wave_makespan_mix": q_wave_makespan_mix,
@@ -6549,6 +6565,31 @@ SELECT community, n_hosts, n_urls, quarantined, weight,
        CASE WHEN tw.t > 0 THEN (10000 * weight) // tw.t
             ELSE 0 END::BIGINT AS budget
 FROM cw CROSS JOIN tw
+        """,
+        # token_gini: BIGINT masses/ranks/sums end-to-end; only the two
+        # final divisions are double, with expression trees mirrored
+        # token-for-token (six*2)/(n*sx) - (n+1)/n and top/sx.
+        "token_gini": f"""
+WITH hm AS (
+  SELECT {_HOST_CASE} AS host,
+         sum(len(regexp_extract_all(lower(text), '[a-z0-9]+')))::BIGINT
+           AS m
+  FROM documents GROUP BY 1),
+r AS (
+  SELECT m, row_number() OVER (ORDER BY m ASC, host ASC) AS i,
+         count(*) OVER () AS n
+  FROM hm),
+a AS (
+  SELECT max(n)::BIGINT AS n_hosts, sum(m)::BIGINT AS total_tokens,
+         sum(i * m)::BIGINT AS six,
+         sum(CASE WHEN i > n - greatest(1, n // 10) THEN m
+                  ELSE 0 END)::BIGINT AS top_sum
+  FROM r)
+SELECT n_hosts, total_tokens,
+       round((six * 2) / (n_hosts * total_tokens)
+             - (n_hosts + 1) / n_hosts, 6) AS gini,
+       round(top_sum / total_tokens, 6) AS top_decile_share
+FROM a
         """,
         # host_reciprocity: distinct directed pairs (edges is already
         # grouped by (src,dst)), reversed-pair self-join for mutual,

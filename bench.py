@@ -189,6 +189,7 @@ EXTRA5: tuple[str, ...] = (
     # the doc_id%11 slice plus its planted insertion copies.
     "cdc_chunks",
     "host_reciprocity",
+    "token_gini",
 )
 
 # Round-4 operators the r4 DRIVER run never reached (its budget cut the

@@ -1708,6 +1708,71 @@ def cdc_chunk_documents(df: DataFrame, key: str = "doc_id",
     )
 
 
+def token_mass_gini(df: DataFrame, group_col: str = "host",
+                    col: str = "text") -> DataFrame:
+    """Token-mass inequality across groups (hosts): the Gini coefficient
+    plus the top-decile share — the one-row audit behind data-budget
+    planning (a corpus where 10% of hosts own 80% of tokens needs
+    temperature mixing / per-host caps before training; see
+    data_budget_plan, temperature_mix). Uses the ``TOKEN_RE``
+    pre-tokenizer, same as the token_counts family.
+
+    Exact-arithmetic idiom: masses, asc ranks i, Σi·m and the top-k sum
+    are all BIGINT; the only doubles are the two final divisions, whose
+    expression trees (``(six*2)/(n*sx) - (n+1)/n``, ``top/sx``) the
+    DuckDB oracle mirrors token-for-token (FP associativity is part of
+    the contract). Gini here is the standard sorted-rank form
+    G = 2·Σi·x_i/(n·Σx) − (n+1)/n with deterministic (mass, group)
+    tiebreak.
+
+    Scale shape: the corpus pass is one partial-aggregated groupBy
+    (only (group, count) pairs shuffle); the rank window runs over the
+    |groups| rollup — fine while |groups| ≪ corpus (16 here, ~1e6-1e7
+    hosts at 100 TB: still a single executor's work; beyond that, the
+    stratified_sample two-pass bucketed-rank form applies).
+
+    Output (one row): n_hosts, total_tokens, gini, top_decile_share.
+    """
+    mass = (
+        df.select(
+            F.col(group_col),
+            F.size(
+                F.regexp_extract_all(F.lower(F.col(col)),
+                                     F.lit(TOKEN_RE), 0)
+            ).alias("__t"),
+        )
+        .groupBy(group_col)
+        .agg(F.sum("__t").cast("bigint").alias("m"))
+    )
+    w = Window.orderBy(F.asc("m"), F.asc(group_col))
+    ranked = mass.select(
+        "m",
+        F.row_number().over(w).cast("bigint").alias("i"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    top_k = F.greatest(F.lit(1).cast("bigint"), F.expr("n div 10"))
+    agg = ranked.agg(
+        F.max("n").alias("n_hosts"),
+        F.sum("m").alias("total_tokens"),
+        F.sum(F.col("i") * F.col("m")).alias("six"),
+        F.sum(
+            F.when(F.col("i") > F.col("n") - top_k, F.col("m"))
+            .otherwise(F.lit(0).cast("bigint"))
+        ).alias("top_sum"),
+    )
+    return agg.select(
+        F.col("n_hosts").cast("bigint").alias("n_hosts"),
+        "total_tokens",
+        F.round(
+            (F.col("six") * 2) / (F.col("n_hosts") * F.col("total_tokens"))
+            - (F.col("n_hosts") + 1) / F.col("n_hosts"),
+            6,
+        ).alias("gini"),
+        F.round(F.col("top_sum") / F.col("total_tokens"), 6)
+        .alias("top_decile_share"),
+    )
+
+
 def domain_quality(df: DataFrame, host_col: str = "host",
                    col: str = "text", min_docs: int = 5,
                    min_ok_rate: float = 0.5) -> DataFrame:

@@ -1323,6 +1323,28 @@ def test_cdc_chunk_documents_properties(spark):
         cdc_chunk_documents(df, mask_bits=0)
 
 
+def test_token_mass_gini_hand_values(spark):
+    """Masses [1,3,6]: G = 2*25/(3*10) - 4/3 = 1/3; top decile (k=1) is
+    the 6-token host. Equal masses → G = 0."""
+    from ollama_ocr_spark.operators.textstats import token_mass_gini
+
+    df = spark.createDataFrame(
+        [("hx", "a"), ("hy", "a a a"), ("hz", "a a a a a a")],
+        ["host", "text"],
+    )
+    r = token_mass_gini(df).collect()[0]
+    assert (r["n_hosts"], r["total_tokens"]) == (3, 10)
+    assert r["gini"] == round(2 * 25 / 30 - 4 / 3, 6)
+    assert r["top_decile_share"] == 0.6
+
+    eq = spark.createDataFrame(
+        [("hx", "a a"), ("hy", "b b")], ["host", "text"]
+    )
+    r2 = token_mass_gini(eq).collect()[0]
+    assert r2["gini"] == 0.0
+    assert r2["top_decile_share"] == 0.5
+
+
 def test_cross_corpus_near_dupes(spark):
     from ollama_ocr_spark.operators.dedup import cross_corpus_near_dupes
 
