@@ -2004,20 +2004,36 @@ def q_cdc_chunks(spark, sf_dir):
     both = ensure_parallelism(docs.unionByName(copies))
 
     def pair_stats(chunks, pfx):
-        dd = chunks.select("doc_id", F.md5("chunk").alias("d")).distinct()
-        orig = dd.filter(F.col("doc_id") < 5000000)
-        copy = dd.filter(F.col("doc_id") >= 5000000).select(
-            (F.col("doc_id") - 5000000).alias("doc_id"), "d"
+        # One aggregation chain per chunker: fold the orig/copy sides
+        # into (key, side) flags and count shared digests via min/max
+        # side per (key, digest) — the orig/copy split-then-rejoin form
+        # re-EXECUTED the whole chunk pipeline per branch (no common-
+        # subexpression reuse across plan branches; 12 scans, 42
+        # exchanges before this shape).
+        side = (F.col("doc_id") >= 5000000).cast("int")
+        key = F.when(
+            F.col("doc_id") >= 5000000, F.col("doc_id") - 5000000
+        ).otherwise(F.col("doc_id"))
+        dd = chunks.select(
+            key.alias("k"), side.alias("c"), F.md5("chunk").alias("d")
+        ).distinct()
+        per_d = dd.groupBy("k", "d").agg(
+            F.min("c").alias("mn"), F.max("c").alias("mx")
         )
-        n = orig.groupBy("doc_id").agg(F.count("*").alias(f"{pfx}_chunks"))
-        s = orig.join(copy, ["doc_id", "d"]).groupBy("doc_id").agg(
-            F.count("*").alias(f"{pfx}_shared")
-        )
-        return n.join(s, "doc_id", "left").select(
-            "doc_id",
-            f"{pfx}_chunks",
-            F.coalesce(F.col(f"{pfx}_shared"), F.lit(0).cast("bigint"))
-            .alias(f"{pfx}_shared"),
+        return (
+            per_d.groupBy("k")
+            .agg(
+                F.sum(F.when(F.col("mn") == 0, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"{pfx}_chunks"),
+                F.sum(
+                    F.when((F.col("mn") == 0) & (F.col("mx") == 1), 1)
+                    .otherwise(0)
+                )
+                .cast("bigint")
+                .alias(f"{pfx}_shared"),
+            )
+            .withColumnRenamed("k", "doc_id")
         )
 
     c = pair_stats(cdc_chunk_documents(both), "cdc")

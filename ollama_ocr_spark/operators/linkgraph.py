@@ -504,8 +504,12 @@ def host_reciprocity(edges: DataFrame) -> DataFrame:
     Scale shape: one reversed-pair self-join plus the degree aggregate,
     all on the host-level edge list (tiny vs the corpus); the join key
     is the (src, dst) pair so hub skew spreads across its neighbor set
-    rather than concentrating on one key.
+    rather than concentrating on one key. The edge list is
+    localCheckpoint-ed first (the host_pagerank/host_communities
+    pattern): four plan branches consume it, and without the lineage
+    cut each would re-run the corpus-wide outlink extraction.
     """
+    edges = edges.localCheckpoint(eager=True)
     deg = host_degree_stats(edges).select("host", "out_deg", "in_deg")
     e = (
         edges.filter(F.col("src_host") != F.col("dst_host"))

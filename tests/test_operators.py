@@ -1261,6 +1261,12 @@ def test_cdc_chunk_documents_properties(spark):
     rows = [(d, " ".join(rng.choice(vocab) for _ in range(90 + 17 * d)))
             for d in range(4)]
     rows.append((4, "single"))
+    # window-boundary lengths (7/8/9 words vs window=8) and a repeated
+    # single token (every gear window identical — either every position
+    # bounds or only the last does).
+    rows += [(5 + k, " ".join(rng.choice(vocab) for _ in range(7 + k)))
+             for k in range(3)]
+    rows.append((8, " ".join(["same"] * 30)))
     df = spark.createDataFrame(rows, "doc_id long, text string")
 
     got = cdc_chunk_documents(df).collect()
