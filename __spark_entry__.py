@@ -2062,6 +2062,16 @@ def q_host_reciprocity(spark, sf_dir):
     return host_reciprocity(outlink_edges(_latest_pages(spark, sf_dir)))
 
 
+def q_host_assortativity(spark, sf_dir):
+    """Out-in degree assortativity (Pearson over edges) of the host
+    graph — BIGINT moment sums, mirrored sqrt/divide tree, NULL on a
+    zero-variance (regular) graph."""
+    from ollama_ocr_spark.operators.linkgraph import (host_assortativity,
+                                                      outlink_edges)
+
+    return host_assortativity(outlink_edges(_latest_pages(spark, sf_dir)))
+
+
 def q_token_gini(spark, sf_dir):
     """Token-mass inequality across hosts: Gini + top-decile share, all
     integer sums until the two mirrored final divisions — the one-row
@@ -2823,6 +2833,7 @@ _QUERIES = {
         "cdc_chunks": q_cdc_chunks,
         "host_reciprocity": q_host_reciprocity,
         "token_gini": q_token_gini,
+        "host_assortativity": q_host_assortativity,
         "host_communities": q_host_communities,
         "normalize_text_nfkc": q_normalize_text_nfkc,
         "wave_makespan_mix": q_wave_makespan_mix,
@@ -6581,6 +6592,34 @@ SELECT community, n_hosts, n_urls, quarantined, weight,
        CASE WHEN tw.t > 0 THEN (10000 * weight) // tw.t
             ELSE 0 END::BIGINT AS budget
 FROM cw CROSS JOIN tw
+        """,
+        # host_assortativity: all Pearson moment sums BIGINT (DuckDB
+        # sum() widens to HUGEINT — cast back); the sqrt/divide tree is
+        # mirrored token-for-token; NULL when either variance is 0.
+        "host_assortativity": f"""
+WITH {_EDGES_CTES},
+de AS (SELECT src_host, dst_host FROM edges
+       WHERE src_host <> dst_host),
+od AS (SELECT src_host AS host, count(*)::BIGINT AS dx
+       FROM de GROUP BY 1),
+idg AS (SELECT dst_host AS host, count(*)::BIGINT AS dy
+        FROM de GROUP BY 1),
+j AS (SELECT od.dx, idg.dy
+      FROM de
+      JOIN od ON od.host = de.src_host
+      JOIN idg ON idg.host = de.dst_host),
+a AS (SELECT count(*)::BIGINT AS m,
+             sum(dx)::BIGINT AS sx, sum(dy)::BIGINT AS sy,
+             sum(dx * dx)::BIGINT AS sxx, sum(dy * dy)::BIGINT AS syy,
+             sum(dx * dy)::BIGINT AS sxy
+      FROM j)
+SELECT m AS n_edges,
+       CASE WHEN m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0
+            THEN round((m * sxy - sx * sy)
+                       / (sqrt(m * sxx - sx * sx)
+                          * sqrt(m * syy - sy * sy)), 6)
+       END AS assortativity
+FROM a
         """,
         # token_gini: BIGINT masses/ranks/sums end-to-end; only the two
         # final divisions are double, with expression trees mirrored

@@ -190,6 +190,7 @@ EXTRA5: tuple[str, ...] = (
     "cdc_chunks",
     "host_reciprocity",
     "token_gini",
+    "host_assortativity",
 )
 
 # Round-4 operators the r4 DRIVER run never reached (its budget cut the

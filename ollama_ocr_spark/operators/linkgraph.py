@@ -543,6 +543,67 @@ def host_reciprocity(edges: DataFrame) -> DataFrame:
     )
 
 
+def host_assortativity(edges: DataFrame) -> DataFrame:
+    """Out-in degree assortativity of the directed host graph: the
+    Pearson correlation, over distinct non-self edges, between the
+    source's out-degree and the target's in-degree. Positive = hubs
+    link to authorities (core/periphery webs); negative = high-degree
+    hosts link to low-degree ones (star/spam-hub topology). The fourth
+    graph-shape axis after degree volume, reciprocity, and triangle
+    closure. Reference analog: none (crawl-analytics surface).
+
+    Exact-arithmetic idiom: all five Pearson moment sums (Σx, Σy, Σx²,
+    Σy², Σxy) and the numerator m·Σxy − Σx·Σy are BIGINT — degrees are
+    bounded by |hosts|, so products stay far inside the long range at
+    any real host-graph size; the only doubles are the two sqrts and
+    the final division, whose expression tree the DuckDB oracle mirrors
+    token-for-token. Zero variance on either side (a regular graph)
+    yields NULL via the divide guard.
+
+    Scale shape: edge list localCheckpoint-ed once (three consuming
+    branches), two broadcast-sized degree joins, one global aggregate.
+
+    Output (one row): n_edges, assortativity (round 6).
+    """
+    edges = edges.localCheckpoint(eager=True)
+    deg = host_degree_stats(edges)
+    e = (
+        edges.filter(F.col("src_host") != F.col("dst_host"))
+        .select("src_host", "dst_host")
+        .distinct()
+    )
+    j = (
+        e.join(
+            deg.select(F.col("host").alias("src_host"),
+                       F.col("out_deg").alias("dx")),
+            "src_host",
+        )
+        .join(
+            deg.select(F.col("host").alias("dst_host"),
+                       F.col("in_deg").alias("dy")),
+            "dst_host",
+        )
+    )
+    a = j.agg(
+        F.count("*").alias("m"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+    )
+    vx = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return a.select(
+        F.col("m").alias("n_edges"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6),
+        ).alias("assortativity"),
+    )
+
+
 def host_topic_labels(anchors: DataFrame, k: int = 3,
                       max_host_pct: int = 50) -> DataFrame:
     """Weak-supervision topic labels per host from inbound anchor text

@@ -256,6 +256,30 @@ def test_host_reciprocity_tiny_graph(spark):
     assert c["recip_rate"] is None
 
 
+def test_host_assortativity_hand_values(spark):
+    """5-edge hand graph: moments m=5 sx=7 sy=9 sxx=11 syy=17 sxy=12 →
+    r = -3/(sqrt(6)*sqrt(4)) = -0.612372. A pure star (all in-degrees
+    equal) has zero y-variance → NULL."""
+    from ollama_ocr_spark.operators.linkgraph import host_assortativity
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("a", "c", 1), ("b", "a", 1), ("c", "b", 1),
+         ("d", "a", 1), ("a", "a", 9)],   # self-loop dropped
+        ["src_host", "dst_host", "n_links"],
+    )
+    r = host_assortativity(edges).collect()[0]
+    assert r["n_edges"] == 5
+    assert r["assortativity"] == -0.612372
+
+    star = spark.createDataFrame(
+        [("a", "b", 1), ("a", "c", 1), ("a", "d", 1), ("b", "a", 1)],
+        ["src_host", "dst_host", "n_links"],
+    )
+    r2 = host_assortativity(star).collect()[0]
+    assert r2["n_edges"] == 4
+    assert r2["assortativity"] is None
+
+
 def test_bigram_stats_counts_and_pmi(spark):
     """Bigram counts span token runs; PMI separates an always-together
     pair from an independent-ish one; one-token docs contribute nothing."""
