@@ -2627,6 +2627,20 @@ def q_event_anomalies(spark, sf_dir):
     return event_anomalies(e)
 
 
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over each user's ordered
+    event stream (exact epoch-micro order, event_id tiebreak): per
+    (from_type, to_type) the transition count, from-state total, and
+    conditional probability."""
+    from ollama_ocr_spark.operators.reports import event_transitions
+
+    e = _events(spark, sf_dir).select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("ts_us"),
+    )
+    return event_transitions(e)
+
+
 def q_host_triangles(spark, sf_dir):
     """Triangle census + global clustering over the undirected host link
     graph (ordered-triple three-way self-join, BIGINT wedge math) — the
@@ -2830,6 +2844,7 @@ _QUERIES = {
         # band plus training_batches, a composite of pieces verified on
         # their own) are all judge-green in r4 and swept every sitting.
         # --- round-5 additions (insert new queries HERE) ---
+        "event_transitions": q_event_transitions,
         "cdc_chunks": q_cdc_chunks,
         "host_reciprocity": q_host_reciprocity,
         "token_gini": q_token_gini,
@@ -4096,6 +4111,26 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             SELECT doc_id, source, rn::INT AS sample_rank
             FROM r WHERE rn <= (n * 1000 + 9999) // 10000
+        """,
+        "event_transitions": """
+            WITH nxt AS (
+              SELECT event_type AS from_type,
+                     lead(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY epoch_us(ts),
+                                                     event_id) AS to_type
+              FROM events),
+            pairs AS (
+              SELECT from_type, to_type, count(*)::BIGINT AS n_transitions
+              FROM nxt WHERE to_type IS NOT NULL
+              GROUP BY 1, 2),
+            tot AS (
+              SELECT from_type, to_type, n_transitions,
+                     sum(n_transitions) OVER (PARTITION BY from_type)
+                       ::BIGINT AS n_from
+              FROM pairs)
+            SELECT from_type, to_type, n_transitions, n_from,
+                   round(n_transitions * 1.0 / n_from, 4) AS p
+            FROM tot
         """,
         "bot_suspects": """
             WITH g AS (

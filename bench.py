@@ -191,6 +191,7 @@ EXTRA5: tuple[str, ...] = (
     "host_reciprocity",
     "token_gini",
     "host_assortativity",
+    "event_transitions",
 )
 
 # Round-4 operators the r4 DRIVER run never reached (its budget cut the

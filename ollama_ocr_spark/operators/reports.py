@@ -550,3 +550,51 @@ def sessionized_funnel(events: DataFrame,
         sess, stages=stages, user="session_key",
         ts_us=ts_us, type_col=type_col,
     )
+
+
+def event_transitions(events: DataFrame, user: str = "user_id",
+                      ts_us: str = "ts_us", type_col: str = "event_type",
+                      order_tiebreak: str = "event_id") -> DataFrame:
+    """First-order Markov transition matrix over each user's ordered
+    event stream — the "what do users do NEXT after X" report (and, for
+    a crawl-log corpus, the fetch-state machine audit): for every
+    adjacent pair of events by the same user, count (from_type →
+    to_type) and normalize by the from-state's outgoing total.
+
+    Ordering is exact and deterministic: (ts_us, tiebreak) — the
+    bot_suspects lag idiom, so simultaneous events have a stable
+    successor on any engine. Output per observed transition:
+    (from_type, to_type, n_transitions, n_from, p) with
+    p = round(n/n_from, 4); n_from > 0 by construction so no divide
+    guard is needed.
+
+    Scale shape: ONE shuffle on user_id for the lag window (key +
+    type + two longs — payloads never join this), then a counter agg
+    on the (from, to) pair whose cardinality is |event types|², tiny.
+    The per-from totals come from a window over that tiny matrix, not
+    a second pass over the events.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user).orderBy(
+        F.col(ts_us).asc(), F.col(order_tiebreak).asc()
+    )
+    pairs = (
+        events.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(F.col(type_col)).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    tot = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type", "to_type", "n_transitions",
+        F.sum("n_transitions").over(tot).alias("n_from"),
+    ).select(
+        "from_type", "to_type", "n_transitions", "n_from",
+        F.round(
+            F.col("n_transitions") * F.lit(1.0) / F.col("n_from"), 4
+        ).alias("p"),
+    )

@@ -2730,3 +2730,33 @@ def test_bpe_learn_greedy_merges_and_exhaustion(spark):
         == ("aa", "aa", 3)
     assert (rows[3]["lhs"], rows[3]["rhs"], rows[3]["pair_count"]) \
         == ("a", "b", 1)
+
+
+def test_event_transitions_counts_and_tiebreak(spark):
+    """Markov-matrix semantics: adjacency is per user in (ts_us,
+    event_id) order. User a's view state splits 50/50 between click and
+    purchase; user b's two simultaneous events order by event_id (y then
+    x, NOT insertion order); user c's single event contributes nothing.
+    p normalizes within the from-state."""
+    from ollama_ocr_spark.operators.reports import event_transitions
+
+    rows = [
+        ("a", 1, "view", 10), ("a", 2, "click", 20),
+        ("a", 3, "view", 30), ("a", 4, "purchase", 40),
+        ("b", 2, "x", 5), ("b", 1, "y", 5),     # same ts: id 1 first
+        ("c", 9, "click", 7),                   # no successor
+    ]
+    df = spark.createDataFrame(
+        rows, ["user_id", "event_id", "event_type", "ts_us"])
+    out = {(r["from_type"], r["to_type"]): r
+           for r in event_transitions(df).collect()}
+    assert set(out) == {("view", "click"), ("view", "purchase"),
+                        ("click", "view"), ("y", "x")}
+    vc = out[("view", "click")]
+    assert (vc["n_transitions"], vc["n_from"], vc["p"]) == (1, 2, 0.5)
+    vp = out[("view", "purchase")]
+    assert (vp["n_transitions"], vp["n_from"], vp["p"]) == (1, 2, 0.5)
+    cv = out[("click", "view")]
+    assert (cv["n_transitions"], cv["n_from"], cv["p"]) == (1, 1, 1.0)
+    yx = out[("y", "x")]
+    assert (yx["n_transitions"], yx["n_from"], yx["p"]) == (1, 1, 1.0)
