@@ -2072,6 +2072,21 @@ def q_host_assortativity(spark, sf_dir):
     return host_assortativity(outlink_edges(_latest_pages(spark, sf_dir)))
 
 
+def q_host_mirrors(spark, sf_dir):
+    """Structural mirror candidates: host pairs whose distinct outlink
+    neighbor sets overlap (Jaccard >= 0.25) after stop-neighbor pruning
+    (destinations with in-degree > 8 dropped from the universe, so true
+    mirrors keep Jaccard 1.0 and the per-dst pair fan-out stays
+    bounded). The link-graph twin of content dedup."""
+    from ollama_ocr_spark.operators.linkgraph import (outlink_edges,
+                                                      outlink_similarity)
+
+    return outlink_similarity(
+        outlink_edges(_latest_pages(spark, sf_dir)),
+        max_in_deg=8, min_jaccard=0.25,
+    )
+
+
 def q_token_gini(spark, sf_dir):
     """Token-mass inequality across hosts: Gini + top-decile share, all
     integer sums until the two mirrored final divisions — the one-row
@@ -2844,6 +2859,7 @@ _QUERIES = {
         # band plus training_batches, a composite of pieces verified on
         # their own) are all judge-green in r4 and swept every sitting.
         # --- round-5 additions (insert new queries HERE) ---
+        "host_mirrors": q_host_mirrors,
         "event_transitions": q_event_transitions,
         "cdc_chunks": q_cdc_chunks,
         "host_reciprocity": q_host_reciprocity,
@@ -6707,6 +6723,30 @@ SELECT deg.host, deg.out_deg, deg.in_deg,
             THEN round(coalesce(mu.mutual, 0)::BIGINT / deg.out_deg, 4)
        END AS recip_rate
 FROM deg LEFT JOIN mu ON deg.host = mu.host
+        """,
+        # host_mirrors: stop-neighbor pruning drops hub destinations
+        # from the UNIVERSE (degrees and intersections alike), so true
+        # mirrors keep jaccard 1.0; the unrounded quotient both filters
+        # and (rounded) projects, the identical double on both engines.
+        "host_mirrors": f"""
+WITH {_EDGES_CTES},
+e0 AS (SELECT src_host, dst_host FROM edges
+       WHERE src_host <> dst_host),
+kept AS (SELECT dst_host FROM e0 GROUP BY 1 HAVING count(*) <= 8),
+e2 AS (SELECT e0.* FROM e0 JOIN kept USING (dst_host)),
+deg AS (SELECT src_host AS host, count(*)::BIGINT AS deg
+        FROM e2 GROUP BY 1),
+pairs AS (SELECT a.src_host AS host_a, b.src_host AS host_b,
+                 count(*)::BIGINT AS shared
+          FROM e2 a JOIN e2 b
+            ON a.dst_host = b.dst_host AND a.src_host < b.src_host
+          GROUP BY 1, 2)
+SELECT host_a, host_b, shared, da.deg AS deg_a, db.deg AS deg_b,
+       round(shared * 1.0 / (da.deg + db.deg - shared), 4) AS jaccard
+FROM pairs
+JOIN deg da ON da.host = pairs.host_a
+JOIN deg db ON db.host = pairs.host_b
+WHERE shared * 1.0 / (da.deg + db.deg - shared) >= 0.25
         """,
         # cdc_chunks: the gear value at position i is the closed form
         # sum(u[t] * 2^(L-t)) over the last L = least(8, i) md5-u32 token

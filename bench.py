@@ -192,6 +192,7 @@ EXTRA5: tuple[str, ...] = (
     "token_gini",
     "host_assortativity",
     "event_transitions",
+    "host_mirrors",
 )
 
 # Round-4 operators the r4 DRIVER run never reached (its budget cut the

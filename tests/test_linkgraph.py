@@ -280,6 +280,48 @@ def test_host_assortativity_hand_values(spark):
     assert r2["assortativity"] is None
 
 
+def test_outlink_similarity_pruning_and_threshold(spark):
+    """Mirror pair m1/m2 share {x,y,z,hub}; o shares only {x,hub} with
+    them; p links to hub alone, pushing hub's in-degree to 4. With
+    max_in_deg=3 the hub leaves the UNIVERSE: degrees shrink with the
+    intersections, so the mirrors keep jaccard 1.0 while (m,o) drops
+    0.4 -> 0.25 and hub-only p vanishes — the stop-neighbor cut
+    sharpens mirror contrast. min_jaccard gates on the unrounded
+    quotient; self-loops and duplicate edges are ignored."""
+    from ollama_ocr_spark.operators.linkgraph import outlink_similarity
+
+    edges = spark.createDataFrame(
+        [("m1", "x", 1), ("m1", "y", 1), ("m1", "z", 1), ("m1", "hub", 1),
+         ("m2", "x", 1), ("m2", "y", 1), ("m2", "z", 1), ("m2", "hub", 1),
+         ("o", "x", 1), ("o", "q", 1), ("o", "hub", 1),
+         ("p", "hub", 1),
+         ("o", "x", 7),            # duplicate pair collapses
+         ("m1", "m1", 9)],         # self-loop dropped
+        ["src_host", "dst_host", "n_links"],
+    )
+    pruned = {(r["host_a"], r["host_b"]): r
+              for r in outlink_similarity(
+                  edges, max_in_deg=3, min_jaccard=0.2).collect()}
+    assert set(pruned) == {("m1", "m2"), ("m1", "o"), ("m2", "o")}
+    mm = pruned[("m1", "m2")]
+    assert (mm["shared"], mm["deg_a"], mm["deg_b"], mm["jaccard"]) \
+        == (3, 3, 3, 1.0)
+    mo = pruned[("m1", "o")]
+    assert (mo["shared"], mo["deg_a"], mo["deg_b"], mo["jaccard"]) \
+        == (1, 3, 2, 0.25)
+
+    kept = {(r["host_a"], r["host_b"]): r["jaccard"]
+            for r in outlink_similarity(
+                edges, max_in_deg=100, min_jaccard=0.2).collect()}
+    assert kept[("m1", "m2")] == 1.0
+    assert kept[("m1", "o")] == 0.4       # hub inflates the overlap
+    assert kept[("m1", "p")] == 0.25      # hub-only host only unpruned
+
+    gated = outlink_similarity(edges, max_in_deg=3, min_jaccard=0.3)
+    assert [(r["host_a"], r["host_b"]) for r in gated.collect()] \
+        == [("m1", "m2")]
+
+
 def test_bigram_stats_counts_and_pmi(spark):
     """Bigram counts span token runs; PMI separates an always-together
     pair from an independent-ish one; one-token docs contribute nothing."""
