@@ -2087,6 +2087,19 @@ def q_host_mirrors(spark, sf_dir):
     )
 
 
+def q_host_seed_distance(spark, sf_dir):
+    """BFS hop distance from the seed whitelist (the two hub hosts)
+    over the host graph — integer relaxation rounds, NULL = unreached
+    within 3 hops; the discrete crawl-depth twin of host_trustrank."""
+    from ollama_ocr_spark.operators.linkgraph import (host_seed_distance,
+                                                      outlink_edges)
+
+    return host_seed_distance(
+        outlink_edges(_latest_pages(spark, sf_dir)),
+        seeds=["h0.example.com", "h1.example.com"], max_hops=3,
+    )
+
+
 def q_token_gini(spark, sf_dir):
     """Token-mass inequality across hosts: Gini + top-decile share, all
     integer sums until the two mirrored final divisions — the one-row
@@ -2860,6 +2873,7 @@ _QUERIES = {
         # their own) are all judge-green in r4 and swept every sitting.
         # --- round-5 additions (insert new queries HERE) ---
         "host_mirrors": q_host_mirrors,
+        "host_seed_distance": q_host_seed_distance,
         "event_transitions": q_event_transitions,
         "cdc_chunks": q_cdc_chunks,
         "host_reciprocity": q_host_reciprocity,
@@ -3492,6 +3506,36 @@ edges AS (
   FROM (SELECT * FROM rel UNION ALL SELECT * FROM par)
   GROUP BY 1, 2
 )
+"""
+
+
+def _seed_distance_oracle(seeds: tuple[str, ...], max_hops: int) -> str:
+    """DuckDB twin of linkgraph.host_seed_distance: the fixed relaxation
+    rounds unrolled as chained CTEs (the _pagerank_oracle idiom), all
+    integer — min(cand) ignores NULLs identically on both engines and
+    returns NULL for hosts unreached within max_hops."""
+    seed_list = ", ".join(f"'{s}'" for s in seeds)
+    steps = []
+    for i in range(1, max_hops + 1):
+        steps.append(f"""
+d{i} AS (
+  SELECT host, min(cand)::INT AS hops FROM (
+    SELECT host, hops AS cand FROM d{i - 1}
+    UNION ALL
+    SELECT e.dst_host AS host, d.hops + 1 AS cand
+    FROM ce e JOIN d{i - 1} d ON e.src_host = d.host
+  ) GROUP BY host
+)""")
+    return f"""
+WITH {_EDGES_CTES},
+ce AS (SELECT src_host, dst_host FROM edges WHERE src_host <> dst_host),
+hosts AS (SELECT src_host AS host FROM ce
+          UNION SELECT dst_host FROM ce),
+d0 AS (SELECT host,
+              (CASE WHEN host IN ({seed_list}) THEN 0 END)::INT AS hops
+       FROM hosts),
+{", ".join(steps)}
+SELECT host, hops FROM d{max_hops}
 """
 
 
@@ -6748,6 +6792,8 @@ JOIN deg da ON da.host = pairs.host_a
 JOIN deg db ON db.host = pairs.host_b
 WHERE shared * 1.0 / (da.deg + db.deg - shared) >= 0.25
         """,
+        "host_seed_distance": _seed_distance_oracle(
+            ("h0.example.com", "h1.example.com"), max_hops=3),
         # cdc_chunks: the gear value at position i is the closed form
         # sum(u[t] * 2^(L-t)) over the last L = least(8, i) md5-u32 token
         # hashes — integer-identical to the engine's acc*2+u fold; the

@@ -193,6 +193,7 @@ EXTRA5: tuple[str, ...] = (
     "host_assortativity",
     "event_transitions",
     "host_mirrors",
+    "host_seed_distance",
 )
 
 # Round-4 operators the r4 DRIVER run never reached (its budget cut the

@@ -213,6 +213,66 @@ def host_trustrank(edges: DataFrame, seeds: list[str],
     return trust.select("host", F.round(F.col("rank"), 6).alias("trust"))
 
 
+def host_seed_distance(edges: DataFrame, seeds: list[str],
+                       max_hops: int = 4) -> DataFrame:
+    """BFS hop distance from a seed whitelist over the directed host
+    graph — the crawl-depth ledger behind frontier budgeting: trust
+    decays with hops (the TrustRank intuition in integer form), crawl
+    policies cap "discovery depth past the vetted seeds", and a host
+    that is unreachable within ``max_hops`` is exactly the one a
+    seed-anchored crawl never fetches. Complements
+    :func:`host_trustrank` (continuous trust mass) with the discrete
+    distance the policy knob actually speaks. Reference analog: none
+    (crawl-analytics surface).
+
+    Semantics: hops(seed) = 0; one relaxation round per hop,
+    hops_i(h) = min(hops_{i-1}(h), min over in-edges src→h of
+    hops_{i-1}(src) + 1); hosts not reached within ``max_hops`` stay
+    NULL. Integer arithmetic end to end — no FP parity concerns — and
+    min() ignoring NULLs is the only aggregate, identical on both
+    engines; the oracle unrolls the fixed rounds (the host_pagerank
+    idiom).
+
+    Scale shape: the loop runs over the HOST table (never the corpus),
+    one union + min-agg shuffle per hop, localCheckpoint per round to
+    truncate the iterative lineage. Self-loops are excluded, matching
+    the PageRank/TrustRank edge set.
+
+    Output: (host, hops) — hops INT, NULL = unreached within max_hops.
+    """
+    ce = (
+        edges.filter(F.col("src_host") != F.col("dst_host"))
+        .select("src_host", "dst_host")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hosts = (
+        ce.select(F.col("src_host").alias("host"))
+        .union(ce.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    dist = hosts.select(
+        "host",
+        F.when(F.col("host").isin(list(seeds)), F.lit(0))
+        .otherwise(F.lit(None))
+        .cast("int")
+        .alias("hops"),
+    ).localCheckpoint(eager=True)
+    for _ in range(max_hops):
+        step = ce.join(dist, ce.src_host == dist.host).select(
+            F.col("dst_host").alias("host"),
+            (F.col("hops") + F.lit(1)).alias("cand"),
+        )
+        dist = (
+            dist.select("host", F.col("hops").alias("cand"))
+            .unionByName(step)
+            .groupBy("host")
+            .agg(F.min("cand").cast("int").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+    return dist
+
+
 def host_communities(edges: DataFrame, iterations: int = 4,
                      src: str = "src_host", dst: str = "dst_host",
                      weight: str = "n_links") -> DataFrame:

@@ -280,6 +280,35 @@ def test_host_assortativity_hand_values(spark):
     assert r2["assortativity"] is None
 
 
+def test_host_seed_distance_relaxation(spark):
+    """Chain s->a->b->c->d with a shortcut s->b: hops follow the
+    SHORTEST path (b=1 not 2); direction matters (x->s leaves x
+    unreached); the y->z island and anything past max_hops stay NULL;
+    self-loops and duplicate edges are ignored. A seed absent from the
+    graph reaches nothing."""
+    from ollama_ocr_spark.operators.linkgraph import host_seed_distance
+
+    edges = spark.createDataFrame(
+        [("s", "a", 1), ("a", "b", 1), ("b", "c", 1), ("c", "d", 1),
+         ("s", "b", 1), ("x", "s", 1), ("y", "z", 1),
+         ("s", "a", 7),            # duplicate pair collapses
+         ("s", "s", 9)],           # self-loop dropped
+        ["src_host", "dst_host", "n_links"],
+    )
+    hops = {r["host"]: r["hops"]
+            for r in host_seed_distance(edges, ["s"], max_hops=3).collect()}
+    assert hops == {"s": 0, "a": 1, "b": 1, "c": 2, "d": 3,
+                    "x": None, "y": None, "z": None}
+
+    one = {r["host"]: r["hops"]
+           for r in host_seed_distance(edges, ["s"], max_hops=1).collect()}
+    assert (one["s"], one["a"], one["b"]) == (0, 1, 1)
+    assert one["c"] is None and one["d"] is None
+
+    ghost = host_seed_distance(edges, ["ghost"], max_hops=2).collect()
+    assert all(r["hops"] is None for r in ghost)
+
+
 def test_outlink_similarity_pruning_and_threshold(spark):
     """Mirror pair m1/m2 share {x,y,z,hub}; o shares only {x,hub} with
     them; p links to hub alone, pushing hub's in-degree to 4. With
