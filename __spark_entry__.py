@@ -2669,6 +2669,20 @@ def q_event_transitions(spark, sf_dir):
     return event_transitions(e)
 
 
+def q_event_stationary(spark, sf_dir):
+    """Long-run event-type mix implied by the first-order Markov chain
+    vs the empirical share — the stationarity audit. host_pagerank's
+    damped power method over the TYPE graph (self-transitions kept),
+    3 unrolled iterations in the oracle."""
+    from ollama_ocr_spark.operators.reports import event_stationary
+
+    e = _events(spark, sf_dir).select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("ts_us"),
+    )
+    return event_stationary(e)
+
+
 def q_host_triangles(spark, sf_dir):
     """Triangle census + global clustering over the undirected host link
     graph (ordered-triple three-way self-join, BIGINT wedge math) — the
@@ -2875,6 +2889,7 @@ _QUERIES = {
         "host_mirrors": q_host_mirrors,
         "host_seed_distance": q_host_seed_distance,
         "event_transitions": q_event_transitions,
+        "event_stationary": q_event_stationary,
         "cdc_chunks": q_cdc_chunks,
         "host_reciprocity": q_host_reciprocity,
         "token_gini": q_token_gini,
@@ -3425,6 +3440,65 @@ def _winnow_ctes(src: str) -> str:
 # textstats.nb_quality_scores with the src0/src1 positive seed): ends at
 # sc(doc_id, is_seed, n_tokens, lo). Shared by nb_quality and
 # quality_confusion.
+# Per-user first-order transition pairs over events (mirrors
+# reports._transition_pairs: exact (epoch-micro, event_id) order); ends
+# at tpairs(from_type, to_type, n_transitions). Shared by the
+# event_transitions and event_stationary oracles.
+_TPAIRS_CTES = """
+nxt AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts),
+                                         event_id) AS to_type
+  FROM events),
+tpairs AS (
+  SELECT from_type, to_type, count(*)::BIGINT AS n_transitions
+  FROM nxt WHERE to_type IS NOT NULL
+  GROUP BY 1, 2)
+"""
+
+
+def _stationary_oracle(iterations: int = 3) -> str:
+    """DuckDB twin of reports.event_stationary: the host_pagerank oracle
+    recipe ((1.0-0.85)/n per-term doubles, iterations unrolled as
+    chained CTEs) over the event-TYPE graph with self-transitions kept;
+    empirical share divides by the window total cast back to BIGINT
+    (DuckDB window sums widen to HUGEINT)."""
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(f"""
+r{i} AS (
+  SELECT t.event_type,
+         (SELECT (1.0::DOUBLE - 0.85::DOUBLE) / n FROM nn) +
+         coalesce(sum(r.rank * w.wfrac * 0.85::DOUBLE), 0.0::DOUBLE) AS rank
+  FROM types t
+  LEFT JOIN wf w ON w.to_type = t.event_type
+  LEFT JOIN r{i - 1} r ON r.event_type = w.from_type
+  GROUP BY t.event_type
+)""")
+    return f"""
+WITH {_TPAIRS_CTES},
+types AS (SELECT DISTINCT event_type FROM events),
+nn AS (SELECT count(*)::BIGINT AS n FROM types),
+cnts AS (SELECT event_type, count(*)::BIGINT AS cnt
+         FROM events GROUP BY 1),
+share AS (SELECT event_type,
+                 cnt * 1.0 / (sum(cnt) OVER ())::BIGINT AS sh
+          FROM cnts),
+ofrom AS (SELECT from_type, sum(n_transitions)::BIGINT AS n_from
+          FROM tpairs GROUP BY 1),
+wf AS (SELECT p.from_type, p.to_type,
+              p.n_transitions / o.n_from AS wfrac
+       FROM tpairs p JOIN ofrom o USING (from_type)),
+r0 AS (SELECT event_type, (SELECT 1.0::DOUBLE / n FROM nn) AS rank
+       FROM types),
+{", ".join(steps)}
+SELECT r.event_type, round(r.rank, 6) AS stationary_p,
+       round(s.sh, 6) AS empirical_share
+FROM r{iterations} r JOIN share s USING (event_type)
+"""
+
+
 _NB_CTES = """
 toks AS (
   SELECT doc_id, source IN ('src0', 'src1') AS pos,
@@ -4172,26 +4246,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, rn::INT AS sample_rank
             FROM r WHERE rn <= (n * 1000 + 9999) // 10000
         """,
-        "event_transitions": """
-            WITH nxt AS (
-              SELECT event_type AS from_type,
-                     lead(event_type) OVER (PARTITION BY user_id
-                                            ORDER BY epoch_us(ts),
-                                                     event_id) AS to_type
-              FROM events),
-            pairs AS (
-              SELECT from_type, to_type, count(*)::BIGINT AS n_transitions
-              FROM nxt WHERE to_type IS NOT NULL
-              GROUP BY 1, 2),
+        "event_transitions": f"""
+            WITH {_TPAIRS_CTES},
             tot AS (
               SELECT from_type, to_type, n_transitions,
                      sum(n_transitions) OVER (PARTITION BY from_type)
                        ::BIGINT AS n_from
-              FROM pairs)
+              FROM tpairs)
             SELECT from_type, to_type, n_transitions, n_from,
                    round(n_transitions * 1.0 / n_from, 4) AS p
             FROM tot
         """,
+        "event_stationary": _stationary_oracle(iterations=3),
         "bot_suspects": """
             WITH g AS (
               SELECT user_id AS u,

@@ -194,6 +194,7 @@ EXTRA5: tuple[str, ...] = (
     "event_transitions",
     "host_mirrors",
     "host_seed_distance",
+    "event_stationary",
 )
 
 # Round-4 operators the r4 DRIVER run never reached (its budget cut the

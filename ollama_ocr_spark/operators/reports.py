@@ -552,6 +552,29 @@ def sessionized_funnel(events: DataFrame,
     )
 
 
+def _transition_pairs(events: DataFrame, user: str, ts_us: str,
+                      type_col: str, order_tiebreak: str) -> DataFrame:
+    """(from_type, to_type, n_transitions) over each user's
+    (ts_us, tiebreak)-ordered event stream — the shared first stage of
+    :func:`event_transitions` and :func:`event_stationary`. One shuffle
+    on the user key for the lag window, then a counter agg whose
+    cardinality is |event types|²."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user).orderBy(
+        F.col(ts_us).asc(), F.col(order_tiebreak).asc()
+    )
+    return (
+        events.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(F.col(type_col)).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+
+
 def event_transitions(events: DataFrame, user: str = "user_id",
                       ts_us: str = "ts_us", type_col: str = "event_type",
                       order_tiebreak: str = "event_id") -> DataFrame:
@@ -576,18 +599,8 @@ def event_transitions(events: DataFrame, user: str = "user_id",
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy(user).orderBy(
-        F.col(ts_us).asc(), F.col(order_tiebreak).asc()
-    )
-    pairs = (
-        events.select(
-            F.col(type_col).alias("from_type"),
-            F.lead(F.col(type_col)).over(w).alias("to_type"),
-        )
-        .filter(F.col("to_type").isNotNull())
-        .groupBy("from_type", "to_type")
-        .agg(F.count("*").alias("n_transitions"))
-    )
+    pairs = _transition_pairs(events, user, ts_us, type_col,
+                              order_tiebreak)
     tot = Window.partitionBy("from_type")
     return pairs.select(
         "from_type", "to_type", "n_transitions",
@@ -597,4 +610,102 @@ def event_transitions(events: DataFrame, user: str = "user_id",
         F.round(
             F.col("n_transitions") * F.lit(1.0) / F.col("n_from"), 4
         ).alias("p"),
+    )
+
+
+def event_stationary(events: DataFrame, user: str = "user_id",
+                     ts_us: str = "ts_us", type_col: str = "event_type",
+                     order_tiebreak: str = "event_id",
+                     iterations: int = 3,
+                     damping: float = 0.85) -> DataFrame:
+    """Long-run event-type mix implied by the first-order Markov chain
+    (:func:`event_transitions`'s matrix), next to the empirical type
+    share — the stationarity audit: when the two columns diverge, the
+    observed stream is still transient (onboarding-heavy cohorts, a
+    product change mid-window) and per-type counts are NOT the rates a
+    capacity or sampling plan should extrapolate.
+
+    Same damped power method as ``host_pagerank`` — teleport (1-d)/n,
+    dangling types (never a from-state) keep only the teleport term,
+    leaked mass not redistributed, fixed iterations unrolled in the
+    oracle — but over the TYPE graph with self-transitions KEPT: a
+    view→view loop is real dwell mass in a Markov chain, unlike the
+    chrome self-links the host graph drops. 6dp rounding absorbs the
+    |types|-bounded incoming-sum order.
+
+    Scale shape: one user-key window shuffle builds the pair matrix
+    (|types|² rows); every iteration runs over the TYPE table. The two
+    scalar counts and all joins are type-table-sized; the corpus is
+    read twice (pairs + type counts), never in the loop.
+
+    Output: (event_type, stationary_p, empirical_share), both round 6.
+    """
+    from pyspark.sql import Window
+
+    pairs = _transition_pairs(
+        events, user, ts_us, type_col, order_tiebreak
+    ).localCheckpoint(eager=True)
+    types = (
+        events.select(F.col(type_col).alias("event_type"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = types.count()
+    if n == 0:
+        return types.select(
+            "event_type",
+            F.lit(0.0).alias("stationary_p"),
+            F.lit(0.0).alias("empirical_share"),
+        )
+    share = (
+        events.groupBy(F.col(type_col).alias("event_type"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "event_type",
+            (
+                F.col("cnt") * F.lit(1.0)
+                / F.sum("cnt").over(Window.partitionBy())
+            ).alias("__share"),
+        )
+    )
+    ofrom = pairs.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("n_from")
+    )
+    wf = (
+        pairs.join(ofrom, "from_type")
+        .select(
+            "from_type", "to_type",
+            (F.col("n_transitions") / F.col("n_from")).alias("wfrac"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    teleport = (1.0 - damping) / n
+    ranks = types.select("event_type", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iterations):
+        incoming = (
+            wf.join(ranks, wf.from_type == ranks.event_type)
+            .select(
+                F.col("to_type").alias("event_type"),
+                (F.col("rank") * F.col("wfrac") * F.lit(damping)).alias("t"),
+            )
+            .groupBy("event_type")
+            .agg(F.sum("t").alias("s"))
+        )
+        ranks = (
+            types.join(incoming, "event_type", "left")
+            .select(
+                "event_type",
+                (
+                    F.lit(teleport) + F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        ranks.join(share, "event_type")
+        .select(
+            "event_type",
+            F.round(F.col("rank"), 6).alias("stationary_p"),
+            F.round(F.col("__share"), 6).alias("empirical_share"),
+        )
     )

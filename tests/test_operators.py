@@ -2760,3 +2760,40 @@ def test_event_transitions_counts_and_tiebreak(spark):
     assert (cv["n_transitions"], cv["n_from"], cv["p"]) == (1, 1, 1.0)
     yx = out[("y", "x")]
     assert (yx["n_transitions"], yx["n_from"], yx["p"]) == (1, 1, 1.0)
+
+
+def test_event_stationary_chain_dangling_selfloop(spark):
+    """Three chain shapes pin the semantics: a symmetric a<->b chain
+    stays at the uniform fixed point (0.5/0.5) while the empirical
+    share reads 0.6/0.4 — the stationarity-divergence signal; a
+    dangling absorber leaks mass pagerank-style (the from-state decays
+    to bare teleport (1-d)/n); a pure self-loop KEEPS its mass at 1.0
+    (self-transitions are real dwell, not dropped like host chrome
+    links)."""
+    from ollama_ocr_spark.operators.reports import event_stationary
+
+    chain = spark.createDataFrame(
+        [("u", 1, "a", 1), ("u", 2, "b", 2), ("u", 3, "a", 3),
+         ("u", 4, "b", 4), ("u", 5, "a", 5)],
+        ["user_id", "event_id", "event_type", "ts_us"])
+    rows = {r["event_type"]: r for r in event_stationary(chain).collect()}
+    assert rows["a"]["stationary_p"] == 0.5
+    assert rows["b"]["stationary_p"] == 0.5
+    assert rows["a"]["empirical_share"] == 0.6
+    assert rows["b"]["empirical_share"] == 0.4
+
+    absorb = spark.createDataFrame(
+        [("u1", 1, "a", 1), ("u1", 2, "b", 2),
+         ("u2", 1, "a", 1), ("u2", 2, "b", 2)],
+        ["user_id", "event_id", "event_type", "ts_us"])
+    rows = {r["event_type"]: r
+            for r in event_stationary(absorb).collect()}
+    assert rows["a"]["stationary_p"] == 0.075       # bare teleport
+    assert rows["b"]["stationary_p"] == 0.13875     # leaked, not 0.925
+    assert rows["a"]["stationary_p"] < rows["b"]["stationary_p"]
+
+    loop = spark.createDataFrame(
+        [("u", 1, "a", 1), ("u", 2, "a", 2), ("u", 3, "a", 3)],
+        ["user_id", "event_id", "event_type", "ts_us"])
+    r = event_stationary(loop).collect()[0]
+    assert (r["stationary_p"], r["empirical_share"]) == (1.0, 1.0)
