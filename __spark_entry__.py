@@ -2100,6 +2100,41 @@ def q_host_seed_distance(spark, sf_dir):
     )
 
 
+def q_crawl_reachability(spark, sf_dir):
+    """What a depth-k crawl from the seed whitelist actually harvests:
+    corpus hosts grouped by their BFS hop distance (3 relaxation
+    rounds, NULL = unreached), with host and document counts and each
+    group's share of the corpus — the coverage ledger a seed-list or
+    depth-cap decision should be read against."""
+    from pyspark.sql import Window
+
+    from ollama_ocr_spark.operators.linkgraph import (host_seed_distance,
+                                                      outlink_edges)
+    from ollama_ocr_spark.operators.maintenance import host_expr
+
+    pages = _latest_pages(spark, sf_dir)
+    hostdocs = pages.groupBy(host_expr().alias("host")).agg(
+        F.count("*").alias("n_docs")
+    )
+    dist = host_seed_distance(
+        outlink_edges(pages),
+        seeds=["h0.example.com", "h1.example.com"], max_hops=3,
+    )
+    g = (
+        hostdocs.join(dist, "host", "left")
+        .groupBy("hops")
+        .agg(F.count("*").alias("n_hosts"), F.sum("n_docs").alias("n_docs"))
+    )
+    return g.select(
+        "hops", "n_hosts", "n_docs",
+        F.round(
+            F.col("n_docs") * F.lit(1.0)
+            / F.sum("n_docs").over(Window.partitionBy()),
+            6,
+        ).alias("doc_share"),
+    )
+
+
 def q_token_gini(spark, sf_dir):
     """Token-mass inequality across hosts: Gini + top-decile share, all
     integer sums until the two mirrored final divisions — the one-row
@@ -2888,6 +2923,7 @@ _QUERIES = {
         # --- round-5 additions (insert new queries HERE) ---
         "host_mirrors": q_host_mirrors,
         "host_seed_distance": q_host_seed_distance,
+        "crawl_reachability": q_crawl_reachability,
         "event_transitions": q_event_transitions,
         "event_stationary": q_event_stationary,
         "cdc_chunks": q_cdc_chunks,
@@ -3583,11 +3619,14 @@ edges AS (
 """
 
 
-def _seed_distance_oracle(seeds: tuple[str, ...], max_hops: int) -> str:
-    """DuckDB twin of linkgraph.host_seed_distance: the fixed relaxation
-    rounds unrolled as chained CTEs (the _pagerank_oracle idiom), all
+def _seed_distance_ctes(seeds: tuple[str, ...], max_hops: int) -> str:
+    """CTE chain mirroring linkgraph.host_seed_distance: the fixed
+    relaxation rounds unrolled (the _pagerank_oracle idiom), all
     integer — min(cand) ignores NULLs identically on both engines and
-    returns NULL for hosts unreached within max_hops."""
+    returns NULL for hosts unreached within max_hops. Requires
+    _EDGES_CTES before it; ends at d{max_hops}(host, hops). Shared by
+    the host_seed_distance oracle and the crawl_reachability
+    composite."""
     seed_list = ", ".join(f"'{s}'" for s in seeds)
     steps = []
     for i in range(1, max_hops + 1):
@@ -3601,7 +3640,6 @@ d{i} AS (
   ) GROUP BY host
 )""")
     return f"""
-WITH {_EDGES_CTES},
 ce AS (SELECT src_host, dst_host FROM edges WHERE src_host <> dst_host),
 hosts AS (SELECT src_host AS host FROM ce
           UNION SELECT dst_host FROM ce),
@@ -3609,6 +3647,15 @@ d0 AS (SELECT host,
               (CASE WHEN host IN ({seed_list}) THEN 0 END)::INT AS hops
        FROM hosts),
 {", ".join(steps)}
+"""
+
+
+def _seed_distance_oracle(seeds: tuple[str, ...], max_hops: int) -> str:
+    """DuckDB twin of linkgraph.host_seed_distance (see
+    _seed_distance_ctes)."""
+    return f"""
+WITH {_EDGES_CTES},
+{_seed_distance_ctes(seeds, max_hops)}
 SELECT host, hops FROM d{max_hops}
 """
 
@@ -6860,6 +6907,25 @@ WHERE shared * 1.0 / (da.deg + db.deg - shared) >= 0.25
         """,
         "host_seed_distance": _seed_distance_oracle(
             ("h0.example.com", "h1.example.com"), max_hops=3),
+        # crawl_reachability: corpus hosts bucketed by seed-BFS hops;
+        # hosts outside the graph or unreached fall in the NULL group;
+        # the share divides by the window total cast back to BIGINT.
+        "crawl_reachability": f"""
+WITH {_EDGES_CTES},
+{_seed_distance_ctes(("h0.example.com", "h1.example.com"), 3)},
+hostdocs AS (
+  SELECT {_host_case('doc_id')} AS host, count(*)::BIGINT AS n_docs
+  FROM documents GROUP BY 1),
+jj AS (
+  SELECT hostdocs.host, d.hops, hostdocs.n_docs
+  FROM hostdocs LEFT JOIN d3 d ON d.host = hostdocs.host),
+g AS (
+  SELECT hops, count(*)::BIGINT AS n_hosts, sum(n_docs)::BIGINT AS n_docs
+  FROM jj GROUP BY 1)
+SELECT hops, n_hosts, n_docs,
+       round(n_docs * 1.0 / (sum(n_docs) OVER ())::BIGINT, 6) AS doc_share
+FROM g
+        """,
         # cdc_chunks: the gear value at position i is the closed form
         # sum(u[t] * 2^(L-t)) over the last L = least(8, i) md5-u32 token
         # hashes — integer-identical to the engine's acc*2+u fold; the

@@ -195,6 +195,7 @@ EXTRA5: tuple[str, ...] = (
     "host_mirrors",
     "host_seed_distance",
     "event_stationary",
+    "crawl_reachability",
 )
 
 # Round-4 operators the r4 DRIVER run never reached (its budget cut the
