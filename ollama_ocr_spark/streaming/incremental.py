@@ -466,3 +466,113 @@ def streaming_exact_dedup(captures: DataFrame, key: str = "url",
     return captures.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(
         [key]
     )
+
+
+def read_transition_matrix(spark: SparkSession,
+                           matrix_tbl: IceTable) -> DataFrame | None:
+    """Merge-on-read view of the :func:`incremental_transitions` count
+    log: pair-count DELTAS are commutative, so the current matrix is
+    one sum per (from_type, to_type) over everything appended — the
+    log-structured-counter recipe that keeps the stream appender
+    trivially exactly-once (no read-modify-write snapshot races), with
+    ``IceTable.compact`` as the file-count bound."""
+    log = matrix_tbl.read(spark)
+    if log is None:
+        return None
+    return log.groupBy("from_type", "to_type").agg(
+        F.sum("n_transitions").alias("n_transitions")
+    )
+
+
+def incremental_transitions(
+    spark: SparkSession,
+    events_dir: str,
+    matrix_tbl: IceTable,
+    state_tbl: IceTable,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming maintenance of the first-order Markov transition
+    matrix (:func:`...operators.reports.event_transitions`' count
+    stage) — the live fetch-state-machine / funnel-health feed: events
+    arrive as a parquet stream of (user_id, event_id, event_type,
+    ts_us) and every micro-batch folds its transitions into a count
+    log WITHOUT ever rescanning history.
+
+    The batch lag window needs each user's PREVIOUS event, which at a
+    micro-batch boundary lives in an earlier batch — so the one piece
+    of state carried is each user's LAST event row. Per batch:
+
+    - prior last-events for ONLY the users present in the batch
+      (left-semi — state never fans out beyond the batch's user set)
+      union the batch, then the exact batch pair stage
+      (``_transition_pairs``, same (ts_us, event_id) order) — the
+      union's lead chain starts at the carried row, emitting precisely
+      the boundary-crossing pair plus the in-batch pairs;
+    - pair counts append as DELTAS (commutative — see
+      :func:`read_transition_matrix`);
+    - the batch's per-user argmax-(ts_us, event_id) rows append to the
+      state log, resolved on read by the same argmax (the
+      max-of-struct idiom: (ts_us, event_id) is unique, so the type
+      field never decides the max).
+
+    Exactly-once across resumes comes from the checkpoint alone: both
+    sinks are append-only logs whose readers aggregate, so a replayed
+    batch is the only duplication risk and availableNow + checkpoint
+    rules it out. Batch-equivalence (pytest): after draining any
+    PER-USER-ORDERED split of the events (late cross-batch arrivals
+    would need the full batch recompute — the standard lambda split),
+    ``read_transition_matrix`` equals the batch operator's counts over
+    the full corpus.
+    """
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("ts_us", LongType()),
+    ])
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+
+    def _last_events(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy("user_id")
+            .agg(
+                F.max(F.struct("ts_us", "event_id", "event_type")).alias("s")
+            )
+            .select(
+                "user_id",
+                F.col("s.event_id").alias("event_id"),
+                F.col("s.event_type").alias("event_type"),
+                F.col("s.ts_us").alias("ts_us"),
+            )
+        )
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.reports import _transition_pairs
+
+        base = batch_df.select("user_id", "event_id", "event_type", "ts_us")
+        state_log = state_tbl.read(spark)
+        if state_log is not None:
+            carried = _last_events(state_log).join(
+                base.select("user_id").distinct(), "user_id", "left_semi"
+            )
+            unioned = base.unionByName(
+                carried.select("user_id", "event_id", "event_type", "ts_us")
+            )
+        else:
+            unioned = base
+        pairs = _transition_pairs(
+            unioned, "user_id", "ts_us", "event_type", "event_id"
+        )
+        matrix_tbl.append(pairs)
+        state_tbl.append(_last_events(base))
+
+    (
+        stream.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

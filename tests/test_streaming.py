@@ -404,3 +404,57 @@ def test_incremental_chunk_dedup_matches_batch(spark, tmp_path):
     owners = {r["doc_id"] for r in rows}
     assert 2 in owners and 5 not in owners and 9 not in owners
     assert 3 in owners                      # novel text stored once
+
+
+def test_incremental_transitions_matches_batch(spark, tmp_path):
+    """Draining a per-user-ordered split of the events must leave
+    read_transition_matrix equal to the batch event_transitions counts
+    over the full stream — including the boundary-crossing pair each
+    user's carried last-event row restores — and a re-drain with
+    nothing new must change nothing (append-only logs + checkpoint)."""
+    from ollama_ocr_spark.operators.reports import event_transitions
+    from ollama_ocr_spark.sources.icetbl import IceTable
+    from ollama_ocr_spark.streaming.incremental import (
+        incremental_transitions,
+        read_transition_matrix,
+    )
+
+    rows = [
+        # user 1: a->b in batch 1; b->c CROSSES the boundary; c->a in 2
+        (1, 1, "a", 100), (1, 2, "b", 200),
+        (1, 3, "c", 300), (1, 4, "a", 400),
+        # user 2: single event per batch — the only pair is cross-batch
+        (2, 1, "a", 150), (2, 2, "a", 250),
+        # user 3: appears only in batch 2
+        (3, 1, "b", 310), (3, 2, "c", 320),
+        # user 4: appears only in batch 1, nothing ever follows
+        (4, 1, "c", 110),
+    ]
+    cols = ["user_id", "event_id", "event_type", "ts_us"]
+    full = spark.createDataFrame(rows, cols)
+
+    events_dir = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    matrix = IceTable(str(tmp_path / "matrix"))
+    state = IceTable(str(tmp_path / "state"))
+
+    first = full.filter("ts_us < 300")
+    second = full.filter("ts_us >= 300")
+    first.write.mode("append").parquet(events_dir)
+    incremental_transitions(spark, events_dir, matrix, state, ckpt)
+    second.write.mode("append").parquet(events_dir)
+    incremental_transitions(spark, events_dir, matrix, state, ckpt)
+
+    got = {(r["from_type"], r["to_type"]): r["n_transitions"]
+           for r in read_transition_matrix(spark, matrix).collect()}
+    want = {(r["from_type"], r["to_type"]): r["n_transitions"]
+            for r in event_transitions(full).collect()}
+    assert got == want
+    assert got[("b", "c")] == 2          # u1 crosses the boundary + u3 in-batch
+    assert got[("a", "a")] == 1          # user 2's only (cross) pair
+
+    # idempotent re-drain: no new files -> no new deltas
+    incremental_transitions(spark, events_dir, matrix, state, ckpt)
+    again = {(r["from_type"], r["to_type"]): r["n_transitions"]
+             for r in read_transition_matrix(spark, matrix).collect()}
+    assert again == want
