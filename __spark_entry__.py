@@ -2704,6 +2704,20 @@ def q_event_transitions(spark, sf_dir):
     return event_transitions(e)
 
 
+def q_user_transition_entropy(spark, sf_dir):
+    """Per-user Shannon entropy (nats) over the user's own transition
+    distribution — the behavioral-regularity bot axis next to
+    bot_suspects' timing axis. ln rounded 8dp before use, terms
+    DECIMAL(18,8)-summed (order-free), final 6dp."""
+    from ollama_ocr_spark.operators.reports import user_transition_entropy
+
+    e = _events(spark, sf_dir).select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("ts_us"),
+    )
+    return user_transition_entropy(e)
+
+
 def q_event_stationary(spark, sf_dir):
     """Long-run event-type mix implied by the first-order Markov chain
     vs the empirical share — the stationarity audit. host_pagerank's
@@ -2926,6 +2940,7 @@ _QUERIES = {
         "crawl_reachability": q_crawl_reachability,
         "event_transitions": q_event_transitions,
         "event_stationary": q_event_stationary,
+        "user_transition_entropy": q_user_transition_entropy,
         "cdc_chunks": q_cdc_chunks,
         "host_reciprocity": q_host_reciprocity,
         "token_gini": q_token_gini,
@@ -4305,6 +4320,38 @@ def oracle_sql() -> dict[str, str]:
             FROM tot
         """,
         "event_stationary": _stationary_oracle(iterations=3),
+        # user_transition_entropy: H = -(1/n)·Σ c·ln(c/n) — integer c
+        # times the 8dp-rounded ln as an EXACT decimal product, order-
+        # free decimal sum, one double division by n at the end, 6dp.
+        # (Rounding a p·ln(p) DOUBLE product per term instead lands
+        # .5e-8 boundaries a half-ulp apart between engines.)
+        "user_transition_entropy": """
+            WITH nxtu AS (
+              SELECT user_id, event_type AS from_type,
+                     lead(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY epoch_us(ts),
+                                                     event_id) AS to_type
+              FROM events),
+            upairs AS (
+              SELECT user_id, from_type, to_type, count(*)::BIGINT AS c
+              FROM nxtu WHERE to_type IS NOT NULL
+              GROUP BY 1, 2, 3),
+            tot AS (
+              SELECT user_id, sum(c)::BIGINT AS n,
+                     count(*)::BIGINT AS n_pairs
+              FROM upairs GROUP BY 1),
+            terms AS (
+              SELECT p.user_id,
+                     c * CAST(round(ln(c * 1.0 / n), 8)
+                              AS DECIMAL(18, 8)) AS term
+              FROM upairs p JOIN tot USING (user_id)),
+            s AS (
+              SELECT user_id, sum(term) AS sm
+              FROM terms GROUP BY 1)
+            SELECT t.user_id, t.n AS n_transitions, t.n_pairs,
+                   round((-(s.sm))::DOUBLE / t.n, 6) AS entropy
+            FROM tot t JOIN s USING (user_id)
+        """,
         "bot_suspects": """
             WITH g AS (
               SELECT user_id AS u,

@@ -196,6 +196,7 @@ EXTRA5: tuple[str, ...] = (
     "host_seed_distance",
     "event_stationary",
     "crawl_reachability",
+    "user_transition_entropy",
 )
 
 # Round-4 operators the r4 DRIVER run never reached (its budget cut the

@@ -613,6 +613,70 @@ def event_transitions(events: DataFrame, user: str = "user_id",
     )
 
 
+def user_transition_entropy(events: DataFrame, user: str = "user_id",
+                            ts_us: str = "ts_us",
+                            type_col: str = "event_type",
+                            order_tiebreak: str = "event_id") -> DataFrame:
+    """Per-user first-order behavioral entropy: Shannon entropy (nats)
+    of the user's own (from_type → to_type) transition distribution —
+    the behavioral-regularity axis of bot triage, orthogonal to
+    :func:`bot_suspects`' TIMING regularity: a scripted agent cycles a
+    handful of transitions (entropy near 0 at high volume) even when
+    its inter-event gaps are jittered past the gap-cv screen; organic
+    users mix transitions. Read the two reports joined on user.
+
+    Engine-exact FP recipe: H = -(1/n)·Σ c·ln(c/n), so each term is
+    the INTEGER count c times round(ln(c·1.0/n), 8) cast DECIMAL(18,8)
+    — exact decimal products, order-free decimal sum — with ONE double
+    division by n at the end, then 6dp. (Rounding a p·ln(p) DOUBLE
+    product per term instead lands .5e-8 boundaries a half-ulp apart
+    between engines — measured on this corpus.) Single-pair users read
+    exactly 0.0 (ln 1 = 0); single-event users have no distribution
+    and are absent.
+
+    Scale shape: one user-key window shuffle (the
+    :func:`event_transitions` lag), then per-user counter aggs — the
+    per-user pair table is bounded by each user's own |types|², and
+    nothing downstream touches the corpus again.
+
+    Output: (user_id, n_transitions, n_pairs, entropy).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user).orderBy(
+        F.col(ts_us).asc(), F.col(order_tiebreak).asc()
+    )
+    pairs = (
+        events.select(
+            F.col(user).alias("user_id"),
+            F.col(type_col).alias("from_type"),
+            F.lead(F.col(type_col)).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("user_id", "from_type", "to_type")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = pairs.groupBy("user_id").agg(
+        F.sum("c").alias("n"), F.count("*").alias("n_pairs")
+    )
+    p = F.col("c") * F.lit(1.0) / F.col("n")
+    term = F.col("c") * F.round(F.log(p), 8).cast("decimal(18,8)")
+    s = (
+        pairs.join(tot, "user_id")
+        .select("user_id", term.alias("term"))
+        .groupBy("user_id")
+        .agg(F.sum("term").alias("sm"))
+    )
+    return tot.join(s, "user_id").select(
+        "user_id",
+        F.col("n").alias("n_transitions"),
+        "n_pairs",
+        F.round(
+            (-F.col("sm")).cast("double") / F.col("n"), 6
+        ).alias("entropy"),
+    )
+
+
 def event_stationary(events: DataFrame, user: str = "user_id",
                      ts_us: str = "ts_us", type_col: str = "event_type",
                      order_tiebreak: str = "event_id",

@@ -2797,3 +2797,26 @@ def test_event_stationary_chain_dangling_selfloop(spark):
         ["user_id", "event_id", "event_type", "ts_us"])
     r = event_stationary(loop).collect()[0]
     assert (r["stationary_p"], r["empirical_share"]) == (1.0, 1.0)
+
+
+def test_user_transition_entropy_hand_values(spark):
+    """Alternating a/b gives the two-outcome maximum ln 2 = 0.693147
+    (c=2 terms: 2 x round(ln .5, 8) summed exactly, one final /n); a
+    pure self-loop user reads exactly 0.0 (ln 1 = 0); a single-event
+    user has no transition distribution and is absent."""
+    from ollama_ocr_spark.operators.reports import user_transition_entropy
+
+    df = spark.createDataFrame(
+        [("A", 1, "a", 1), ("A", 2, "b", 2), ("A", 3, "a", 3),
+         ("A", 4, "b", 4), ("A", 5, "a", 5),
+         ("B", 1, "a", 1), ("B", 2, "a", 2), ("B", 3, "a", 3),
+         ("B", 4, "a", 4),
+         ("C", 1, "x", 1)],
+        ["user_id", "event_id", "event_type", "ts_us"])
+    out = {r["user_id"]: r for r in user_transition_entropy(df).collect()}
+    assert set(out) == {"A", "B"}
+    a = out["A"]
+    assert (a["n_transitions"], a["n_pairs"], a["entropy"]) \
+        == (4, 2, 0.693147)
+    b = out["B"]
+    assert (b["n_transitions"], b["n_pairs"], b["entropy"]) == (3, 1, 0.0)
