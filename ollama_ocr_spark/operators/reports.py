@@ -655,6 +655,11 @@ def user_transition_entropy(events: DataFrame, user: str = "user_id",
         .filter(F.col("to_type").isNotNull())
         .groupBy("user_id", "from_type", "to_type")
         .agg(F.count("*").alias("c"))
+        # three consuming branches (tot, terms' join, the final join);
+        # without the lineage cut each re-runs the corpus-wide window
+        # shuffle (no cross-branch subplan reuse) — the pair table is
+        # users x |types|²-bounded, far smaller than the event log
+        .localCheckpoint(eager=True)
     )
     tot = pairs.groupBy("user_id").agg(
         F.sum("c").alias("n"), F.count("*").alias("n_pairs")

@@ -518,3 +518,22 @@ def test_community_budget_zeroes_quarantined(spark):
     allq = quar.withColumn("quarantined", quar.quarantined | True)
     out2 = community_budget(allq, urls, total_budget=1000).collect()
     assert all(r["budget"] == 0 for r in out2)
+
+
+def test_outlink_similarity_plan_equi_joins_only(spark):
+    """The pair stage is the equi-join form on dst_host (the
+    cap-or-equi-join rule) — no cartesian/nested-loop node anywhere,
+    and every branch runs over the checkpointed host-level edge list,
+    never a corpus scan."""
+    from ollama_ocr_spark.operators.linkgraph import outlink_similarity
+
+    edges = spark.createDataFrame(
+        [("m1", "x", 1), ("m1", "y", 1), ("m2", "x", 1),
+         ("m2", "y", 1), ("o", "x", 1)],
+        ["src_host", "dst_host", "n_links"],
+    )
+    plan = (outlink_similarity(edges)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -2820,3 +2820,39 @@ def test_user_transition_entropy_hand_values(spark):
         == (4, 2, 0.693147)
     b = out["B"]
     assert (b["n_transitions"], b["n_pairs"], b["entropy"]) == (3, 1, 0.0)
+
+
+def test_event_transitions_plan_single_pass(spark):
+    """The matrix plan is one linear chain: user-key exchange for the
+    lag window, pair-counter agg, from-state total window — three
+    exchanges, each crossed once, no Python stage, no non-equi join.
+    The payload never joins anything."""
+    from ollama_ocr_spark.operators.reports import event_transitions
+
+    df = spark.createDataFrame(
+        [("u", 1, "a", 1), ("u", 2, "b", 2), ("v", 1, "a", 1)],
+        ["user_id", "event_id", "event_type", "ts_us"])
+    plan = (event_transitions(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange") == 3
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_user_transition_entropy_corpus_window_once(spark):
+    """The per-user pair table is localCheckpoint-ed, so the THREE
+    consuming branches (totals, terms join, final join) never re-run
+    the corpus-wide lag window: the downstream plan contains ZERO
+    Window nodes — only small exchanges over the checkpointed pairs."""
+    from ollama_ocr_spark.operators.reports import user_transition_entropy
+
+    df = spark.createDataFrame(
+        [("u", 1, "a", 1), ("u", 2, "b", 2), ("v", 1, "a", 1)],
+        ["user_id", "event_id", "event_type", "ts_us"])
+    plan = (user_transition_entropy(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Window [") == 0
+    assert plan.count("Exchange") <= 3
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
