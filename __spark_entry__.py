@@ -2704,6 +2704,19 @@ def q_event_transitions(spark, sf_dir):
     return event_transitions(e)
 
 
+def q_state_dwell_stats(spark, sf_dir):
+    """Mean dwell per event state (gap to the user's next event),
+    seconds-quantized BIGINT sums (the bot_suspects ANSI-overflow
+    idiom) — per-state latency for a fetch-log reading."""
+    from ollama_ocr_spark.operators.reports import state_dwell_stats
+
+    e = _events(spark, sf_dir).select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("ts_us"),
+    )
+    return state_dwell_stats(e)
+
+
 def q_user_transition_entropy(spark, sf_dir):
     """Per-user Shannon entropy (nats) over the user's own transition
     distribution — the behavioral-regularity bot axis next to
@@ -2941,6 +2954,7 @@ _QUERIES = {
         "event_transitions": q_event_transitions,
         "event_stationary": q_event_stationary,
         "user_transition_entropy": q_user_transition_entropy,
+        "state_dwell_stats": q_state_dwell_stats,
         "cdc_chunks": q_cdc_chunks,
         "host_reciprocity": q_host_reciprocity,
         "token_gini": q_token_gini,
@@ -4351,6 +4365,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.user_id, t.n AS n_transitions, t.n_pairs,
                    round((-(s.sm))::DOUBLE / t.n, 6) AS entropy
             FROM tot t JOIN s USING (user_id)
+        """,
+        # state_dwell_stats: dwell = gap to the user's next event,
+        # whole seconds via BIGINT floor-div before summing (the
+        # bot_suspects overflow idiom; gaps are non-negative so floor
+        # == trunc on both engines).
+        "state_dwell_stats": """
+            WITH nxtg AS (
+              SELECT event_type AS from_type,
+                     lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                              ORDER BY epoch_us(ts),
+                                                       event_id)
+                       - epoch_us(ts) AS gap_us
+              FROM events),
+            g AS (
+              SELECT from_type, count(*)::BIGINT AS n_transitions,
+                     sum(gap_us // 1000000)::BIGINT AS total_dwell_s
+              FROM nxtg WHERE gap_us IS NOT NULL
+              GROUP BY 1)
+            SELECT from_type, n_transitions, total_dwell_s,
+                   round(total_dwell_s * 1.0 / n_transitions, 4)
+                     AS mean_dwell_s
+            FROM g
         """,
         "bot_suspects": """
             WITH g AS (

@@ -197,6 +197,7 @@ EXTRA5: tuple[str, ...] = (
     "event_stationary",
     "crawl_reachability",
     "user_transition_entropy",
+    "state_dwell_stats",
 )
 
 # Round-4 operators the r4 DRIVER run never reached (its budget cut the

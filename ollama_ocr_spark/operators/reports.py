@@ -613,6 +613,55 @@ def event_transitions(events: DataFrame, user: str = "user_id",
     )
 
 
+def state_dwell_stats(events: DataFrame, user: str = "user_id",
+                      ts_us: str = "ts_us", type_col: str = "event_type",
+                      order_tiebreak: str = "event_id") -> DataFrame:
+    """Mean time spent in each event state: for every non-terminal
+    event, the gap to the same user's NEXT event is the dwell in the
+    current state — the timing companion to
+    :func:`event_transitions`' "where do users go" (this is "how long
+    do they sit there first"); for a crawl/fetch log it reads as
+    per-state latency. Terminal events (no successor) have no dwell
+    and are excluded, exactly the transition rows' universe.
+
+    Gaps are quantized to whole SECONDS via BIGINT ``div`` before
+    summing (the bot_suspects overflow idiom — micro gaps can reach
+    ~3e13, and a corpus-scale sum of those would overflow BIGINT under
+    ANSI while DuckDB silently widens to HUGEINT, hiding the
+    divergence); the seconds sum holds to ~1e11 transitions x year
+    -scale dwells. mean = round(total·1.0/n, 4), n > 0 by
+    construction.
+
+    Scale shape: the one user-key window shuffle every operator in
+    this family pays, then a counter agg on from_type (|types| rows).
+
+    Output: (from_type, n_transitions, total_dwell_s, mean_dwell_s).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user).orderBy(
+        F.col(ts_us).asc(), F.col(order_tiebreak).asc()
+    )
+    d = events.select(
+        F.col(type_col).alias("from_type"),
+        (F.lead(F.col(ts_us)).over(w) - F.col(ts_us)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    g = (
+        d.select("from_type", F.expr("gap_us div 1000000").alias("gap_s"))
+        .groupBy("from_type")
+        .agg(
+            F.count("*").alias("n_transitions"),
+            F.sum("gap_s").alias("total_dwell_s"),
+        )
+    )
+    return g.select(
+        "from_type", "n_transitions", "total_dwell_s",
+        F.round(
+            F.col("total_dwell_s") * F.lit(1.0) / F.col("n_transitions"), 4
+        ).alias("mean_dwell_s"),
+    )
+
+
 def user_transition_entropy(events: DataFrame, user: str = "user_id",
                             ts_us: str = "ts_us",
                             type_col: str = "event_type",

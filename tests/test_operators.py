@@ -2856,3 +2856,29 @@ def test_user_transition_entropy_corpus_window_once(spark):
     assert plan.count("Exchange") <= 3
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_state_dwell_stats_gaps_and_quantization(spark):
+    """Dwell = gap to the same user's next event: user u sits in 'a'
+    2s then 'b' 3s; simultaneous events (gap 0) still count as
+    transitions; sub-second gaps floor to 0 via BIGINT div; terminal
+    events contribute nothing."""
+    from ollama_ocr_spark.operators.reports import state_dwell_stats
+
+    us = 1_000_000
+    rows = [
+        ("u", 1, "a", 0), ("u", 2, "b", 2 * us), ("u", 3, "a", 5 * us),
+        ("v", 1, "a", 0), ("v", 2, "a", 0),          # gap exactly 0
+        ("w", 1, "b", 0), ("w", 2, "a", 1_500_000),  # 1.5s floors to 1
+        ("x", 9, "c", 7),                            # terminal only
+    ]
+    df = spark.createDataFrame(
+        rows, ["user_id", "event_id", "event_type", "ts_us"])
+    out = {r["from_type"]: r for r in state_dwell_stats(df).collect()}
+    assert set(out) == {"a", "b"}
+    a = out["a"]                     # u: 2s, v: 0s -> n=2, total 2
+    assert (a["n_transitions"], a["total_dwell_s"], a["mean_dwell_s"]) \
+        == (2, 2, 1.0)
+    b = out["b"]                     # u: 3s, w: 1.5s->1 -> n=2, total 4
+    assert (b["n_transitions"], b["total_dwell_s"], b["mean_dwell_s"]) \
+        == (2, 4, 2.0)
