@@ -2100,24 +2100,45 @@ def q_host_seed_distance(spark, sf_dir):
     )
 
 
+def _host_for_expr(doc_id_col: str):
+    """Engine-side twin of ``corpus.host_for`` / the oracle's
+    ``_host_case``: the latest-capture set holds exactly one url per
+    doc_id, so per-host doc counts are pure doc_id arithmetic — no
+    payload synthesis, no latest-capture window."""
+    m = F.col(doc_id_col) % 100
+    return (
+        F.when(m < 50, F.lit("h0.example.com"))
+        .when(m < 70, F.lit("h1.example.com"))
+        .when(m < 85, F.lit("h2.example.com"))
+        .otherwise(
+            F.concat(
+                F.lit("h"),
+                (F.lit(3) + F.col(doc_id_col) % 13).cast("string"),
+                F.lit(".example.com"),
+            )
+        )
+    )
+
+
 def q_crawl_reachability(spark, sf_dir):
     """What a depth-k crawl from the seed whitelist actually harvests:
     corpus hosts grouped by their BFS hop distance (3 relaxation
     rounds, NULL = unreached), with host and document counts and each
     group's share of the corpus — the coverage ledger a seed-list or
-    depth-cap decision should be read against."""
+    depth-cap decision should be read against. The doc-mass side reads
+    host counts straight off documents via doc_id arithmetic
+    (_host_for_expr) — the payload-rendering corpus pass runs ONCE,
+    inside the edge extraction."""
     from pyspark.sql import Window
 
     from ollama_ocr_spark.operators.linkgraph import (host_seed_distance,
                                                       outlink_edges)
-    from ollama_ocr_spark.operators.maintenance import host_expr
 
-    pages = _latest_pages(spark, sf_dir)
-    hostdocs = pages.groupBy(host_expr().alias("host")).agg(
-        F.count("*").alias("n_docs")
-    )
+    hostdocs = _docs(spark, sf_dir).groupBy(
+        _host_for_expr("doc_id").alias("host")
+    ).agg(F.count("*").alias("n_docs"))
     dist = host_seed_distance(
-        outlink_edges(pages),
+        outlink_edges(_latest_pages(spark, sf_dir)),
         seeds=["h0.example.com", "h1.example.com"], max_hops=3,
     )
     g = (

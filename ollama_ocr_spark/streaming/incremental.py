@@ -473,14 +473,24 @@ def read_transition_matrix(spark: SparkSession,
     """Merge-on-read view of the :func:`incremental_transitions` count
     log: pair-count DELTAS are commutative, so the current matrix is
     one sum per (from_type, to_type) over everything appended — the
-    log-structured-counter recipe that keeps the stream appender
-    trivially exactly-once (no read-modify-write snapshot races), with
-    ``IceTable.compact`` as the file-count bound."""
+    log-structured-counter recipe (no read-modify-write snapshot
+    races), with ``IceTable.compact`` as the file-count bound. Replay
+    safety lives HERE, not in the appender: foreachBatch is
+    at-least-once, so a driver death between a successful append and
+    the checkpoint commit re-appends the same batch — every delta row
+    is stamped with its batch_id and a replayed batch rewrites
+    byte-identical rows, so one distinct() over
+    (batch_id, from_type, to_type, n_transitions) collapses replays
+    before the sum (the anti-join guard of the other streaming twins,
+    in merge-on-read form)."""
     log = matrix_tbl.read(spark)
     if log is None:
         return None
-    return log.groupBy("from_type", "to_type").agg(
-        F.sum("n_transitions").alias("n_transitions")
+    return (
+        log.select("batch_id", "from_type", "to_type", "n_transitions")
+        .distinct()
+        .groupBy("from_type", "to_type")
+        .agg(F.sum("n_transitions").alias("n_transitions"))
     )
 
 
@@ -515,10 +525,13 @@ def incremental_transitions(
       max-of-struct idiom: (ts_us, event_id) is unique, so the type
       field never decides the max).
 
-    Exactly-once across resumes comes from the checkpoint alone: both
-    sinks are append-only logs whose readers aggregate, so a replayed
-    batch is the only duplication risk and availableNow + checkpoint
-    rules it out. Batch-equivalence (pytest): after draining any
+    foreachBatch is AT-LEAST-once (a driver death between a
+    successful append and the checkpoint commit replays the batch), so
+    every delta row carries its batch_id and both readers are
+    replay-idempotent: :func:`read_transition_matrix` distincts the
+    stamped deltas before summing, and the state argmax is naturally
+    idempotent (a replayed last-event row ties with itself).
+    Batch-equivalence (pytest): after draining any
     PER-USER-ORDERED split of the events (late cross-batch arrivals
     would need the full batch recompute — the standard lambda split),
     ``read_transition_matrix`` equals the batch operator's counts over
@@ -566,7 +579,11 @@ def incremental_transitions(
         pairs = _transition_pairs(
             unioned, "user_id", "ts_us", "event_type", "event_id"
         )
-        matrix_tbl.append(pairs)
+        matrix_tbl.append(
+            pairs.withColumn(
+                "batch_id", F.lit(batch_id).cast("bigint")
+            )
+        )
         state_tbl.append(_last_events(base))
 
     (

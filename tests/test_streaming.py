@@ -458,3 +458,13 @@ def test_incremental_transitions_matches_batch(spark, tmp_path):
     again = {(r["from_type"], r["to_type"]): r["n_transitions"]
              for r in read_transition_matrix(spark, matrix).collect()}
     assert again == want
+
+    # simulated foreachBatch REPLAY (at-least-once: append succeeded,
+    # checkpoint commit didn't): re-appending a batch's byte-identical
+    # stamped deltas must not change the merge-on-read counts
+    log = matrix.read(spark)
+    last_bid = log.agg({"batch_id": "max"}).collect()[0][0]
+    matrix.append(log.filter(log.batch_id == last_bid))
+    replayed = {(r["from_type"], r["to_type"]): r["n_transitions"]
+                for r in read_transition_matrix(spark, matrix).collect()}
+    assert replayed == want
