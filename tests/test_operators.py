@@ -2882,3 +2882,20 @@ def test_state_dwell_stats_gaps_and_quantization(spark):
     b = out["b"]                     # u: 3s, w: 1.5s->1 -> n=2, total 4
     assert (b["n_transitions"], b["total_dwell_s"], b["mean_dwell_s"]) \
         == (2, 4, 2.0)
+
+
+def test_host_for_expr_matches_corpus_arithmetic(spark):
+    """__spark_entry__._host_for_expr is the engine-side twin of
+    corpus.host_for (and of the oracle's _host_case) — the three must
+    never drift (CLAUDE.md sync contract). Pinned over a doc_id range
+    covering every branch incl. the %13 tail wrap."""
+    import __spark_entry__ as entry
+    from ollama_ocr_spark.corpus import host_for
+
+    ids = list(range(0, 260)) + [999, 1000, 12345]
+    df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    got = {r["doc_id"]: r["host"]
+           for r in df.select(
+               "doc_id",
+               entry._host_for_expr("doc_id").alias("host")).collect()}
+    assert got == {i: host_for(i) for i in ids}
