@@ -2942,6 +2942,54 @@ def q_host_communities(spark, sf_dir):
     )
 
 
+def q_host_kcore(spark, sf_dir):
+    """Fixed-round k-core peeling over the undirected host graph
+    (integer-only: removal round for the periphery, residual core
+    degree for the nucleus) — the density triage next to
+    host_degree_stats (volume) and host_triangles (closure)."""
+    from ollama_ocr_spark.operators.linkgraph import host_kcore, outlink_edges
+
+    # k=6, rounds=3 at this corpus: every peel round fires AND the
+    # final survivor set is non-empty with nonzero residual degrees, so
+    # both output columns carry signal through the oracle gate.
+    return host_kcore(outlink_edges(_latest_pages(spark, sf_dir)),
+                      k=6, rounds=3)
+
+
+def q_host_hits(spark, sf_dir):
+    """HITS hubs/authorities over the host graph: fixed iterations,
+    max-normalized per half-step (max of doubles is order-free, unlike
+    an L2 sum), 6dp output round — the host_pagerank FP contract."""
+    from ollama_ocr_spark.operators.linkgraph import host_hits, outlink_edges
+
+    return host_hits(outlink_edges(_latest_pages(spark, sf_dir)),
+                     iterations=2)
+
+
+def q_interevent_histogram(spark, sf_dir):
+    """Log2-bucketed inter-event gap histogram per event type (whole-
+    second BIGINT gaps, bucket = binary bit-length via bin() on both
+    engines — all integer): the burstiness profile that separates
+    scheduler-generated types from human-triggered ones."""
+    from ollama_ocr_spark.operators.reports import interevent_histogram
+
+    e = _events(spark, sf_dir).select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("ts_us"),
+    )
+    return interevent_histogram(e)
+
+
+def q_heaps_law(spark, sf_dir):
+    """Vocabulary-growth (Heaps) curve over doc_id-ordered corpus
+    prefixes plus the OLS exponent beta — window-free (cuts from one
+    max() agg + broadcast non-equi join), zipf_slope's decimal-moment
+    OLS idiom."""
+    from ollama_ocr_spark.operators.textstats import heaps_law
+
+    return heaps_law(_docs(spark, sf_dir))
+
+
 def _utc_wrapped(fn):
     """Every query assumes UTC session semantics (timestamp↔epoch parity
     with the DuckDB oracle); the driver's session timezone is unknown."""
@@ -2969,6 +3017,10 @@ _QUERIES = {
         # band plus training_batches, a composite of pieces verified on
         # their own) are all judge-green in r4 and swept every sitting.
         # --- round-5 additions (insert new queries HERE) ---
+        "host_kcore": q_host_kcore,
+        "host_hits": q_host_hits,
+        "interevent_histogram": q_interevent_histogram,
+        "heaps_law": q_heaps_law,
         "host_mirrors": q_host_mirrors,
         "host_seed_distance": q_host_seed_distance,
         "crawl_reachability": q_crawl_reachability,
@@ -3744,6 +3796,102 @@ wf AS (
 r0 AS (SELECT host, (SELECT 1.0::DOUBLE / n FROM nn) AS rank FROM hosts),
 {",".join(steps)}
 SELECT host, round(rank, 6) AS rank FROM r{iterations}
+"""
+
+
+def _kcore_oracle(k: int = 6, rounds: int = 4) -> str:
+    """DuckDB twin of linkgraph.host_kcore: peel rounds unrolled (the
+    _pagerank_oracle idiom), all integer — live edges re-filtered
+    against the shrinking survivor set each round, degree = count over
+    the symmetric endpoint union, exactly the engine's plan. The
+    per-round CTEs are MATERIALIZED: DuckDB inlines plain CTEs, and
+    s_{i-1} appears three times per round, so inlining copies the plan
+    tree ~3^rounds times and the OPTIMIZER itself hangs (measured:
+    >400 s un-materialized, 0.5 s materialized — the CTE-explosion
+    twin of Spark's localCheckpoint lineage cut)."""
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(f"""
+e{i} AS MATERIALIZED (SELECT und.u, und.v FROM und
+         JOIN s{i - 1} a ON und.u = a.host
+         JOIN s{i - 1} b ON und.v = b.host),
+g{i} AS (SELECT host, count(*)::BIGINT AS d FROM (
+           SELECT u AS host FROM e{i} UNION ALL SELECT v FROM e{i})
+         GROUP BY 1),
+c{i} AS MATERIALIZED (SELECT s.host, coalesce(g.d, 0)::BIGINT AS d
+         FROM s{i - 1} s LEFT JOIN g{i} g USING (host)),
+r{i} AS (SELECT host, {i}::INT AS removed_round FROM c{i} WHERE d < {k}),
+s{i} AS MATERIALIZED (SELECT host FROM c{i} WHERE d >= {k})""")
+    removed_union = "\nUNION ALL\n".join(
+        f"SELECT host, removed_round FROM r{i}" for i in range(1, rounds + 1)
+    )
+    return f"""
+WITH {_EDGES_CTES},
+und AS MATERIALIZED (
+  SELECT least(src_host, dst_host) AS u,
+         greatest(src_host, dst_host) AS v
+  FROM edges WHERE src_host <> dst_host GROUP BY 1, 2),
+s0 AS MATERIALIZED (SELECT u AS host FROM und UNION SELECT v FROM und),
+{",".join(steps)},
+fe AS (SELECT und.u, und.v FROM und
+       JOIN s{rounds} a ON und.u = a.host
+       JOIN s{rounds} b ON und.v = b.host),
+fin AS (SELECT host, count(*)::BIGINT AS core_deg FROM (
+          SELECT u AS host FROM fe UNION ALL SELECT v FROM fe)
+        GROUP BY 1),
+rem AS ({removed_union})
+SELECT s.host, NULL::INT AS removed_round,
+       coalesce(f.core_deg, 0)::BIGINT AS core_deg
+FROM s{rounds} s LEFT JOIN fin f USING (host)
+UNION ALL
+SELECT host, removed_round, NULL::BIGINT AS core_deg FROM rem
+"""
+
+
+def _hits_oracle(iterations: int = 2) -> str:
+    """DuckDB twin of linkgraph.host_hits: iterations unrolled, each
+    half-step an incoming-sum + coalesce + max-rescale — max of doubles
+    is order-free, so the only engine-order-sensitive ops are the
+    degree-bounded per-host sums the final 6dp round absorbs (the
+    _pagerank_oracle contract). Per-step vectors are MATERIALIZED — the
+    scalar-max subqueries reference each one three times, and DuckDB's
+    CTE inlining would otherwise copy the chain ~3^(2·iterations) times
+    (the _kcore_oracle optimizer-hang lesson)."""
+    steps = []
+    prev_a = "a0"
+    for i in range(1, iterations + 1):
+        steps.append(f"""
+h{i}s AS (SELECT e.src_host AS host, sum(a.a) AS s
+          FROM ce e JOIN {prev_a} a ON a.host = e.dst_host GROUP BY 1),
+h{i}r AS MATERIALIZED (SELECT h.host, coalesce(x.s, 0.0::DOUBLE) AS h
+          FROM hosts h LEFT JOIN h{i}s x USING (host)),
+h{i}m AS (SELECT max(h) AS m FROM h{i}r),
+h{i} AS MATERIALIZED (SELECT host,
+                CASE WHEN (SELECT m FROM h{i}m) > 0
+                     THEN h / (SELECT m FROM h{i}m)
+                     ELSE 0.0::DOUBLE END AS h
+         FROM h{i}r),
+a{i}s AS (SELECT e.dst_host AS host, sum(x.h) AS s
+          FROM ce e JOIN h{i} x ON x.host = e.src_host GROUP BY 1),
+a{i}r AS MATERIALIZED (SELECT h.host, coalesce(x.s, 0.0::DOUBLE) AS a
+          FROM hosts h LEFT JOIN a{i}s x USING (host)),
+a{i}m AS (SELECT max(a) AS m FROM a{i}r),
+a{i} AS MATERIALIZED (SELECT host,
+                CASE WHEN (SELECT m FROM a{i}m) > 0
+                     THEN a / (SELECT m FROM a{i}m)
+                     ELSE 0.0::DOUBLE END AS a
+         FROM a{i}r)""")
+        prev_a = f"a{i}"
+    return f"""
+WITH {_EDGES_CTES},
+ce AS MATERIALIZED (SELECT DISTINCT src_host, dst_host FROM edges
+       WHERE src_host <> dst_host),
+hosts AS MATERIALIZED (SELECT src_host AS host FROM ce
+       UNION SELECT dst_host FROM ce),
+a0 AS (SELECT host, 1.0::DOUBLE AS a FROM hosts),
+{",".join(steps)}
+SELECT h.host, round(h.h, 6) AS hub, round(a.a, 6) AS authority
+FROM h{iterations} h JOIN a{iterations} a USING (host)
 """
 
 
@@ -6984,6 +7132,78 @@ SELECT deg.host, deg.out_deg, deg.in_deg,
             THEN round(coalesce(mu.mutual, 0)::BIGINT / deg.out_deg, 4)
        END AS recip_rate
 FROM deg LEFT JOIN mu ON deg.host = mu.host
+        """,
+        "host_kcore": _kcore_oracle(k=6, rounds=3),
+        "host_hits": _hits_oracle(iterations=2),
+        # interevent_histogram: all-integer — whole-second gaps (the
+        # bot_suspects // idiom), bucket = length(bin(g)) (identical
+        # bit-length strings on both engines), bounds via BIGINT shifts.
+        "interevent_histogram": """
+            WITH g AS (
+              SELECT event_type,
+                     (epoch_us(ts)
+                      - lag(epoch_us(ts)) OVER (
+                          PARTITION BY user_id, event_type
+                          ORDER BY epoch_us(ts), event_id))
+                     // 1000000 AS g
+              FROM events),
+            b AS (SELECT event_type, length(bin(g))::INT AS bucket
+                  FROM g WHERE g IS NOT NULL),
+            h AS (SELECT event_type, bucket, count(*)::BIGINT AS n_gaps
+                  FROM b GROUP BY 1, 2)
+            SELECT event_type, bucket,
+                   (CASE WHEN bucket > 1 THEN (1::BIGINT << (bucket - 1))
+                         ELSE 0 END)::BIGINT AS bucket_lo_s,
+                   (1::BIGINT << bucket)::BIGINT AS bucket_hi_s,
+                   n_gaps
+            FROM h
+        """,
+        # heaps_law: window-free prefix cuts (((max+1)*i) div 10),
+        # BIGINT counts through the broadcast non-equi attach, then the
+        # zipf_slope OLS idiom (8dp ln, decimal moments, double slope,
+        # divide-guarded beta) repeated onto the curve rows.
+        "heaps_law": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+              FROM documents),
+            docs AS (SELECT doc_id, len(ws)::BIGINT AS n_toks FROM toks),
+            fl AS (SELECT doc_id, unnest(ws) AS tok FROM toks),
+            firsts AS (SELECT tok, min(doc_id) AS first_k FROM fl
+                       GROUP BY 1),
+            mx AS (SELECT max(doc_id) AS m FROM documents),
+            cuts AS (SELECT i, ((m + 1) * i) // 10 AS c
+                     FROM mx, (SELECT unnest(range(1, 11)) AS i) g),
+            ctoks AS (SELECT i, c, count(*)::BIGINT AS n_docs,
+                             sum(n_toks)::BIGINT AS cum_tokens
+                      FROM docs JOIN cuts ON docs.doc_id < cuts.c
+                      GROUP BY 1, 2),
+            cvoc AS (SELECT i, c, count(*)::BIGINT AS cum_vocab
+                     FROM firsts JOIN cuts ON firsts.first_k < cuts.c
+                     GROUP BY 1, 2),
+            curve AS (SELECT i, n_docs, cum_tokens, cum_vocab
+                      FROM ctoks JOIN cvoc USING (i, c)),
+            xy AS (SELECT round(ln(cum_tokens::DOUBLE), 8) AS x,
+                          round(ln(cum_vocab::DOUBLE), 8) AS y
+                   FROM curve),
+            m2 AS (SELECT count(*) AS cnt,
+                          sum(CAST(x AS DECIMAL(20, 8))) AS sx,
+                          sum(CAST(y AS DECIMAL(20, 8))) AS sy,
+                          sum(CAST(x * y AS DECIMAL(30, 12))) AS sxy,
+                          sum(CAST(x * x AS DECIMAL(30, 12))) AS sxx
+                   FROM xy),
+            bt AS (SELECT CASE WHEN cnt::DOUBLE * sxx::DOUBLE
+                                    - sx::DOUBLE * sx::DOUBLE <> 0
+                               THEN round((cnt::DOUBLE * sxy::DOUBLE
+                                           - sx::DOUBLE * sy::DOUBLE)
+                                          / (cnt::DOUBLE * sxx::DOUBLE
+                                             - sx::DOUBLE * sx::DOUBLE), 4)
+                                    + 0.0
+                          END AS beta
+                   FROM m2)
+            SELECT ((i * 100) // 10)::INT AS pct, n_docs, cum_tokens,
+                   cum_vocab, (SELECT beta FROM bt) AS beta
+            FROM curve
         """,
         # host_mirrors: stop-neighbor pruning drops hub destinations
         # from the UNIVERSE (degrees and intersections alike), so true

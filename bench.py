@@ -172,6 +172,10 @@ EXTRA3 = (
 # Round-5 operators — timed FIRST among the extras (zero perf evidence of
 # any kind until this round's runs).
 EXTRA5: tuple[str, ...] = (
+    "host_kcore",
+    "host_hits",
+    "interevent_histogram",
+    "heaps_law",
     "host_communities",
     "normalize_text_nfkc",
     "wave_makespan_mix",

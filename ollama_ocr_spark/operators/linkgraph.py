@@ -855,3 +855,175 @@ def graph_triangles(edges: DataFrame, src: str = "src_host",
         "n_nodes", "n_edges", "n_triangles", "n_wedges",
         clustering.alias("global_clustering"),
     )
+
+
+def host_kcore(edges: DataFrame, k: int = 6, rounds: int = 4) -> DataFrame:
+    """Fixed-round k-core peeling over the UNDIRECTED host graph: each
+    round removes every surviving host whose degree WITHIN the surviving
+    subgraph is below ``k``, then recomputes degrees. After ``rounds``
+    rounds the survivors approximate the k-core — the densely
+    interlinked nucleus that link-farm rings and genuine topic
+    communities both inhabit (join against :func:`host_trustrank` to
+    tell them apart); hosts peeled in round 1 are the periphery
+    (leaf mirrors, one-shot referrers). Reference analog: none
+    (crawl-analytics surface).
+
+    Output: (host, removed_round, core_deg) — ``removed_round`` is the
+    1-based round the host fell out (NULL for survivors), ``core_deg``
+    the host's degree within the final surviving subgraph (NULL for
+    removed hosts). All arithmetic is integer, so the DuckDB mirror
+    (rounds unrolled as CTEs, the host_pagerank idiom) is exact.
+
+    Scale shape: directed edges canonicalize once to distinct u < v
+    pairs (host-level, tiny vs the corpus) and are localCheckpoint-ed;
+    each round is two host-key semi-joins + one count agg over the
+    shrinking live-edge list, re-checkpointed to truncate lineage (the
+    iterative-loop rule). ``rounds`` is fixed, not data-dependent —
+    the same bounded-iteration contract as host_pagerank /
+    host_communities.
+    """
+    if k < 1 or rounds < 1:
+        raise ValueError("host_kcore needs k >= 1 and rounds >= 1")
+    und = (
+        edges.filter(F.col("src_host") != F.col("dst_host"))
+        .select(
+            F.least(F.col("src_host"), F.col("dst_host")).alias("u"),
+            F.greatest(F.col("src_host"), F.col("dst_host")).alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    live = und
+    alive = (
+        und.select(F.col("u").alias("host"))
+        .union(und.select(F.col("v").alias("host")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    removed = None
+    for i in range(1, rounds + 1):
+        deg = (
+            live.select(F.col("u").alias("host"))
+            .unionAll(live.select(F.col("v").alias("host")))
+            .groupBy("host")
+            .agg(F.count("*").alias("d"))
+        )
+        cur = (
+            alive.join(deg, "host", "left")
+            .select("host", F.coalesce("d", F.lit(0).cast("bigint")).alias("d"))
+        )
+        drop = cur.filter(F.col("d") < k).select(
+            "host", F.lit(i).cast("int").alias("removed_round")
+        )
+        removed = drop if removed is None else removed.unionAll(drop)
+        alive = cur.filter(F.col("d") >= k).select("host") \
+            .localCheckpoint(eager=True)
+        live = (
+            live.join(alive.withColumnRenamed("host", "u"), "u", "left_semi")
+            .join(alive.withColumnRenamed("host", "v"), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    fin = (
+        live.select(F.col("u").alias("host"))
+        .unionAll(live.select(F.col("v").alias("host")))
+        .groupBy("host")
+        .agg(F.count("*").alias("core_deg"))
+    )
+    survivors = (
+        alive.join(fin, "host", "left")
+        .select(
+            "host",
+            F.lit(None).cast("int").alias("removed_round"),
+            F.coalesce("core_deg", F.lit(0).cast("bigint")).alias("core_deg"),
+        )
+    )
+    peeled = removed.select(
+        "host", "removed_round", F.lit(None).cast("bigint").alias("core_deg")
+    )
+    return survivors.unionAll(peeled)
+
+
+def host_hits(edges: DataFrame, iterations: int = 2) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over the directed
+    host graph: hubs are hosts whose outlinks point at good
+    authorities, authorities are hosts good hubs point at — the
+    directional complement to :func:`host_pagerank` (a directory/index
+    host scores high hub + low authority; a canonical-source host the
+    reverse). Reference analog: none (crawl-analytics surface).
+
+    Per iteration: h(u) = Σ_{u→v} a(v), then a(v) = Σ_{u→v} h(u)
+    (using the FRESH h), each vector rescaled by its MAX (max of
+    doubles is order-free and exact, unlike an L2 norm's sum — the
+    engine-parity reason for max-normalization). Distinct unweighted
+    edges, self-loops dropped — the pagerank edge-set convention.
+    Output: (host, hub, authority) rounded to 6dp; like host_pagerank,
+    the only order-sensitive ops are per-host incoming sums
+    (degree-bounded), which the 6dp round absorbs.
+
+    Scale shape: the edge list is localCheckpoint-ed once (two
+    consuming branches per iteration); each half-step is one host-key
+    join + partial agg over the HOST-level edge list, with the scalar
+    max broadcast back (one-row crossJoin). Fixed iterations,
+    lineage truncated per step.
+    """
+    ce = (
+        edges.filter(F.col("src_host") != F.col("dst_host"))
+        .select("src_host", "dst_host")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hosts = (
+        ce.select(F.col("src_host").alias("host"))
+        .union(ce.select(F.col("dst_host").alias("host")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    auth = hosts.select("host", F.lit(1.0).alias("a"))
+    hub = hosts.select("host", F.lit(1.0).alias("h"))
+    for _ in range(iterations):
+        hsum = (
+            ce.join(auth, ce.dst_host == auth.host)
+            .groupBy(F.col("src_host").alias("host"))
+            .agg(F.sum("a").alias("s"))
+        )
+        hub = (
+            hosts.join(hsum, "host", "left")
+            .select("host", F.coalesce("s", F.lit(0.0)).alias("h"))
+        )
+        hmax = hub.agg(F.max("h").alias("m"))
+        hub = (
+            hub.crossJoin(F.broadcast(hmax))
+            .select(
+                "host",
+                F.when(F.col("m") > 0, F.col("h") / F.col("m"))
+                .otherwise(F.lit(0.0)).alias("h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        asum = (
+            ce.join(hub, ce.src_host == hub.host)
+            .groupBy(F.col("dst_host").alias("host"))
+            .agg(F.sum("h").alias("s"))
+        )
+        auth = (
+            hosts.join(asum, "host", "left")
+            .select("host", F.coalesce("s", F.lit(0.0)).alias("a"))
+        )
+        amax = auth.agg(F.max("a").alias("m"))
+        auth = (
+            auth.crossJoin(F.broadcast(amax))
+            .select(
+                "host",
+                F.when(F.col("m") > 0, F.col("a") / F.col("m"))
+                .otherwise(F.lit(0.0)).alias("a"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        hub.join(auth, "host")
+        .select(
+            "host",
+            F.round(F.col("h"), 6).alias("hub"),
+            F.round(F.col("a"), 6).alias("authority"),
+        )
+    )

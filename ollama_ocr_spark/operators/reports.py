@@ -827,3 +827,61 @@ def event_stationary(events: DataFrame, user: str = "user_id",
             F.round(F.col("__share"), 6).alias("empirical_share"),
         )
     )
+
+
+def interevent_histogram(events: DataFrame, user: str = "user_id",
+                         etype: str = "event_type", ts_us: str = "ts_us",
+                         order_tiebreak: str = "event_id") -> DataFrame:
+    """Log2-bucketed histogram of inter-event gaps per event type: for
+    each (user, event_type) stream, the whole-second gaps between
+    consecutive events, bucketed by binary magnitude. The
+    burstiness-profile companion to :func:`bot_suspects` (which screens
+    per USER): a type whose mass sits in one narrow bucket is
+    scheduler-generated; human-triggered types spread across decades.
+
+    Engine parity is exact — every step is integer: gaps quantize to
+    whole seconds (BIGINT floor-div, the bot_suspects idiom), and the
+    bucket is ``length(bin(gap_s))`` — the binary bit-length, so bucket
+    b >= 2 covers [2^(b-1), 2^b) seconds and bucket 1 covers {0, 1}.
+    ``bin()`` exists on both engines with identical output for
+    non-negative BIGINTs. Bucket bounds are reconstructed with integer
+    shifts, never pow() doubles.
+
+    Output: (event_type, bucket, bucket_lo_s, bucket_hi_s, n_gaps)
+    where [lo, hi) brackets the bucket in seconds.
+
+    Scale shape: one window pass partitioned by (user, type) — the
+    sessionize shuffle key, finer than bot_suspects' user key so skewed
+    power users split across types — then a (type, bucket)-key partial
+    agg; payloads never shuffle. Output rows = |types| x <= 64 buckets.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user, etype).orderBy(
+        F.col(ts_us).asc(), F.col(order_tiebreak).asc()
+    )
+    gaps = (
+        events.select(
+            F.col(etype).alias("event_type"),
+            (F.col(ts_us) - F.lag(ts_us).over(w)).alias("__gus"),
+        )
+        .filter(F.col("__gus").isNotNull())
+        .select("event_type", F.expr("__gus div 1000000").alias("g"))
+    )
+    bucketed = gaps.select(
+        "event_type", F.length(F.bin(F.col("g"))).cast("int").alias("bucket")
+    )
+    hist = bucketed.groupBy("event_type", "bucket").agg(
+        F.count("*").alias("n_gaps")
+    )
+    # F.shiftleft's python signature takes a literal shift; the SQL
+    # function accepts a column — go through expr for the column shift.
+    lo = F.when(
+        F.col("bucket") > 1,
+        F.expr("shiftleft(cast(1 as bigint), bucket - 1)"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    hi = F.expr("shiftleft(cast(1 as bigint), bucket)")
+    return hist.select(
+        "event_type", "bucket",
+        lo.alias("bucket_lo_s"), hi.alias("bucket_hi_s"), "n_gaps",
+    )

@@ -1986,3 +1986,98 @@ def group_entropy(df: DataFrame, group: str, cat: str) -> DataFrame:
         )
         .select(F.col("grp").alias(group), "n_rows", "n_cats", "entropy")
     )
+
+
+def heaps_law(df: DataFrame, key: str = "doc_id", col: str = "text",
+              checkpoints: int = 10) -> DataFrame:
+    """Vocabulary-growth (Heaps' law) curve: distinct-token count vs
+    cumulative token count over growing corpus prefixes, plus the OLS
+    exponent beta of V(n) = K·n^beta. Natural text sits near beta ≈
+    0.5-0.7; machine-generated or heavily templated corpora flatten
+    early (vocabulary saturates), boilerplate-free diverse corpora stay
+    steep — the growth-side complement to :func:`zipf_slope`'s static
+    rank curve. Reference analog: none (corpus-health surface).
+
+    Prefixes are by ``key`` order, window-free: cut values come from one
+    ``max(key)`` agg (cut_i = ((max+1)·i) div checkpoints, prefix =
+    rows with key < cut_i), so no global row-number sort exists
+    anywhere — the stratified_sample two-pass lesson applied up front.
+    Cumulative token mass and first-occurrence vocabulary counts both
+    attach to checkpoints through a broadcast non-equi join (checkpoint
+    table is ``checkpoints`` rows — bounded fanout), then partial-agg.
+
+    Engine parity: counts are BIGINT; the checkpoint arithmetic is
+    integer div; the OLS mirrors zipf_slope exactly (ln quantized to
+    8dp, decimal moment sums, doubles only in the final slope, 4dp
+    round, NULL on a degenerate single-point curve via the ANSI
+    divide-guard idiom).
+
+    Output: (pct, n_docs, cum_tokens, cum_vocab, beta) — one row per
+    non-empty checkpoint, beta repeated (one-row broadcast).
+    """
+    toks = df.select(
+        F.col(key).alias("k"),
+        F.regexp_extract_all(
+            F.lower(F.col(col)), F.lit(TOKEN_RE), 0
+        ).alias("ws"),
+    )
+    docs = toks.select("k", F.size("ws").cast("bigint").alias("n_toks"))
+    firsts = (
+        toks.select("k", F.explode("ws").alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("k").alias("first_k"))
+    )
+    cuts = (
+        df.agg(F.max(key).alias("m"))
+        .select(
+            F.explode(F.sequence(F.lit(1), F.lit(checkpoints))).alias("i"),
+            F.col("m"),
+        )
+        .select("i", F.expr(f"((m + 1) * i) div {checkpoints}").alias("c"))
+    )
+    ctoks = (
+        docs.join(F.broadcast(cuts), docs.k < cuts.c)
+        .groupBy("i", "c")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("cum_tokens"),
+        )
+    )
+    cvoc = (
+        firsts.join(F.broadcast(cuts), firsts.first_k < cuts.c)
+        .groupBy("i", "c")
+        .agg(F.count("*").alias("cum_vocab"))
+    )
+    curve = ctoks.join(cvoc, ["i", "c"])
+    xy = curve.select(
+        F.round(F.log(F.col("cum_tokens").cast("double")), 8).alias("x"),
+        F.round(F.log(F.col("cum_vocab").cast("double")), 8).alias("y"),
+    )
+    m = xy.agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("x").cast("decimal(20,8)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(20,8)")).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(30,12)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(30,12)")).alias("sxx"),
+    )
+    cnt = F.col("cnt").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    denom = cnt * sxx - sx * sx
+    # + 0.0 normalizes IEEE negative zero: a flat curve's slope rounds
+    # to -0.0 on one engine and 0.0 on the other (-0.0 + 0.0 == +0.0).
+    beta = m.select(
+        F.when(
+            denom != 0,
+            F.round((cnt * sxy - sx * sy) / denom, 4) + F.lit(0.0),
+        ).alias("beta")
+    )
+    return (
+        curve.crossJoin(F.broadcast(beta))
+        .select(
+            F.expr(f"cast((i * 100) div {checkpoints} as int)").alias("pct"),
+            "n_docs", "cum_tokens", "cum_vocab", "beta",
+        )
+    )

@@ -143,3 +143,140 @@ def test_events_family_matches_python_fold(spark):
         assert (r["n_transitions"], r["n_pairs"]) == (n, len(cnts))
         assert abs(r["entropy"] - ref) < 5e-6
         assert 0.0 <= r["entropy"] <= math.log(len(cnts)) + 1e-9
+
+
+def test_host_kcore_matches_python_peel(spark):
+    """Fixed-round k-core peeling over a random digraph equals the
+    textbook set-based peel: same removal rounds, same residual core
+    degrees (all-integer operator, exact compare)."""
+    from ollama_ocr_spark.operators.linkgraph import host_kcore
+
+    rows = _random_digraph(4321, n_hosts=30, n_edges=170)
+    k, rounds = 5, 3
+    und = {(min(s, d), max(s, d)) for s, d, _ in rows if s != d}
+    alive = {h for e in und for h in e}
+    live = set(und)
+    removed: dict[str, int] = {}
+    for i in range(1, rounds + 1):
+        deg = Counter()
+        for u, v in live:
+            deg[u] += 1
+            deg[v] += 1
+        drop = {h for h in alive if deg[h] < k}
+        for h in drop:
+            removed[h] = i
+        alive -= drop
+        live = {(u, v) for u, v in live if u in alive and v in alive}
+    fdeg = Counter()
+    for u, v in live:
+        fdeg[u] += 1
+        fdeg[v] += 1
+    want = {h: (removed.get(h), None if h in removed else fdeg[h])
+            for h in {x for e in und for x in e}}
+
+    df = spark.createDataFrame(rows, ["src_host", "dst_host", "n_links"])
+    got = {r["host"]: (r["removed_round"], r["core_deg"])
+           for r in host_kcore(df, k=k, rounds=rounds).collect()}
+    assert got == want
+
+
+def test_host_hits_matches_python_power(spark):
+    """Max-normalized HITS over a random digraph tracks the plain
+    Python power iteration to within one 6dp ulp (per-host sums are
+    degree-bounded; engine and Python fold orders may differ in the
+    last double ulp, the same tolerance contract the oracle's 6dp
+    round encodes)."""
+    from ollama_ocr_spark.operators.linkgraph import host_hits
+
+    rows = _random_digraph(777, n_hosts=28, n_edges=140)
+    iters = 2
+    ce = {(s, d) for s, d, _ in rows if s != d}
+    hosts = sorted({h for e in ce for h in e})
+    a = {h: 1.0 for h in hosts}
+    h = {}
+    for _ in range(iters):
+        h = {x: sum(a[d] for s, d in ce if s == x) for x in hosts}
+        m = max(h.values())
+        h = {x: (v / m if m > 0 else 0.0) for x, v in h.items()}
+        a = {x: sum(h[s] for s, d in ce if d == x) for x in hosts}
+        m = max(a.values())
+        a = {x: (v / m if m > 0 else 0.0) for x, v in a.items()}
+
+    df = spark.createDataFrame(rows, ["src_host", "dst_host", "n_links"])
+    got = {r["host"]: (r["hub"], r["authority"])
+           for r in host_hits(df, iterations=iters).collect()}
+    assert set(got) == set(hosts)
+    for x in hosts:
+        assert abs(got[x][0] - round(h[x], 6)) <= 2e-6, x
+        assert abs(got[x][1] - round(a[x], 6)) <= 2e-6, x
+
+
+def test_interevent_histogram_buckets(spark):
+    """Hand-built gap streams land in the documented [2^(b-1), 2^b)
+    buckets; gaps pool per (user, type) so interleaved users never
+    cross-contaminate; sub-second gaps floor to the {0,1} bucket."""
+    from ollama_ocr_spark.operators.reports import interevent_histogram
+
+    us = 1_000_000
+    rows = [
+        # u1/click: gaps 1s, 3s, 500ms(->0s)
+        ("u1", 1, "click", 0 * us),
+        ("u1", 2, "click", 1 * us),
+        ("u1", 3, "click", 4 * us),
+        ("u1", 4, "click", 4 * us + us // 2),
+        # u2/click: one 1024s gap (bucket 11 = [1024, 2048))
+        ("u2", 5, "click", 0 * us),
+        ("u2", 6, "click", 1024 * us),
+        # u1/view: single event, no gap
+        ("u1", 7, "view", 0 * us),
+    ]
+    df = spark.createDataFrame(
+        rows, ["user_id", "event_id", "event_type", "ts_us"])
+    got = {(r["event_type"], r["bucket"]):
+           (r["bucket_lo_s"], r["bucket_hi_s"], r["n_gaps"])
+           for r in interevent_histogram(df).collect()}
+    assert got == {
+        ("click", 1): (0, 2, 2),   # 0s and 1s gaps
+        ("click", 2): (2, 4, 1),   # 3s gap
+        ("click", 11): (1024, 2048, 1),
+    }
+
+
+def test_heaps_law_matches_python(spark):
+    """Checkpoint doc/token/vocab counts over an id-ordered synthetic
+    corpus equal the plain prefix computation; beta matches the Python
+    OLS on the same 8dp-quantized ln points to 4dp tolerance."""
+    from ollama_ocr_spark.operators.textstats import heaps_law
+
+    rng = random.Random(31337)
+    vocab = [f"w{i}" for i in range(120)]
+    docs = []
+    for i in range(40):
+        # growing vocabulary exposure: doc i samples from a prefix
+        pool = vocab[: 12 + 3 * i % len(vocab)] if i else vocab[:12]
+        docs.append((i, " ".join(rng.choice(pool) for _ in range(30))))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    m = max(i for i, _ in docs)
+    want = {}
+    for i in range(1, 11):
+        c = ((m + 1) * i) // 10
+        pre = [(d, t) for d, t in docs if d < c]
+        toks = [w for _, t in pre for w in t.split()]
+        want[(i * 100) // 10] = (len(pre), len(toks),
+                                 len({w for w in toks}))
+    xs = [round(math.log(v[1]), 8) for v in want.values()]
+    ys = [round(math.log(v[2]), 8) for v in want.values()]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    beta_want = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+
+    out = heaps_law(df).collect()
+    got = {r["pct"]: (r["n_docs"], r["cum_tokens"], r["cum_vocab"])
+           for r in out}
+    assert got == want
+    betas = {r["beta"] for r in out}
+    assert len(betas) == 1
+    assert abs(betas.pop() - beta_want) < 5e-4
