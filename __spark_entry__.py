@@ -2990,6 +2990,60 @@ def q_heaps_law(spark, sf_dir):
     return heaps_law(_docs(spark, sf_dir))
 
 
+def q_source_token_kl(spark, sf_dir):
+    """Per-source unigram KL vs the corpus distribution (integer count
+    x 8dp-ln decimal-difference terms, order-free decimal sum, one
+    final double division — the user_transition_entropy FP contract):
+    the mixture-weight triage across crawl sources."""
+    from ollama_ocr_spark.operators.textstats import source_token_kl
+
+    return source_token_kl(_docs(spark, sf_dir))
+
+
+def q_tpch_local_supplier_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way join (region→nation broadcast; customer,
+    supplier, orders, lineitem shuffle on their keys) with the
+    local-supplier condition c_nationkey = s_nationkey; revenue via the
+    decimal-sum idiom. The join-ordering/broadcast-strategy anchor next
+    to Q3 (tpch_shipping_revenue)."""
+    r = _tbl(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _tbl(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    c = _tbl(spark, sf_dir, "customer").join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", "c_nationkey", "n_name")
+    o = _tbl(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    s = _tbl(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    l = _tbl(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    j = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+    )
+    return j.groupBy(F.col("n_name").alias("nation")).agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
 def _utc_wrapped(fn):
     """Every query assumes UTC session semantics (timestamp↔epoch parity
     with the DuckDB oracle); the driver's session timezone is unknown."""
@@ -3019,6 +3073,8 @@ _QUERIES = {
         # --- round-5 additions (insert new queries HERE) ---
         "host_kcore": q_host_kcore,
         "host_hits": q_host_hits,
+        "source_token_kl": q_source_token_kl,
+        "tpch_local_supplier_revenue": q_tpch_local_supplier_revenue,
         "interevent_histogram": q_interevent_histogram,
         "heaps_law": q_heaps_law,
         "host_mirrors": q_host_mirrors,
@@ -7135,6 +7191,55 @@ FROM deg LEFT JOIN mu ON deg.host = mu.host
         """,
         "host_kcore": _kcore_oracle(k=6, rounds=3),
         "host_hits": _hits_oracle(iterations=2),
+        # source_token_kl: the user_transition_entropy decimal recipe
+        # with a two-ln difference per term; every source token exists
+        # in the corpus, so no zero-denominator terms.
+        "source_token_kl": """
+            WITH sc AS (
+              SELECT source, tok, count(*)::BIGINT AS c FROM (
+                SELECT source,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                         AS tok
+                FROM documents)
+              GROUP BY 1, 2),
+            stot AS (
+              SELECT source, sum(c)::BIGINT AS n_s,
+                     count(*)::BIGINT AS vocab
+              FROM sc GROUP BY 1),
+            gc AS (SELECT tok, sum(c)::BIGINT AS cw FROM sc GROUP BY 1),
+            nn AS (SELECT sum(n_s)::BIGINT AS nn FROM stot),
+            terms AS (
+              SELECT sc.source,
+                     c * (CAST(round(ln(c * 1.0 / n_s), 8)
+                               AS DECIMAL(18, 8))
+                          - CAST(round(ln(cw * 1.0 / nn.nn), 8)
+                                 AS DECIMAL(18, 8))) AS term
+              FROM sc
+              JOIN stot USING (source)
+              JOIN gc USING (tok), nn),
+            sm AS (SELECT source, sum(term) AS sm FROM terms GROUP BY 1)
+            SELECT t.source, t.n_s AS n_tokens, t.vocab,
+                   round(sm.sm::DOUBLE / t.n_s, 6) AS kl_nats
+            FROM stot t JOIN sm USING (source)
+        """,
+        "tpch_local_supplier_revenue": """
+            SELECT n.n_name AS nation,
+                   CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                                  * CAST(1 - l.l_discount AS DECIMAL(18,4))),
+                              2) AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                           AND c.c_nationkey = s.s_nationkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1
+        """,
         # interevent_histogram: all-integer — whole-second gaps (the
         # bot_suspects // idiom), bucket = length(bin(g)) (identical
         # bit-length strings on both engines), bounds via BIGINT shifts.

@@ -2081,3 +2081,69 @@ def heaps_law(df: DataFrame, key: str = "doc_id", col: str = "text",
             "n_docs", "cum_tokens", "cum_vocab", "beta",
         )
     )
+
+
+def source_token_kl(df: DataFrame, source_col: str = "source",
+                    col: str = "text") -> DataFrame:
+    """Per-source KL divergence (nats) of the source's unigram token
+    distribution from the whole-corpus distribution — the directional
+    sharpening of token_drift's TVD: which crawl source's language is
+    most unlike the corpus it feeds (high KL = candidate for its own
+    mixture weight in temperature_mix / dsir_importance; near-zero KL =
+    interchangeable mass). KL(source‖corpus) is always defined here
+    because every source token is by construction in the corpus
+    (no zero-denominator terms).
+
+    Engine-exact FP recipe (the user_transition_entropy contract):
+    KL = (1/n_s)·Σ_w c_w·[ln(c_w/n_s) − ln(C_w/N)] — each term is the
+    INTEGER count times the DIFFERENCE of two 8dp-rounded-ln
+    DECIMAL(18,8) casts (exact products, order-free decimal sum), ONE
+    double division at the end, 6dp output round.
+
+    Scale shape: one (source, tok) partial-agg shuffle over the token
+    explode, then the counter table (|sources|·|vocab|-bounded, far
+    smaller than the corpus) drives everything: source totals broadcast
+    back, corpus totals via a tok-key shuffle join (vocab-sized — NOT
+    broadcast: at 100 TB the vocabulary is large even though it is
+    corpus-small), the grand total a one-row crossJoin. The counter
+    table is localCheckpoint-ed — three consuming branches, no
+    cross-branch subplan reuse.
+
+    Output: (source, n_tokens, vocab, kl_nats).
+    """
+    sc = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col(col)), F.lit(TOKEN_RE), 0)
+            ).alias("tok"),
+        )
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    stot = sc.groupBy("source").agg(
+        F.sum("c").alias("n_s"), F.count("*").alias("vocab")
+    )
+    gc = sc.groupBy("tok").agg(F.sum("c").alias("cw"))
+    nn = stot.agg(F.sum("n_s").alias("nn"))
+    term = F.col("c") * (
+        F.round(F.log(F.col("c") * F.lit(1.0) / F.col("n_s")), 8)
+        .cast("decimal(18,8)")
+        - F.round(F.log(F.col("cw") * F.lit(1.0) / F.col("nn")), 8)
+        .cast("decimal(18,8)")
+    )
+    s = (
+        sc.join(F.broadcast(stot.select("source", "n_s")), "source")
+        .join(gc, "tok")
+        .crossJoin(F.broadcast(nn))
+        .select("source", term.alias("term"))
+        .groupBy("source")
+        .agg(F.sum("term").alias("sm"))
+    )
+    return stot.join(s, "source").select(
+        "source",
+        F.col("n_s").alias("n_tokens"),
+        "vocab",
+        F.round(F.col("sm").cast("double") / F.col("n_s"), 6).alias("kl_nats"),
+    )

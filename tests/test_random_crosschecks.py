@@ -280,3 +280,62 @@ def test_heaps_law_matches_python(spark):
     betas = {r["beta"] for r in out}
     assert len(betas) == 1
     assert abs(betas.pop() - beta_want) < 5e-4
+
+
+def test_source_token_kl_matches_python(spark):
+    """Per-source KL over a random two-source corpus equals the plain
+    Python computation on the same 8dp-quantized ln terms (integer
+    counts exact; 6dp output tolerance covers the decimal-vs-float
+    sum difference)."""
+    from ollama_ocr_spark.operators.textstats import source_token_kl
+
+    rng = random.Random(2024)
+    vocab_a = [f"w{i}" for i in range(15)]
+    vocab_b = [f"w{i}" for i in range(8, 25)]  # overlapping, shifted
+    docs = []
+    for i in range(30):
+        pool = vocab_a if i % 2 == 0 else vocab_b
+        docs.append((i, "s_even" if i % 2 == 0 else "s_odd",
+                     " ".join(rng.choice(pool) for _ in range(25))))
+    df = spark.createDataFrame(docs, ["doc_id", "source", "text"])
+
+    sc = Counter()
+    for _, s, t in docs:
+        for w in t.split():
+            sc[(s, w)] += 1
+    n_s = Counter()
+    cw = Counter()
+    for (s, w), c in sc.items():
+        n_s[s] += c
+        cw[w] += c
+    nn = sum(n_s.values())
+    want = {}
+    for s in n_s:
+        sm = sum(
+            c * (round(math.log(c / n_s[s]), 8)
+                 - round(math.log(cw[w] / nn), 8))
+            for (s2, w), c in sc.items() if s2 == s
+        )
+        vocab = sum(1 for (s2, _) in sc if s2 == s)
+        want[s] = (n_s[s], vocab, sm / n_s[s])
+
+    got = {r["source"]: (r["n_tokens"], r["vocab"], r["kl_nats"])
+           for r in source_token_kl(df).collect()}
+    assert set(got) == set(want)
+    for s in want:
+        assert got[s][:2] == want[s][:2], s
+        assert abs(got[s][2] - want[s][2]) < 5e-6, s
+        assert got[s][2] > 0, s  # shifted vocabularies genuinely diverge
+
+
+def test_tpch_q5_plan_broadcasts_dims(spark):
+    """Q5's region→nation→customer dim chain broadcasts; the fact-side
+    joins stay hash/sort-merge — no nested-loop anywhere."""
+    import __spark_entry__ as e
+
+    df = e.queries()["tpch_local_supplier_revenue"](
+        spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
