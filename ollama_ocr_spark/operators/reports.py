@@ -855,6 +855,18 @@ def interevent_histogram(events: DataFrame, user: str = "user_id",
     power users split across types — then a (type, bucket)-key partial
     agg; payloads never shuffle. Output rows = |types| x <= 64 buckets.
     """
+    hist = _gap_buckets(events, user, etype, ts_us, order_tiebreak) \
+        .groupBy("event_type", "bucket").agg(F.count("*").alias("n_gaps"))
+    return _with_bucket_bounds(hist)
+
+
+def _gap_buckets(events: DataFrame, user: str = "user_id",
+                 etype: str = "event_type", ts_us: str = "ts_us",
+                 order_tiebreak: str = "event_id") -> DataFrame:
+    """(event_type, bucket) row per consecutive-event gap — the shared
+    pre-aggregation stage of :func:`interevent_histogram` and the
+    streaming twin (whose per-batch lag chain starts at the carried
+    last-event row)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(user, etype).orderBy(
@@ -868,14 +880,16 @@ def interevent_histogram(events: DataFrame, user: str = "user_id",
         .filter(F.col("__gus").isNotNull())
         .select("event_type", F.expr("__gus div 1000000").alias("g"))
     )
-    bucketed = gaps.select(
+    return gaps.select(
         "event_type", F.length(F.bin(F.col("g"))).cast("int").alias("bucket")
     )
-    hist = bucketed.groupBy("event_type", "bucket").agg(
-        F.count("*").alias("n_gaps")
-    )
-    # F.shiftleft's python signature takes a literal shift; the SQL
-    # function accepts a column — go through expr for the column shift.
+
+
+def _with_bucket_bounds(hist: DataFrame) -> DataFrame:
+    """Attach the [2^(b-1), 2^b) second bounds to a (event_type,
+    bucket, n_gaps) histogram (integer shifts only). F.shiftleft's
+    python signature takes a literal shift; the SQL function accepts a
+    column — go through expr for the column shift."""
     lo = F.when(
         F.col("bucket") > 1,
         F.expr("shiftleft(cast(1 as bigint), bucket - 1)"),

@@ -593,3 +593,112 @@ def incremental_transitions(
         .start()
         .awaitTermination()
     )
+
+
+def read_interevent_histogram(spark: SparkSession,
+                              hist_tbl: IceTable) -> DataFrame | None:
+    """Merge-on-read view of the :func:`incremental_interevent` bucket
+    log: per-batch (event_type, bucket) gap-count DELTAS are
+    commutative, so the live histogram is one sum over the appended
+    log — batch_id-stamped rows distinct()-ed first, the
+    :func:`read_transition_matrix` replay guard (foreachBatch is
+    at-least-once; a replayed batch rewrites byte-identical rows). The
+    [2^(b-1), 2^b) bounds attach on read via the batch operator's own
+    projection."""
+    from ..operators.reports import _with_bucket_bounds
+
+    log = hist_tbl.read(spark)
+    if log is None:
+        return None
+    hist = (
+        log.select("batch_id", "event_type", "bucket", "n_gaps")
+        .distinct()
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("n_gaps").alias("n_gaps"))
+    )
+    return _with_bucket_bounds(hist)
+
+
+def incremental_interevent(
+    spark: SparkSession,
+    events_dir: str,
+    hist_tbl: IceTable,
+    state_tbl: IceTable,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming maintenance of the per-type inter-event gap histogram
+    (:func:`...operators.reports.interevent_histogram`) — the live
+    burstiness feed next to :func:`incremental_transitions`' Markov
+    counts, same architecture, finer state key: the lag chain
+    partitions by (user, TYPE), so the carried row is each (user,
+    type)'s last event, restored ahead of every micro-batch so the
+    boundary-crossing gap is emitted exactly once.
+
+    Per batch: prior last-events for ONLY the (user, type) pairs
+    present in the batch (left-semi) union the batch, the shared
+    ``_gap_buckets`` stage (identical whole-second div + bin()
+    bucketing), per-batch (type, bucket) counts append as
+    batch_id-stamped DELTAS, and the batch's per-(user, type) argmax
+    rows append to the state log (resolved on read by the same argmax
+    — (ts_us, event_id) is unique, so the max never ties). Replay
+    idempotence lives in the readers (see
+    :func:`read_interevent_histogram`).
+
+    Batch-equivalence (pytest): after draining any per-(user, type)-
+    ordered split, the merge-on-read histogram equals the batch
+    operator over the full stream.
+    """
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    from ..operators.reports import _gap_buckets
+
+    schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("ts_us", LongType()),
+    ])
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+
+    def _last_events(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy("user_id", "event_type")
+            .agg(F.max(F.struct("ts_us", "event_id")).alias("s"))
+            .select(
+                "user_id", "event_type",
+                F.col("s.event_id").alias("event_id"),
+                F.col("s.ts_us").alias("ts_us"),
+            )
+        )
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        base = batch_df.select("user_id", "event_id", "event_type", "ts_us")
+        state_log = state_tbl.read(spark)
+        if state_log is not None:
+            carried = _last_events(state_log).join(
+                base.select("user_id", "event_type").distinct(),
+                ["user_id", "event_type"], "left_semi",
+            )
+            unioned = base.unionByName(
+                carried.select("user_id", "event_id", "event_type", "ts_us")
+            )
+        else:
+            unioned = base
+        hist = (
+            _gap_buckets(unioned)
+            .groupBy("event_type", "bucket")
+            .agg(F.count("*").alias("n_gaps"))
+        )
+        hist_tbl.append(
+            hist.withColumn("batch_id", F.lit(batch_id).cast("bigint"))
+        )
+        state_tbl.append(_last_events(base))
+
+    (
+        stream.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -468,3 +468,68 @@ def test_incremental_transitions_matches_batch(spark, tmp_path):
     replayed = {(r["from_type"], r["to_type"]): r["n_transitions"]
                 for r in read_transition_matrix(spark, matrix).collect()}
     assert replayed == want
+
+
+def test_incremental_interevent_matches_batch(spark, tmp_path):
+    """Draining a per-(user, type)-ordered split must leave
+    read_interevent_histogram equal to the batch interevent_histogram
+    over the full stream — including the boundary-crossing gap each
+    carried (user, type) last-event restores — and both the no-new-data
+    re-drain and a simulated foreachBatch replay must change nothing."""
+    from pyspark.sql import functions as F
+
+    from ollama_ocr_spark.operators.reports import interevent_histogram
+    from ollama_ocr_spark.sources.icetbl import IceTable
+    from ollama_ocr_spark.streaming.incremental import (
+        incremental_interevent,
+        read_interevent_histogram,
+    )
+
+    us = 1_000_000
+    rows = [
+        # u1/click: 1s gap in batch 1; 1024s gap CROSSES the boundary
+        (1, 1, "click", 0 * us), (1, 2, "click", 1 * us),
+        (1, 3, "click", 1025 * us),
+        # u1/view interleaves and must not contaminate click gaps:
+        # its only gap (3s) also crosses the boundary
+        (1, 4, "view", 100 * us), (1, 5, "view", 103 * us),
+        # u2/click: both events in batch 2, 0s gap (sub-second)
+        (2, 6, "click", 2000 * us), (2, 7, "click", 2000 * us + us // 2),
+        # u3/click: single event in batch 1, nothing follows
+        (3, 8, "click", 50 * us),
+    ]
+    cols = ["user_id", "event_id", "event_type", "ts_us"]
+    full = spark.createDataFrame(rows, cols)
+
+    events_dir = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    hist = IceTable(str(tmp_path / "hist"))
+    state = IceTable(str(tmp_path / "state"))
+
+    first = full.filter("ts_us < 102 * 1000000")
+    second = full.filter("ts_us >= 102 * 1000000")
+    first.write.mode("append").parquet(events_dir)
+    incremental_interevent(spark, events_dir, hist, state, ckpt)
+    second.write.mode("append").parquet(events_dir)
+    incremental_interevent(spark, events_dir, hist, state, ckpt)
+
+    def as_map(df):
+        return {(r["event_type"], r["bucket"]):
+                (r["bucket_lo_s"], r["bucket_hi_s"], r["n_gaps"])
+                for r in df.collect()}
+
+    got = as_map(read_interevent_histogram(spark, hist))
+    want = as_map(interevent_histogram(full))
+    assert got == want
+    assert got[("click", 11)] == (1024, 2048, 1)   # boundary-crossing gap
+    assert got[("view", 2)] == (2, 4, 1)           # cross-batch, other type
+
+    # idempotent re-drain: no new files -> no new deltas
+    incremental_interevent(spark, events_dir, hist, state, ckpt)
+    assert as_map(read_interevent_histogram(spark, hist)) == want
+
+    # simulated replay: re-append the last batch's stamped delta rows
+    log = hist.read(spark)
+    last_bid = log.agg(F.max("batch_id")).collect()[0][0]
+    hist.append(log.filter(log.batch_id == last_bid))
+    assert as_map(read_interevent_histogram(spark, hist)) == want
