@@ -3044,6 +3044,38 @@ def q_tpch_local_supplier_revenue(spark, sf_dir):
     )
 
 
+def q_event_cooccurrence(spark, sf_dir):
+    """Unordered event-type co-occurrence lift across users (distinct
+    incidence self-join, |types|²-bounded pair table, one mirrored
+    division) — the market-basket read next to event_transitions'
+    ordered adjacency."""
+    from ollama_ocr_spark.operators.reports import event_cooccurrence
+
+    return event_cooccurrence(_events(spark, sf_dir))
+
+
+def q_host_pagerank_delta(spark, sf_dir):
+    """PageRank convergence diagnostic: per-host |rank_i3 − rank_i2|
+    between consecutive fixed-iteration runs — how settled the
+    authority ordering is before anyone schedules more rounds. The
+    edge list is localCheckpoint-ed once; both runs iterate over the
+    host table only."""
+    from ollama_ocr_spark.operators.linkgraph import (host_pagerank,
+                                                      outlink_edges)
+
+    edges = outlink_edges(_latest_pages(spark, sf_dir)) \
+        .localCheckpoint(eager=True)
+    r2 = host_pagerank(edges, iterations=2) \
+        .withColumnRenamed("rank", "rank_i2")
+    r3 = host_pagerank(edges, iterations=3) \
+        .withColumnRenamed("rank", "rank_i3")
+    return r2.join(r3, "host").select(
+        "host", "rank_i2", "rank_i3",
+        F.round(F.abs(F.col("rank_i3") - F.col("rank_i2")), 6)
+        .alias("delta"),
+    )
+
+
 def _utc_wrapped(fn):
     """Every query assumes UTC session semantics (timestamp↔epoch parity
     with the DuckDB oracle); the driver's session timezone is unknown."""
@@ -3075,6 +3107,8 @@ _QUERIES = {
         "host_hits": q_host_hits,
         "source_token_kl": q_source_token_kl,
         "tpch_local_supplier_revenue": q_tpch_local_supplier_revenue,
+        "event_cooccurrence": q_event_cooccurrence,
+        "host_pagerank_delta": q_host_pagerank_delta,
         "interevent_histogram": q_interevent_histogram,
         "heaps_law": q_heaps_law,
         "host_mirrors": q_host_mirrors,
@@ -3818,11 +3852,14 @@ SELECT host, hops FROM d{max_hops}
 """
 
 
-def _pagerank_oracle(iterations: int = 3) -> str:
-    """DuckDB twin of linkgraph.host_pagerank: identical per-term double
-    arithmetic ((1.0 - 0.85)/n teleport — NOT the literal 0.15, which is a
-    different double), iterations unrolled as chained CTEs (recursive CTE
-    terms cannot aggregate)."""
+def _pagerank_ctes(iterations: int = 3) -> str:
+    """The host_pagerank CTE chain (everything up to r{iterations}),
+    shared by the host_pagerank oracle and the convergence-delta
+    composite. Identical per-term double arithmetic ((1.0 - 0.85)/n
+    teleport — NOT the literal 0.15, which is a different double),
+    iterations unrolled as chained CTEs (recursive CTE terms cannot
+    aggregate). Each r{i} references r{i-1} exactly ONCE — linear, so
+    no MATERIALIZED needed (the _kcore_oracle fan-out rule)."""
     steps = []
     for i in range(1, iterations + 1):
         steps.append(f"""
@@ -3851,6 +3888,13 @@ wf AS (
 ),
 r0 AS (SELECT host, (SELECT 1.0::DOUBLE / n FROM nn) AS rank FROM hosts),
 {",".join(steps)}
+"""
+
+
+def _pagerank_oracle(iterations: int = 3) -> str:
+    """DuckDB twin of linkgraph.host_pagerank (see _pagerank_ctes)."""
+    return f"""
+{_pagerank_ctes(iterations)}
 SELECT host, round(rank, 6) AS rank FROM r{iterations}
 """
 
@@ -7191,6 +7235,34 @@ FROM deg LEFT JOIN mu ON deg.host = mu.host
         """,
         "host_kcore": _kcore_oracle(k=6, rounds=3),
         "host_hits": _hits_oracle(iterations=2),
+        # event_cooccurrence: lift over the distinct (user, type)
+        # incidence relation; all BIGINT until one mirrored division.
+        "event_cooccurrence": """
+            WITH ut AS (
+              SELECT DISTINCT user_id AS u, event_type AS t FROM events),
+            nu AS (SELECT count(DISTINCT u) AS n_users FROM ut),
+            nt AS (SELECT t, count(*)::BIGINT AS n FROM ut GROUP BY 1),
+            pairs AS (
+              SELECT a.t AS type_a, b.t AS type_b,
+                     count(*)::BIGINT AS n_both
+              FROM ut a JOIN ut b ON a.u = b.u AND a.t < b.t
+              GROUP BY 1, 2)
+            SELECT type_a, type_b, na.n AS n_a, nb.n AS n_b, n_both,
+                   round((n_both * nn.n_users) * 1.0 / (na.n * nb.n), 6)
+                     AS lift
+            FROM pairs
+            JOIN nt na ON na.t = pairs.type_a
+            JOIN nt nb ON nb.t = pairs.type_b, nu nn
+        """,
+        # host_pagerank_delta: both iteration depths come from ONE
+        # unrolled chain; the delta diffs the 6dp-ROUNDED outputs on
+        # both engines (exactly what the Spark composite joins).
+        "host_pagerank_delta": f"""
+{_pagerank_ctes(3)}
+SELECT r2.host, round(r2.rank, 6) AS rank_i2, round(r3.rank, 6) AS rank_i3,
+       round(abs(round(r3.rank, 6) - round(r2.rank, 6)), 6) AS delta
+FROM r2 JOIN r3 USING (host)
+        """,
         # source_token_kl: the user_transition_entropy decimal recipe
         # with a two-ln difference per term; every source token exists
         # in the corpus, so no zero-denominator terms.

@@ -172,6 +172,8 @@ EXTRA3 = (
 # Round-5 operators — timed FIRST among the extras (zero perf evidence of
 # any kind until this round's runs).
 EXTRA5: tuple[str, ...] = (
+    "event_cooccurrence",
+    "host_pagerank_delta",
     "source_token_kl",
     "tpch_local_supplier_revenue",
     "host_kcore",

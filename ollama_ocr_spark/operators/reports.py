@@ -899,3 +899,58 @@ def _with_bucket_bounds(hist: DataFrame) -> DataFrame:
         "event_type", "bucket",
         lo.alias("bucket_lo_s"), hi.alias("bucket_hi_s"), "n_gaps",
     )
+
+
+def event_cooccurrence(events: DataFrame, user: str = "user_id",
+                       etype: str = "event_type") -> DataFrame:
+    """Event-type co-occurrence lift across users: for every unordered
+    type pair, how much more often one user exhibits BOTH types than
+    independence predicts — lift = c_ab·N / (n_a·n_b) over the distinct
+    (user, type) incidence relation. The market-basket read on the
+    event log: lift ≫ 1 flags coupled features (or a bot script that
+    always fires both), lift ≪ 1 mutually exclusive populations; the
+    set-membership complement to :func:`event_transitions`' ORDERED
+    adjacency.
+
+    Engine parity: counts are BIGINT and the single division is the
+    mirrored `(c_ab · N) · 1.0 / (n_a · n_b)` tree rounded 6dp —
+    integer products stay under 2^63 for any |users| ≤ 3e9 (the
+    numerator is c_ab·N ≤ N²).
+
+    Scale shape: one distinct over (user, type) — users × |types|
+    bounded — then a user-key self-join whose per-user fan-out is
+    |types|² (small constant); per-type counts broadcast back onto the
+    |types|²-row pair table. The event log is scanned once.
+
+    Output: (type_a, type_b, n_a, n_b, n_both, lift).
+    """
+    ut = (
+        events.select(F.col(user).alias("u"), F.col(etype).alias("t"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nu = ut.select("u").distinct().agg(F.count("*").alias("n_users"))
+    nt = ut.groupBy("t").agg(F.count("*").alias("n"))
+    a = ut.select("u", F.col("t").alias("type_a"))
+    b = ut.select("u", F.col("t").alias("type_b"))
+    pairs = (
+        a.join(b, "u")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    na = nt.select(F.col("t").alias("type_a"), F.col("n").alias("n_a"))
+    nb = nt.select(F.col("t").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "type_a", "type_b", "n_a", "n_b", "n_both",
+            F.round(
+                (F.col("n_both") * F.col("n_users")) * F.lit(1.0)
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -339,3 +339,69 @@ def test_tpch_q5_plan_broadcasts_dims(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_event_cooccurrence_matches_python(spark):
+    """Type-pair lift over a random event log equals the plain Python
+    set computation (integer counts exact; lift to 6dp)."""
+    from ollama_ocr_spark.operators.reports import event_cooccurrence
+
+    rng = random.Random(555)
+    types = ["a", "b", "c", "d", "e"]
+    rows = []
+    eid = 0
+    for u in range(25):
+        for _ in range(rng.randint(1, 8)):
+            eid += 1
+            rows.append((u, eid, rng.choice(types), eid * 1000))
+    df = spark.createDataFrame(
+        rows, ["user_id", "event_id", "event_type", "ts_us"])
+
+    per_user = defaultdict(set)
+    for u, _, t, _ in rows:
+        per_user[u].add(t)
+    n_users = len(per_user)
+    nt = Counter()
+    for ts in per_user.values():
+        nt.update(ts)
+    both = Counter()
+    for ts in per_user.values():
+        s = sorted(ts)
+        for i, x in enumerate(s):
+            for y in s[i + 1:]:
+                both[(x, y)] += 1
+    want = {
+        (x, y): (nt[x], nt[y], c, round(c * n_users / (nt[x] * nt[y]), 6))
+        for (x, y), c in both.items()
+    }
+    got = {(r["type_a"], r["type_b"]):
+           (r["n_a"], r["n_b"], r["n_both"], r["lift"])
+           for r in event_cooccurrence(df).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][:3] == want[k][:3], k
+        assert abs(got[k][3] - want[k][3]) < 2e-6, k
+
+
+def test_host_pagerank_delta_composite(spark, documents_smoke):
+    """The delta composite equals two independent fixed-iteration runs
+    joined on host, with non-negative 6dp deltas."""
+    import __spark_entry__ as e
+    from ollama_ocr_spark.operators.extract import synthesize_stage
+    from ollama_ocr_spark.operators.linkgraph import (host_pagerank,
+                                                      outlink_edges)
+    from ollama_ocr_spark.operators.maintenance import latest_capture
+
+    edges = outlink_edges(latest_capture(synthesize_stage(documents_smoke)))
+    r2 = {r["host"]: r["rank"]
+          for r in host_pagerank(edges, iterations=2).collect()}
+    r3 = {r["host"]: r["rank"]
+          for r in host_pagerank(edges, iterations=3).collect()}
+    got = {r["host"]: (r["rank_i2"], r["rank_i3"], r["delta"])
+           for r in e.queries()["host_pagerank_delta"](
+               spark, "/root/testdata/sf0.001").collect()}
+    assert set(got) == set(r2) == set(r3)
+    for h, (a, b, d) in got.items():
+        assert a == r2[h] and b == r3[h], h
+        assert d >= 0
+        assert abs(d - abs(b - a)) < 2e-6, h
