@@ -2048,7 +2048,11 @@ def heaps_law(df: DataFrame, key: str = "doc_id", col: str = "text",
         .groupBy("i", "c")
         .agg(F.count("*").alias("cum_vocab"))
     )
-    curve = ctoks.join(cvoc, ["i", "c"])
+    # the beta branch re-references curve, and Spark has no cross-branch
+    # subplan reuse — without the lineage cut the corpus tokenize runs
+    # TWICE (measured: 5 BNLJ / 18 exchanges → 3 / 8). A checkpoints-row
+    # table, never corpus-sized (the k-means codebook rule).
+    curve = ctoks.join(cvoc, ["i", "c"]).localCheckpoint(eager=True)
     xy = curve.select(
         F.round(F.log(F.col("cum_tokens").cast("double")), 8).alias("x"),
         F.round(F.log(F.col("cum_vocab").cast("double")), 8).alias("y"),
