@@ -530,7 +530,10 @@ def incremental_transitions(
     every delta row carries its batch_id and both readers are
     replay-idempotent: :func:`read_transition_matrix` distincts the
     stamped deltas before summing, and the state argmax is naturally
-    idempotent (a replayed last-event row ties with itself).
+    idempotent (a replayed last-event row ties with itself). State rows
+    are ALSO batch_id-stamped and the carried read filters to
+    ``batch_id < current`` — see :func:`_transitions_commit` for why a
+    replay after the state append needs that window.
     Batch-equivalence (pytest): after draining any
     PER-USER-ORDERED split of the events (late cross-batch arrivals
     would need the full batch recompute — the standard lambda split),
@@ -548,43 +551,8 @@ def incremental_transitions(
     ])
     stream = spark.readStream.schema(schema).parquet(events_dir)
 
-    def _last_events(df: DataFrame) -> DataFrame:
-        return (
-            df.groupBy("user_id")
-            .agg(
-                F.max(F.struct("ts_us", "event_id", "event_type")).alias("s")
-            )
-            .select(
-                "user_id",
-                F.col("s.event_id").alias("event_id"),
-                F.col("s.event_type").alias("event_type"),
-                F.col("s.ts_us").alias("ts_us"),
-            )
-        )
-
     def _commit(batch_df: DataFrame, batch_id: int) -> None:
-        from ..operators.reports import _transition_pairs
-
-        base = batch_df.select("user_id", "event_id", "event_type", "ts_us")
-        state_log = state_tbl.read(spark)
-        if state_log is not None:
-            carried = _last_events(state_log).join(
-                base.select("user_id").distinct(), "user_id", "left_semi"
-            )
-            unioned = base.unionByName(
-                carried.select("user_id", "event_id", "event_type", "ts_us")
-            )
-        else:
-            unioned = base
-        pairs = _transition_pairs(
-            unioned, "user_id", "ts_us", "event_type", "event_id"
-        )
-        matrix_tbl.append(
-            pairs.withColumn(
-                "batch_id", F.lit(batch_id).cast("bigint")
-            )
-        )
-        state_tbl.append(_last_events(base))
+        _transitions_commit(spark, batch_df, batch_id, matrix_tbl, state_tbl)
 
     (
         stream.writeStream.foreachBatch(_commit)
@@ -592,6 +560,59 @@ def incremental_transitions(
         .trigger(availableNow=True)
         .start()
         .awaitTermination()
+    )
+
+
+def _last_events_per_user(df: DataFrame) -> DataFrame:
+    return (
+        df.groupBy("user_id")
+        .agg(F.max(F.struct("ts_us", "event_id", "event_type")).alias("s"))
+        .select(
+            "user_id",
+            F.col("s.event_id").alias("event_id"),
+            F.col("s.event_type").alias("event_type"),
+            F.col("s.ts_us").alias("ts_us"),
+        )
+    )
+
+
+def _transitions_commit(spark: SparkSession, batch_df: DataFrame,
+                        batch_id: int, matrix_tbl: IceTable,
+                        state_tbl: IceTable) -> None:
+    """One :func:`incremental_transitions` micro-batch, module-level so
+    the replay test can re-invoke it with the SAME batch_id. The
+    carried-state read filters to ``batch_id < current``: foreachBatch
+    replays reuse the batch id, so a death AFTER the state append (but
+    before the checkpoint commit) must not let the replay see its own
+    last-event rows as prior state — that would emit an extra
+    self-transition per carried user and DIFFERENT delta rows the
+    batch_id-distinct guard cannot collapse. With the filter, a replay
+    recomputes byte-identical rows for both logs (state re-appends tie
+    with themselves under the argmax)."""
+    from ..operators.reports import _transition_pairs
+
+    base = batch_df.select("user_id", "event_id", "event_type", "ts_us")
+    state_log = state_tbl.read(spark)
+    if state_log is not None:
+        prior = state_log.filter(F.col("batch_id") < F.lit(batch_id))
+        carried = _last_events_per_user(prior).join(
+            base.select("user_id").distinct(), "user_id", "left_semi"
+        )
+        unioned = base.unionByName(
+            carried.select("user_id", "event_id", "event_type", "ts_us")
+        )
+    else:
+        unioned = base
+    pairs = _transition_pairs(
+        unioned, "user_id", "ts_us", "event_type", "event_id"
+    )
+    matrix_tbl.append(
+        pairs.withColumn("batch_id", F.lit(batch_id).cast("bigint"))
+    )
+    state_tbl.append(
+        _last_events_per_user(base).withColumn(
+            "batch_id", F.lit(batch_id).cast("bigint")
+        )
     )
 
 
@@ -642,7 +663,10 @@ def incremental_interevent(
     rows append to the state log (resolved on read by the same argmax
     — (ts_us, event_id) is unique, so the max never ties). Replay
     idempotence lives in the readers (see
-    :func:`read_interevent_histogram`).
+    :func:`read_interevent_histogram`) plus the carried-state
+    ``batch_id < current`` window (see :func:`_transitions_commit` —
+    a replay after the state append would otherwise count a spurious
+    zero-second gap per carried (user, type)).
 
     Batch-equivalence (pytest): after draining any per-(user, type)-
     ordered split, the merge-on-read histogram equals the batch
@@ -661,39 +685,8 @@ def incremental_interevent(
     ])
     stream = spark.readStream.schema(schema).parquet(events_dir)
 
-    def _last_events(df: DataFrame) -> DataFrame:
-        return (
-            df.groupBy("user_id", "event_type")
-            .agg(F.max(F.struct("ts_us", "event_id")).alias("s"))
-            .select(
-                "user_id", "event_type",
-                F.col("s.event_id").alias("event_id"),
-                F.col("s.ts_us").alias("ts_us"),
-            )
-        )
-
     def _commit(batch_df: DataFrame, batch_id: int) -> None:
-        base = batch_df.select("user_id", "event_id", "event_type", "ts_us")
-        state_log = state_tbl.read(spark)
-        if state_log is not None:
-            carried = _last_events(state_log).join(
-                base.select("user_id", "event_type").distinct(),
-                ["user_id", "event_type"], "left_semi",
-            )
-            unioned = base.unionByName(
-                carried.select("user_id", "event_id", "event_type", "ts_us")
-            )
-        else:
-            unioned = base
-        hist = (
-            _gap_buckets(unioned)
-            .groupBy("event_type", "bucket")
-            .agg(F.count("*").alias("n_gaps"))
-        )
-        hist_tbl.append(
-            hist.withColumn("batch_id", F.lit(batch_id).cast("bigint"))
-        )
-        state_tbl.append(_last_events(base))
+        _interevent_commit(spark, batch_df, batch_id, hist_tbl, state_tbl)
 
     (
         stream.writeStream.foreachBatch(_commit)
@@ -701,4 +694,54 @@ def incremental_interevent(
         .trigger(availableNow=True)
         .start()
         .awaitTermination()
+    )
+
+
+def _last_events_per_user_type(df: DataFrame) -> DataFrame:
+    return (
+        df.groupBy("user_id", "event_type")
+        .agg(F.max(F.struct("ts_us", "event_id")).alias("s"))
+        .select(
+            "user_id", "event_type",
+            F.col("s.event_id").alias("event_id"),
+            F.col("s.ts_us").alias("ts_us"),
+        )
+    )
+
+
+def _interevent_commit(spark: SparkSession, batch_df: DataFrame,
+                       batch_id: int, hist_tbl: IceTable,
+                       state_tbl: IceTable) -> None:
+    """One :func:`incremental_interevent` micro-batch, module-level so
+    the replay test can re-invoke it with the SAME batch_id (the
+    :func:`_transitions_commit` contract: carried state filtered to
+    ``batch_id < current`` keeps replays byte-identical even after the
+    state append landed)."""
+    from ..operators.reports import _gap_buckets
+
+    base = batch_df.select("user_id", "event_id", "event_type", "ts_us")
+    state_log = state_tbl.read(spark)
+    if state_log is not None:
+        prior = state_log.filter(F.col("batch_id") < F.lit(batch_id))
+        carried = _last_events_per_user_type(prior).join(
+            base.select("user_id", "event_type").distinct(),
+            ["user_id", "event_type"], "left_semi",
+        )
+        unioned = base.unionByName(
+            carried.select("user_id", "event_id", "event_type", "ts_us")
+        )
+    else:
+        unioned = base
+    hist = (
+        _gap_buckets(unioned)
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").alias("n_gaps"))
+    )
+    hist_tbl.append(
+        hist.withColumn("batch_id", F.lit(batch_id).cast("bigint"))
+    )
+    state_tbl.append(
+        _last_events_per_user_type(base).withColumn(
+            "batch_id", F.lit(batch_id).cast("bigint")
+        )
     )

@@ -533,3 +533,73 @@ def test_incremental_interevent_matches_batch(spark, tmp_path):
     last_bid = log.agg(F.max("batch_id")).collect()[0][0]
     hist.append(log.filter(log.batch_id == last_bid))
     assert as_map(read_interevent_histogram(spark, hist)) == want
+
+
+def test_transitions_commit_replay_after_state_append(spark, tmp_path):
+    """The at-least-once window the stamped-delta distinct alone cannot
+    cover: the SAME batch re-committed with the SAME batch_id AFTER its
+    state append landed. The batch_id < current carried-state window
+    keeps the replayed rows byte-identical — without it the replay
+    would see its own last-events as prior state and emit a spurious
+    self-transition per carried user."""
+    from ollama_ocr_spark.operators.reports import event_transitions
+    from ollama_ocr_spark.sources.icetbl import IceTable
+    from ollama_ocr_spark.streaming.incremental import (
+        _transitions_commit,
+        read_transition_matrix,
+    )
+
+    cols = ["user_id", "event_id", "event_type", "ts_us"]
+    b1 = spark.createDataFrame(
+        [(1, 1, "a", 100), (1, 2, "b", 200), (2, 1, "a", 150)], cols)
+    b2 = spark.createDataFrame(
+        [(1, 3, "c", 300), (2, 2, "a", 250)], cols)
+    matrix = IceTable(str(tmp_path / "matrix"))
+    state = IceTable(str(tmp_path / "state"))
+
+    _transitions_commit(spark, b1, 0, matrix, state)
+    _transitions_commit(spark, b2, 1, matrix, state)
+    want = {(r["from_type"], r["to_type"]): r["n_transitions"]
+            for r in event_transitions(b1.unionByName(b2)).collect()}
+
+    # replay batch 1 with its own state rows already in the log
+    _transitions_commit(spark, b2, 1, matrix, state)
+    got = {(r["from_type"], r["to_type"]): r["n_transitions"]
+           for r in read_transition_matrix(spark, matrix).collect()}
+    assert got == want
+    assert ("c", "c") not in got and ("a", "a") in got  # u2 cross pair only
+
+
+def test_interevent_commit_replay_after_state_append(spark, tmp_path):
+    """Same replay window for the gap-histogram twin: a replay that saw
+    its own carried state would count a spurious zero-second gap per
+    carried (user, type); the batch_id window keeps the merge-on-read
+    histogram equal to the batch operator."""
+    from ollama_ocr_spark.operators.reports import interevent_histogram
+    from ollama_ocr_spark.sources.icetbl import IceTable
+    from ollama_ocr_spark.streaming.incremental import (
+        _interevent_commit,
+        read_interevent_histogram,
+    )
+
+    us = 1_000_000
+    cols = ["user_id", "event_id", "event_type", "ts_us"]
+    b1 = spark.createDataFrame(
+        [(1, 1, "click", 0), (1, 2, "click", 3 * us)], cols)
+    b2 = spark.createDataFrame(
+        [(1, 3, "click", 1027 * us), (2, 4, "view", 10 * us)], cols)
+    hist = IceTable(str(tmp_path / "hist"))
+    state = IceTable(str(tmp_path / "state"))
+
+    _interevent_commit(spark, b1, 0, hist, state)
+    _interevent_commit(spark, b2, 1, hist, state)
+    want = {(r["event_type"], r["bucket"]): r["n_gaps"]
+            for r in interevent_histogram(b1.unionByName(b2)).collect()}
+
+    _interevent_commit(spark, b2, 1, hist, state)
+    got = {(r["event_type"], r["bucket"]): r["n_gaps"]
+           for r in read_interevent_histogram(spark, hist).collect()}
+    assert got == want
+    assert got[("click", 11)] == 1     # the cross-batch 1024s gap, once
+    # the polluted-replay artifact would be a zero-second gap (bucket 1)
+    assert ("click", 1) not in got
