@@ -650,3 +650,57 @@ def test_bucketed_write_one_file_per_bucket(spark, documents_smoke):
         assert spark.table("bkt_files").count() == df.count()
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_files")
+
+
+def test_fourth_sitting_plan_shapes(spark, documents_smoke):
+    """Scale-shape pins for the fourth-sitting operators: the graph
+    iteratives never degrade to a nested loop; the histogram/KL/
+    co-occurrence reports keep hash joins + map-side partial aggs; the
+    only nested-loop joins anywhere are against broadcast
+    checkpoint-row tables (heaps_law's 10-row cut/beta attach, the
+    one-row grand-total crossJoins)."""
+    from pyspark.sql import functions as F
+
+    from ollama_ocr_spark.operators.extract import synthesize_stage
+    from ollama_ocr_spark.operators.linkgraph import (host_hits, host_kcore,
+                                                      outlink_edges)
+    from ollama_ocr_spark.operators.maintenance import latest_capture
+    from ollama_ocr_spark.operators.reports import (event_cooccurrence,
+                                                    interevent_histogram)
+    from ollama_ocr_spark.operators.textstats import (heaps_law,
+                                                      source_token_kl)
+    from ollama_ocr_spark.plans.audit import plan_report
+
+    edges = outlink_edges(latest_capture(synthesize_stage(documents_smoke)))
+    # the iteratives' crossJoin/max-rescale branches all live INSIDE
+    # eager localCheckpoints — the downstream plan joins checkpointed
+    # host tables only, so strictly zero nested-loop operators remain
+    for df in (host_kcore(edges, k=5, rounds=2), host_hits(edges, 1)):
+        raw = plan_report(df).raw
+        assert "BroadcastNestedLoopJoin" not in raw
+        assert "CartesianProduct" not in raw
+
+    ev = spark.createDataFrame(
+        [(1, 1, "a", 100), (1, 2, "a", 200), (2, 3, "b", 150)],
+        ["user_id", "event_id", "event_type", "ts_us"])
+    hist = plan_report(interevent_histogram(ev))
+    assert hist.raw.count("Exchange") <= 2      # window + (type,bucket) agg
+    assert "CartesianProduct" not in hist.raw
+
+    co = plan_report(event_cooccurrence(ev)).raw
+    assert "CartesianProduct" not in co
+    # the only BNLJ is the one-row n_users broadcast attach
+    assert co.count("BroadcastNestedLoopJoin") <= 1
+
+    docs = documents_smoke.select("doc_id", "source", "text")
+    hl = plan_report(heaps_law(docs)).raw
+    # curve is checkpointed: downstream plan is the 10-row curve + the
+    # broadcast beta attach only — the corpus tokenize appears ZERO
+    # times in the final plan (it ran once, inside the checkpoint)
+    assert hl.count("BroadcastNestedLoopJoin") <= 1
+    assert hl.count("Exchange") <= 2
+    assert "regexp_extract_all" not in hl
+
+    kl = plan_report(source_token_kl(docs)).raw
+    assert "CartesianProduct" not in kl
+    assert kl.count("BroadcastNestedLoopJoin") <= 1   # one-row N attach
