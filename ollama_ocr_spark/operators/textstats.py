@@ -2014,7 +2014,16 @@ def heaps_law(df: DataFrame, key: str = "doc_id", col: str = "text",
 
     Output: (pct, n_docs, cum_tokens, cum_vocab, beta) — one row per
     non-empty checkpoint, beta repeated (one-row broadcast).
+
+    Cost note: the token pass runs TWICE (the per-doc size() branch and
+    the first-occurrence explode branch both re-evaluate the tokenize —
+    no cross-branch subplan reuse), a deliberate trade: both passes are
+    map-side scans, vs. the one-pass alternative that would shuffle
+    every token row to count per-doc sizes.
     """
+    if checkpoints < 1:
+        # F.sequence(1, 0) is DESCENDING, not empty (documented gotcha)
+        raise ValueError("heaps_law needs checkpoints >= 1")
     toks = df.select(
         F.col(key).alias("k"),
         F.regexp_extract_all(

@@ -594,7 +594,12 @@ def _transitions_commit(spark: SparkSession, batch_df: DataFrame,
     base = batch_df.select("user_id", "event_id", "event_type", "ts_us")
     state_log = state_tbl.read(spark)
     if state_log is not None:
-        prior = state_log.filter(F.col("batch_id") < F.lit(batch_id))
+        # a state log written before batch_id stamping existed has no
+        # batch_id column — all of it is prior state by construction
+        prior = (
+            state_log.filter(F.col("batch_id") < F.lit(batch_id))
+            if "batch_id" in state_log.columns else state_log
+        )
         carried = _last_events_per_user(prior).join(
             base.select("user_id").distinct(), "user_id", "left_semi"
         )
@@ -675,8 +680,6 @@ def incremental_interevent(
     from pyspark.sql.types import (LongType, StringType, StructField,
                                    StructType)
 
-    from ..operators.reports import _gap_buckets
-
     schema = StructType([
         StructField("user_id", LongType()),
         StructField("event_id", LongType()),
@@ -722,7 +725,11 @@ def _interevent_commit(spark: SparkSession, batch_df: DataFrame,
     base = batch_df.select("user_id", "event_id", "event_type", "ts_us")
     state_log = state_tbl.read(spark)
     if state_log is not None:
-        prior = state_log.filter(F.col("batch_id") < F.lit(batch_id))
+        # pre-stamping state logs have no batch_id column — all prior
+        prior = (
+            state_log.filter(F.col("batch_id") < F.lit(batch_id))
+            if "batch_id" in state_log.columns else state_log
+        )
         carried = _last_events_per_user_type(prior).join(
             base.select("user_id", "event_type").distinct(),
             ["user_id", "event_type"], "left_semi",

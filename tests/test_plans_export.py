@@ -696,7 +696,9 @@ def test_fourth_sitting_plan_shapes(spark, documents_smoke):
     hl = plan_report(heaps_law(docs)).raw
     # curve is checkpointed: downstream plan is the 10-row curve + the
     # broadcast beta attach only — the corpus tokenize appears ZERO
-    # times in the final plan (it ran once, inside the checkpoint)
+    # times in the FINAL plan (it ran inside the checkpoint: twice
+    # there, once per map-side branch — see the heaps_law cost note —
+    # but never again downstream)
     assert hl.count("BroadcastNestedLoopJoin") <= 1
     assert hl.count("Exchange") <= 2
     assert "regexp_extract_all" not in hl
